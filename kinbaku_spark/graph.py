@@ -1,0 +1,654 @@
+"""Directed-graph facade over a pair of DataFrames — the Spark-native
+re-expression of the reference's single-file graph database.
+
+Data model (SURVEY.md §1.4):
+    nodes(key string, ...attrs)            -- key unique, non-null
+    edges(src string, dst string, type int, ...attrs)
+                                           -- (src,dst,type) unique; self-loops OK
+
+Reference parity map (each method cites the reference implementation it
+re-expresses; the reference walks hand-rolled BSTs inside an mmap'd file —
+here every read is declarative DataFrame algebra that Catalyst turns into
+pruned, pushed-down parquet scans):
+
+    node/edge/has_node/has_edge   graph.py:999-1099   -> pushed-down filter
+    neighbors/predecessors        graph.py:856-884    -> filter + project
+    neighbors_from/..._from       graph.py:928-957    -> one shuffle join
+    common_neighbors/preds        graph.py:959-983    -> intersect
+    out_degree/in_degree          graph.py:985-997    -> count / groupBy
+    nodes/edges iteration         graph.py:152-171    -> full scan
+    batch_get_nodes/edges         graph.py:1101-1186  -> keyset pagination
+    adjacency_matrix/subgraph     graph.py:1188-1265  -> join to dense id map
+    add_node/add_edge             graph.py:1353-1524  -> delta-buffer upsert
+    remove_edge/remove_node       graph.py:1526-1563  -> delta-buffer delete
+    set_neighbors/predecessors    graph.py:886-926    -> set-diff + upsert
+
+Mutation design: the reference mutates records in place and keeps counters in
+a header (graph.py:258-276) plus 4 LRU caches (graph.py:100-106). DataFrames
+are immutable, so point mutations buffer in a driver-side delta — a dict of
+last-op-per-entity — and materialize as ONE anti-join + union per flush
+(lineage stays O(flushes), not O(ops)). A driver-side identity index (node
+keys + edge triples, the moral equivalent of the reference's preload
+(graph.py:304-306)) makes point existence checks O(1).
+
+Scale notes: the identity index is for the reference's point-op API, which is
+inherently driver-bound; at 100 TB you use the batch API (`add_edges`,
+`remove_edges`, `add_nodes`, `remove_nodes`) — pure join/union transforms with
+no driver state — and partition `edges` by `src` (plus a `dst`-bucketed copy
+for predecessor-heavy workloads, mirroring the reference's dual out/in trees).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, Row, SparkSession, Window, functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from kinbaku_spark.exceptions import BadArgument, EdgeNotFound, NodeNotFound
+
+EDGE_KEY = ("src", "dst", "type")
+
+# Flush the delta buffer into the DataFrames once it holds this many entries;
+# each flush is one union + anti-join, so lineage depth stays bounded.
+DEFAULT_FLUSH_EVERY = 50_000
+# localCheckpoint() every N flushes to truncate lineage for long op-logs.
+CHECKPOINT_EVERY_FLUSHES = 8
+
+
+def _nullable(schema: StructType, keep: set[str]) -> StructType:
+    """Schema copy with every non-identity field nullable (delta upserts may
+    omit attributes; the reference fills dataclass defaults, we fill NULL)."""
+    return StructType(
+        [
+            StructField(f.name, f.dataType, f.name not in keep or f.nullable)
+            for f in schema
+        ]
+    )
+
+
+def _default_nodes_schema() -> StructType:
+    return StructType([StructField("key", StringType(), False)])
+
+
+def _default_edges_schema() -> StructType:
+    return StructType(
+        [
+            StructField("src", StringType(), False),
+            StructField("dst", StringType(), False),
+            StructField("type", IntegerType(), False),
+        ]
+    )
+
+
+class Graph:
+    """A directed graph backed by two DataFrames.
+
+    Self-loops are allowed; parallel edges only via distinct ``type``
+    (reference: graph.py:1-4).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        nodes: DataFrame | None = None,
+        edges: DataFrame | None = None,
+        preload: bool = False,
+        flush_every: int = DEFAULT_FLUSH_EVERY,
+    ) -> None:
+        self.spark = spark
+        self._nodes = nodes if nodes is not None else spark.createDataFrame([], _default_nodes_schema())
+        self._edges = edges if edges is not None else spark.createDataFrame([], _default_edges_schema())
+        if "key" not in self._nodes.columns:
+            raise BadArgument("nodes DataFrame must have a 'key' column")
+        for c in EDGE_KEY:
+            if c not in self._edges.columns:
+                raise BadArgument(f"edges DataFrame must have a '{c}' column")
+        # delta buffers: entity -> ("upsert", attrs) | ("delete", None)
+        self._node_ops: dict[str, tuple[str, dict | None]] = {}
+        self._edge_ops: dict[tuple[str, str, int], tuple[str, dict | None]] = {}
+        self._flush_every = flush_every
+        self._flushes = 0
+        # identity index (reference preload, graph.py:304-306)
+        self._node_keys: set[str] | None = None
+        self._edge_keys: set[tuple[str, str, int]] | None = None
+        if preload:
+            self._ensure_index()
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def from_edges(cls, edges: DataFrame, preload: bool = False) -> "Graph":
+        """Build a graph from an edge DataFrame, deriving the node table from
+        the endpoints (the reference auto-creates endpoint nodes on add_edge,
+        graph.py:1446-1453)."""
+        spark = edges.sparkSession
+        if "type" not in edges.columns:
+            edges = edges.withColumn("type", F.lit(0))
+        nodes = (
+            edges.select(F.col("src").alias("key"))
+            .union(edges.select(F.col("dst").alias("key")))
+            .distinct()
+        )
+        return cls(spark, nodes=nodes, edges=edges, preload=preload)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, **kw: Any) -> "Graph":
+        nodes = spark.read.parquet(f"{path}/nodes")
+        edges = spark.read.parquet(f"{path}/edges")
+        return cls(spark, nodes=nodes, edges=edges, **kw)
+
+    def save(self, path: str, partition_edges_by_src: bool = True) -> None:
+        """Persist as Parquet. Edges are written bucketed-by-src ordering so a
+        reload colocates each node's out-edges (the moral equivalent of the
+        reference's per-node out-edge tree, graph.py:472-492)."""
+        self._flush()
+        self._nodes.write.mode("overwrite").parquet(f"{path}/nodes")
+        ew = self._edges.sortWithinPartitions("src") if partition_edges_by_src else self._edges
+        ew.write.mode("overwrite").parquet(f"{path}/edges")
+
+    # -- delta machinery -----------------------------------------------------
+
+    def _ensure_index(self) -> None:
+        if self._node_keys is None:
+            self._node_keys = {r[0] for r in self._nodes.select("key").collect()}
+            self._edge_keys = {
+                (r[0], r[1], r[2]) for r in self._edges.select(*EDGE_KEY).collect()
+            }
+
+    def _dirty(self) -> bool:
+        return bool(self._node_ops or self._edge_ops)
+
+    def _maybe_flush(self) -> None:
+        if len(self._node_ops) + len(self._edge_ops) >= self._flush_every:
+            self._flush()
+
+    def _flush(self) -> None:
+        """Materialize the delta: one anti-join + union per table."""
+        if not self._dirty():
+            return
+        spark = self.spark
+        if self._node_ops:
+            touched = list(self._node_ops)
+            upserts = [
+                (k, attrs) for k, (op, attrs) in self._node_ops.items() if op == "upsert"
+            ]
+            schema = _nullable(self._nodes.schema, keep={"key"})
+            touched_df = spark.createDataFrame([(k,) for k in touched], "key string")
+            base = self._nodes.join(F.broadcast(touched_df), on="key", how="left_anti")
+            if upserts:
+                rows = [self._node_row(k, attrs, schema) for k, attrs in upserts]
+                base = base.unionByName(spark.createDataFrame(rows, schema))
+            self._nodes = base
+            self._node_ops = {}
+        if self._edge_ops:
+            touched = list(self._edge_ops)
+            upserts = [
+                (t, attrs) for t, (op, attrs) in self._edge_ops.items() if op == "upsert"
+            ]
+            schema = _nullable(self._edges.schema, keep=set(EDGE_KEY))
+            touched_df = spark.createDataFrame(
+                touched, "src string, dst string, type int"
+            )
+            base = self._edges.join(
+                F.broadcast(touched_df), on=list(EDGE_KEY), how="left_anti"
+            )
+            if upserts:
+                rows = [self._edge_row(t, attrs, schema) for t, attrs in upserts]
+                base = base.unionByName(spark.createDataFrame(rows, schema))
+            self._edges = base
+            self._edge_ops = {}
+        self._flushes += 1
+        if self._flushes % CHECKPOINT_EVERY_FLUSHES == 0:
+            self._nodes = self._nodes.localCheckpoint(eager=False)
+            self._edges = self._edges.localCheckpoint(eager=False)
+
+    @staticmethod
+    def _node_row(key: str, attrs: dict | None, schema: StructType) -> Row:
+        vals = dict(attrs or {})
+        data = {f.name: vals.get(f.name) for f in schema if f.name != "key"}
+        data["key"] = key
+        return Row(**{f.name: data[f.name] for f in schema})
+
+    @staticmethod
+    def _edge_row(triple: tuple, attrs: dict | None, schema: StructType) -> Row:
+        vals = dict(attrs or {})
+        data = {f.name: vals.get(f.name) for f in schema if f.name not in EDGE_KEY}
+        data["src"], data["dst"], data["type"] = triple
+        return Row(**{f.name: data[f.name] for f in schema})
+
+    # -- counts (reference header counters, graph.py:133-149) ----------------
+
+    @property
+    def n_nodes(self) -> int:
+        if self._node_keys is not None and not self._dirty():
+            return len(self._node_keys)
+        if self._node_keys is not None:
+            # counters stay exact under delta because ops are applied eagerly
+            # to the identity index
+            return len(self._node_keys)
+        self._flush()
+        return self._nodes.count()
+
+    @property
+    def n_edges(self) -> int:
+        if self._edge_keys is not None:
+            return len(self._edge_keys)
+        self._flush()
+        return self._edges.count()
+
+    # -- DataFrame accessors --------------------------------------------------
+
+    @property
+    def nodes_df(self) -> DataFrame:
+        self._flush()
+        return self._nodes
+
+    @property
+    def edges_df(self) -> DataFrame:
+        self._flush()
+        return self._edges
+
+    # -- iteration (reference graph.py:152-171; order is canonicalized to key
+    #    order — the reference's DFS/file order is a storage artifact,
+    #    FIXTURES.md §5) ------------------------------------------------------
+
+    @property
+    def nodes(self) -> Iterator[str]:
+        for row in self.nodes_df.select("key").orderBy("key").toLocalIterator():
+            yield row[0]
+
+    @property
+    def edges(self) -> Iterator[tuple[str, str]]:
+        it = self.edges_df.select("src", "dst").orderBy("src", "dst").toLocalIterator()
+        for row in it:
+            yield (row[0], row[1])
+
+    # -- point reads (reference graph.py:999-1099) ---------------------------
+
+    def node(self, key: str) -> dict:
+        if not isinstance(key, str):
+            raise BadArgument("node key must be a string")
+        op = self._node_ops.get(key)
+        if op is not None:
+            kind, attrs = op
+            if kind == "delete":
+                raise NodeNotFound(key)
+            return {"key": key, **(attrs or {})}
+        rows = self._nodes.filter(F.col("key") == key).limit(1).collect()
+        if not rows:
+            raise NodeNotFound(key)
+        return rows[0].asDict()
+
+    def edge(self, src: str, dst: str, type: int = 0) -> dict:
+        op = self._edge_ops.get((src, dst, type))
+        if op is not None:
+            kind, attrs = op
+            if kind == "delete":
+                raise EdgeNotFound((src, dst, type))
+            return {"src": src, "dst": dst, "type": type, **(attrs or {})}
+        rows = (
+            self._edges.filter(
+                (F.col("src") == src) & (F.col("dst") == dst) & (F.col("type") == type)
+            )
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            raise EdgeNotFound((src, dst, type))
+        return rows[0].asDict()
+
+    def has_node(self, key: str) -> bool:
+        if self._node_keys is not None:
+            return key in self._node_keys
+        try:
+            self.node(key)
+            return True
+        except NodeNotFound:
+            return False
+
+    def has_edge(self, src: str, dst: str, type: int = 0) -> bool:
+        if self._edge_keys is not None:
+            return (src, dst, type) in self._edge_keys
+        try:
+            self.edge(src, dst, type)
+            return True
+        except EdgeNotFound:
+            return False
+
+    # -- traversal (reference graph.py:856-983) -------------------------------
+
+    def neighbors_df(self, key: str) -> DataFrame:
+        return (
+            self.edges_df.filter(F.col("src") == key)
+            .select(F.col("dst").alias("key"))
+            .distinct()
+        )
+
+    def predecessors_df(self, key: str) -> DataFrame:
+        return (
+            self.edges_df.filter(F.col("dst") == key)
+            .select(F.col("src").alias("key"))
+            .distinct()
+        )
+
+    def neighbors(self, key: str) -> Iterator[str]:
+        for row in self.neighbors_df(key).orderBy("key").toLocalIterator():
+            yield row[0]
+
+    def predecessors(self, key: str) -> Iterator[str]:
+        for row in self.predecessors_df(key).orderBy("key").toLocalIterator():
+            yield row[0]
+
+    def neighbors_from(self, keys: list[str]) -> DataFrame:
+        """Batch neighbors: one broadcast join replaces N point lookups
+        (reference loops sequentially, graph.py:928-940)."""
+        keys_df = self.spark.createDataFrame([(k,) for k in keys], "key string")
+        return (
+            self.edges_df.join(
+                F.broadcast(keys_df), F.col("src") == F.col("key"), "inner"
+            )
+            .select("key", "dst")
+            .distinct()
+        )
+
+    def predecessors_from(self, keys: list[str]) -> DataFrame:
+        keys_df = self.spark.createDataFrame([(k,) for k in keys], "key string")
+        return (
+            self.edges_df.join(
+                F.broadcast(keys_df), F.col("dst") == F.col("key"), "inner"
+            )
+            .select("key", "src")
+            .distinct()
+        )
+
+    def common_neighbors(self, u: str, v: str) -> set[str]:
+        df = self.neighbors_df(u).intersect(self.neighbors_df(v))
+        return {r[0] for r in df.collect()}
+
+    def common_predecessors(self, u: str, v: str) -> set[str]:
+        df = self.predecessors_df(u).intersect(self.predecessors_df(v))
+        return {r[0] for r in df.collect()}
+
+    # -- degrees (reference graph.py:985-997; counts EDGES, so parallel types
+    #    count separately — matches `SELECT count(*) ... WHERE src=?`) --------
+
+    def out_degree(self, key: str) -> int:
+        return self.edges_df.filter(F.col("src") == key).count()
+
+    def in_degree(self, key: str) -> int:
+        return self.edges_df.filter(F.col("dst") == key).count()
+
+    def out_degrees(self) -> DataFrame:
+        """Bulk degree table — the scale path: one shuffle for every node's
+        degree instead of N point queries."""
+        return self.edges_df.groupBy(F.col("src").alias("key")).agg(
+            F.count(F.lit(1)).alias("out_degree")
+        )
+
+    def in_degrees(self) -> DataFrame:
+        return self.edges_df.groupBy(F.col("dst").alias("key")).agg(
+            F.count(F.lit(1)).alias("in_degree")
+        )
+
+    # -- pagination (reference graph.py:1101-1186). The reference pages by
+    #    file position; we page by key order (keyset pagination — no global
+    #    sort, the predicate pushes down to the parquet scan). Cursor None
+    #    starts; returned cursor -1 signals the end (parity contract). -------
+
+    def batch_get_nodes(
+        self, batch_size: int = 100, cursor: str | None = None
+    ) -> tuple[list[dict], Any]:
+        df = self.nodes_df
+        if cursor is not None and cursor != 0:
+            df = df.filter(F.col("key") > cursor)
+        rows = df.orderBy("key").limit(batch_size + 1).collect()
+        batch = [r.asDict() for r in rows[:batch_size]]
+        next_cursor = batch[-1]["key"] if len(rows) > batch_size else -1
+        return batch, next_cursor
+
+    def batch_get_edges(
+        self, batch_size: int = 100, cursor: tuple | None = None
+    ) -> tuple[list[tuple[str, str]], Any]:
+        df = self.edges_df
+        if cursor is not None and cursor != 0:
+            cs, cd, ct = cursor
+            df = df.filter(
+                (F.col("src") > cs)
+                | ((F.col("src") == cs) & (F.col("dst") > cd))
+                | ((F.col("src") == cs) & (F.col("dst") == cd) & (F.col("type") > ct))
+            )
+        rows = df.orderBy("src", "dst", "type").limit(batch_size + 1).collect()
+        batch = [(r["src"], r["dst"]) for r in rows[:batch_size]]
+        next_cursor = (
+            (rows[batch_size - 1]["src"], rows[batch_size - 1]["dst"], rows[batch_size - 1]["type"])
+            if len(rows) > batch_size
+            else -1
+        )
+        return batch, next_cursor
+
+    # -- linear algebra export (reference graph.py:1188-1265). Dense ids are
+    #    assigned by key order (canonical deviation from first-seen order,
+    #    SURVEY.md §4.3b). ----------------------------------------------------
+
+    def node_id_map(self) -> DataFrame:
+        w = Window.orderBy("key")
+        return self.nodes_df.select("key").distinct().select(
+            "key", (F.row_number().over(w) - 1).cast("long").alias("id")
+        )
+
+    def adjacency_coo(self, weight: str | None = None) -> DataFrame:
+        """COO triplets (sid, tid, w) — the distributed form of the
+        reference's scipy CSR export. Two broadcast joins against the id map."""
+        ids = F.broadcast(self.node_id_map())
+        e = self.edges_df
+        w = F.col(weight) if weight else F.lit(1.0)
+        return (
+            e.select("src", "dst", w.alias("w"))
+            .join(ids.withColumnRenamed("key", "src").withColumnRenamed("id", "sid"), "src")
+            .join(ids.withColumnRenamed("key", "dst").withColumnRenamed("id", "tid"), "dst")
+            .select("sid", "tid", "w")
+        )
+
+    def adjacency_matrix(self, weight: str | None = None):
+        """Driver-side sparse matrix + key->id dict, parity with the reference
+        return shape. Falls back to a dict-of-arrays when scipy is absent."""
+        ids = {r["key"]: r["id"] for r in self.node_id_map().collect()}
+        coo = self.adjacency_coo(weight).collect()
+        n = len(ids)
+        rows = [r["sid"] for r in coo]
+        cols = [r["tid"] for r in coo]
+        vals = [r["w"] for r in coo]
+        try:
+            from scipy.sparse import csr_matrix
+
+            return csr_matrix((vals, (rows, cols)), shape=(n, n)), ids
+        except ImportError:
+            return {"shape": (n, n), "rows": rows, "cols": cols, "vals": vals}, ids
+
+    def subgraph_coo(self, keys: list[str], weight: str | None = None) -> DataFrame:
+        """Induced subgraph as COO (reference graph.py:1231-1265): double
+        broadcast semi-join on the key list, then dense ids over the list."""
+        spark = self.spark
+        keys_df = spark.createDataFrame([(k,) for k in sorted(set(keys))], "key string")
+        w = Window.orderBy("key")
+        ids = F.broadcast(
+            keys_df.select("key", (F.row_number().over(w) - 1).cast("long").alias("id"))
+        )
+        e = self.edges_df
+        wcol = F.col(weight) if weight else F.lit(1.0)
+        return (
+            e.select("src", "dst", wcol.alias("w"))
+            .join(ids.withColumnRenamed("key", "src").withColumnRenamed("id", "sid"), "src")
+            .join(ids.withColumnRenamed("key", "dst").withColumnRenamed("id", "tid"), "dst")
+            .select("sid", "tid", "w")
+        )
+
+    # -- point mutations (reference graph.py:1353-1563). Upsert REPLACES the
+    #    whole attribute record (graph.py:1385-1405 — "attention" note in the
+    #    reference docs: writes never merge). ---------------------------------
+
+    def add_node(self, key: str, attr: dict | None = None) -> dict:
+        if not isinstance(key, str):
+            raise BadArgument("node key must be a string")
+        self._ensure_index()
+        self._node_ops[key] = ("upsert", dict(attr or {}))
+        self._node_keys.add(key)
+        self._maybe_flush()
+        return {"key": key, **(attr or {})}
+
+    def add_edge(
+        self, src: str, dst: str, attr: dict | None = None, type: int = 0
+    ) -> dict:
+        self._ensure_index()
+        # auto-create missing endpoints (graph.py:1446-1453); existing nodes
+        # keep their attributes (only missing ones are created)
+        for k in (src, dst):
+            if k not in self._node_keys:
+                self._node_ops[k] = ("upsert", {})
+                self._node_keys.add(k)
+        self._edge_ops[(src, dst, type)] = ("upsert", dict(attr or {}))
+        self._edge_keys.add((src, dst, type))
+        self._maybe_flush()
+        return {"src": src, "dst": dst, "type": type, **(attr or {})}
+
+    def remove_edge(self, src: str, dst: str, type: int = 0) -> None:
+        self._ensure_index()
+        triple = (src, dst, type)
+        if triple not in self._edge_keys:
+            raise EdgeNotFound(triple)
+        self._edge_ops[triple] = ("delete", None)
+        self._edge_keys.discard(triple)
+        self._maybe_flush()
+
+    def remove_node(self, key: str) -> None:
+        """Remove a node and ALL incident edges (graph.py:1543-1563)."""
+        self._ensure_index()
+        if key not in self._node_keys:
+            raise NodeNotFound(key)
+        incident = [t for t in self._edge_keys if t[0] == key or t[1] == key]
+        for t in incident:
+            self._edge_ops[t] = ("delete", None)
+            self._edge_keys.discard(t)
+        self._node_ops[key] = ("delete", None)
+        self._node_keys.discard(key)
+        self._maybe_flush()
+
+    def set_neighbors(self, key: str, neighbors: list[str], type: int = 0) -> None:
+        """Make the out-neighbor set exactly ``neighbors`` (graph.py:886-905):
+        set-diff, then add/remove. Creates ``key`` if absent."""
+        self._ensure_index()
+        if key not in self._node_keys:
+            self.add_node(key)
+        current = {t[1] for t in self._edge_keys if t[0] == key and t[2] == type}
+        target = set(neighbors)
+        for v in current - target:
+            self.remove_edge(key, v, type)
+        for v in target - current:
+            self.add_edge(key, v, type=type)
+
+    def set_predecessors(self, key: str, predecessors: list[str], type: int = 0) -> None:
+        self._ensure_index()
+        if key not in self._node_keys:
+            self.add_node(key)
+        current = {t[0] for t in self._edge_keys if t[1] == key and t[2] == type}
+        target = set(predecessors)
+        for u in current - target:
+            self.remove_edge(u, key, type)
+        for u in target - current:
+            self.add_edge(u, key, type=type)
+
+    # -- batch mutations (the scale path; no driver-side index needed) --------
+
+    def add_edges(self, new_edges: DataFrame) -> None:
+        """Bulk upsert on (src,dst,type): anti-join + union, endpoints
+        auto-created. One shuffle; Delta-MERGE-shaped."""
+        self._flush()
+        self._invalidate_index()
+        if "type" not in new_edges.columns:
+            new_edges = new_edges.withColumn("type", F.lit(0).cast("int"))
+        for c in self._edges.columns:
+            if c not in new_edges.columns:
+                new_edges = new_edges.withColumn(c, F.lit(None).cast(self._edges.schema[c].dataType))
+        new_edges = new_edges.select(self._edges.columns).dropDuplicates(list(EDGE_KEY))
+        self._edges = self._edges.join(
+            new_edges.select(*EDGE_KEY), on=list(EDGE_KEY), how="left_anti"
+        ).unionByName(new_edges)
+        endpoints = (
+            new_edges.select(F.col("src").alias("key"))
+            .union(new_edges.select("dst"))
+            .distinct()
+        )
+        missing = endpoints.join(self._nodes.select("key"), "key", "left_anti")
+        for c in self._nodes.columns:
+            if c != "key":
+                missing = missing.withColumn(c, F.lit(None).cast(self._nodes.schema[c].dataType))
+        self._nodes = self._nodes.unionByName(missing.select(self._nodes.columns))
+
+    def remove_edges(self, triples: DataFrame) -> None:
+        self._flush()
+        self._invalidate_index()
+        if "type" not in triples.columns:
+            triples = triples.withColumn("type", F.lit(0).cast("int"))
+        self._edges = self._edges.join(
+            triples.select(*EDGE_KEY), on=list(EDGE_KEY), how="left_anti"
+        )
+
+    def add_nodes(self, new_nodes: DataFrame) -> None:
+        self._flush()
+        self._invalidate_index()
+        for c in self._nodes.columns:
+            if c not in new_nodes.columns:
+                new_nodes = new_nodes.withColumn(c, F.lit(None).cast(self._nodes.schema[c].dataType))
+        new_nodes = new_nodes.select(self._nodes.columns).dropDuplicates(["key"])
+        self._nodes = self._nodes.join(
+            new_nodes.select("key"), on="key", how="left_anti"
+        ).unionByName(new_nodes)
+
+    def remove_nodes(self, keys: DataFrame, cascade: bool = True) -> None:
+        """Bulk node removal; cascade drops incident edges (two anti-joins
+        replace the reference's 250-line BST unlink, SURVEY.md §3.4)."""
+        self._flush()
+        self._invalidate_index()
+        k = keys.select("key")
+        self._nodes = self._nodes.join(k, "key", "left_anti")
+        if cascade:
+            self._edges = self._edges.join(
+                k.withColumnRenamed("key", "src"), "src", "left_anti"
+            ).join(k.withColumnRenamed("key", "dst"), "dst", "left_anti").select(
+                *[c for c in self._edges.columns]
+            )
+
+    def _invalidate_index(self) -> None:
+        self._node_keys = None
+        self._edge_keys = None
+
+    # -- dunder sugar (reference graph.py:1271-1306, 1565-1577) ---------------
+
+    def __getitem__(self, item):
+        if isinstance(item, str):
+            return self.node(item)
+        if isinstance(item, tuple) and len(item) in (2, 3):
+            return self.edge(*item)
+        raise BadArgument(f"bad graph subscript: {item!r}")
+
+    def __setitem__(self, item, attr):
+        if isinstance(item, str):
+            self.add_node(item, attr)
+        elif isinstance(item, tuple) and len(item) in (2, 3):
+            if len(item) == 2:
+                self.add_edge(item[0], item[1], attr)
+            else:
+                self.add_edge(item[0], item[1], attr, type=item[2])
+        else:
+            raise BadArgument(f"bad graph subscript: {item!r}")
+
+    def __contains__(self, item) -> bool:
+        if isinstance(item, str):
+            return self.has_node(item)
+        if isinstance(item, tuple) and len(item) in (2, 3):
+            return self.has_edge(*item)
+        raise BadArgument(f"bad membership probe: {item!r}")
+
+    def __repr__(self) -> str:
+        return f"Graph(n_nodes={self.n_nodes}, n_edges={self.n_edges})"

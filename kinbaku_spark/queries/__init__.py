@@ -1,0 +1,23 @@
+"""Query registry: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus, where SQL-expressible, a DuckDB
+oracle string with IDENTICAL output column names (driver contract).
+
+Submodules register into QUERIES / ORACLES at import time.
+"""
+
+from kinbaku_spark.queries import relational, graph_queries  # noqa: F401
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+for mod in (relational, graph_queries):
+    QUERIES.update(mod.QUERIES)
+    ORACLES.update(mod.ORACLES)
+
+try:
+    from kinbaku_spark.queries import extensions  # noqa: F401
+
+    QUERIES.update(extensions.QUERIES)
+    ORACLES.update(extensions.ORACLES)
+except ImportError:  # extensions land incrementally
+    pass

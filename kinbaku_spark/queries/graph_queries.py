@@ -1,0 +1,486 @@
+"""Graph operator queries — the reference's full query surface (SURVEY.md
+§2.1/§2.2) exercised through the Graph facade on the supplier→part graph
+derived from lineitem (FIXTURES.md §2), each with a DuckDB oracle.
+
+Anchors 'S1' (supplier 1) and 'P1' (part 1) exist at every scale factor
+(verified against sf0.001/0.01/0.1). Mutation queries (m_*) apply a
+deterministic mutation through the facade and return the resulting table;
+the oracle replays the same mutation in SQL (anti-join + union semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kinbaku_spark.graph import Graph
+from kinbaku_spark.sources.tables import (
+    CUSTOMER_ORDER_EDGES_SQL,
+    SUPPLIER_PART_EDGES_SQL,
+    SUPPLIER_PART_NODES_SQL,
+    customer_order_edges,
+    supplier_part_edges,
+    supplier_part_nodes,
+)
+
+GRAPH_CTE = f"""
+WITH g_edges AS ({SUPPLIER_PART_EDGES_SQL}),
+g_nodes AS ({SUPPLIER_PART_NODES_SQL.replace("lineitem", "lineitem")})
+"""
+
+
+def _graph(spark: SparkSession, sf_dir: str) -> Graph:
+    return Graph(
+        spark,
+        nodes=supplier_part_nodes(spark, sf_dir),
+        edges=supplier_part_edges(spark, sf_dir),
+    )
+
+
+# -- R1/R21: point node lookup ------------------------------------------------
+
+def g_node_lookup(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return g.nodes_df.filter(F.col("key") == "S1")
+
+
+G_NODE_LOOKUP_SQL = GRAPH_CTE + "SELECT * FROM g_nodes WHERE key = 'S1'"
+
+
+# -- R2: point edge lookup (S1 -> its smallest part, exists at every SF) ------
+
+def g_edge_lookup(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    e = g.edges_df
+    target = e.filter(F.col("src") == "S1").agg(F.min("dst").alias("dst"))
+    return e.join(F.broadcast(target), "dst").filter(F.col("src") == "S1").select(
+        "src", "dst", "type", "weight"
+    )
+
+
+G_EDGE_LOOKUP_SQL = GRAPH_CTE + """
+SELECT src, dst, type, weight FROM g_edges
+WHERE src = 'S1' AND dst = (SELECT min(dst) FROM g_edges WHERE src = 'S1')
+"""
+
+
+# -- R3/R4/R22: existence probes ----------------------------------------------
+
+def g_exists(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    nodes = g.nodes_df.agg(
+        (F.sum(F.when(F.col("key") == "S1", 1).otherwise(0)) > 0).alias("has_node_s1"),
+        (F.sum(F.when(F.col("key") == "NOPE", 1).otherwise(0)) > 0).alias("has_node_nope"),
+    )
+    edges = g.edges_df.agg(
+        (
+            F.sum(
+                F.when((F.col("src") == "S1") & (F.col("dst") == "P1"), 1).otherwise(0)
+            )
+            > 0
+        ).alias("has_edge_s1_p1"),
+        (
+            F.sum(
+                F.when((F.col("src") == "P1") & (F.col("dst") == "S1"), 1).otherwise(0)
+            )
+            > 0
+        ).alias("has_edge_p1_s1"),
+    )
+    return nodes.crossJoin(edges)
+
+
+G_EXISTS_SQL = GRAPH_CTE + """
+SELECT
+  EXISTS(SELECT 1 FROM g_nodes WHERE key='S1') AS has_node_s1,
+  EXISTS(SELECT 1 FROM g_nodes WHERE key='NOPE') AS has_node_nope,
+  EXISTS(SELECT 1 FROM g_edges WHERE src='S1' AND dst='P1') AS has_edge_s1_p1,
+  EXISTS(SELECT 1 FROM g_edges WHERE src='P1' AND dst='S1') AS has_edge_p1_s1
+"""
+
+
+# -- R5/R6: traversal ----------------------------------------------------------
+
+def g_neighbors(spark, sf_dir):
+    return _graph(spark, sf_dir).neighbors_df("S1")
+
+
+G_NEIGHBORS_SQL = GRAPH_CTE + "SELECT DISTINCT dst AS key FROM g_edges WHERE src='S1'"
+
+
+def g_predecessors(spark, sf_dir):
+    return _graph(spark, sf_dir).predecessors_df("P1")
+
+
+G_PREDECESSORS_SQL = GRAPH_CTE + "SELECT DISTINCT src AS key FROM g_edges WHERE dst='P1'"
+
+
+# -- R7/R8: batched traversal (one broadcast join, not N lookups) --------------
+
+def g_neighbors_from(spark, sf_dir):
+    return _graph(spark, sf_dir).neighbors_from(["S1", "S2", "S3"])
+
+
+G_NEIGHBORS_FROM_SQL = GRAPH_CTE + """
+SELECT DISTINCT src AS key, dst FROM g_edges WHERE src IN ('S1','S2','S3')
+"""
+
+
+def g_predecessors_from(spark, sf_dir):
+    return _graph(spark, sf_dir).predecessors_from(["P1", "P2", "P3"])
+
+
+G_PREDECESSORS_FROM_SQL = GRAPH_CTE + """
+SELECT DISTINCT dst AS key, src FROM g_edges WHERE dst IN ('P1','P2','P3')
+"""
+
+
+# -- R9/R10: common neighbors ---------------------------------------------------
+
+def g_common_neighbors(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return g.neighbors_df("S1").intersect(g.neighbors_df("S2"))
+
+
+G_COMMON_NEIGHBORS_SQL = GRAPH_CTE + """
+SELECT dst AS key FROM g_edges WHERE src='S1'
+INTERSECT
+SELECT dst AS key FROM g_edges WHERE src='S2'
+"""
+
+
+def g_common_predecessors(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return g.predecessors_df("P1").intersect(g.predecessors_df("P2"))
+
+
+G_COMMON_PREDECESSORS_SQL = GRAPH_CTE + """
+SELECT src AS key FROM g_edges WHERE dst='P1'
+INTERSECT
+SELECT src AS key FROM g_edges WHERE dst='P2'
+"""
+
+
+# -- R11/R12 bulk degrees + histogram ------------------------------------------
+
+def g_out_degrees(spark, sf_dir):
+    return _graph(spark, sf_dir).out_degrees()
+
+
+G_OUT_DEGREES_SQL = GRAPH_CTE + (
+    "SELECT src AS key, COUNT(*) AS out_degree FROM g_edges GROUP BY src"
+)
+
+
+def g_in_degrees(spark, sf_dir):
+    return _graph(spark, sf_dir).in_degrees()
+
+
+G_IN_DEGREES_SQL = GRAPH_CTE + (
+    "SELECT dst AS key, COUNT(*) AS in_degree FROM g_edges GROUP BY dst"
+)
+
+
+def g_degree_histogram(spark, sf_dir):
+    return (
+        _graph(spark, sf_dir)
+        .out_degrees()
+        .groupBy("out_degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+G_DEGREE_HISTOGRAM_SQL = GRAPH_CTE + """
+SELECT out_degree, COUNT(*) AS n_nodes FROM (
+  SELECT src, COUNT(*) AS out_degree FROM g_edges GROUP BY src
+) GROUP BY out_degree
+"""
+
+
+# -- R13/R14/R15/R16: iteration + counts ----------------------------------------
+
+def g_nodes_table(spark, sf_dir):
+    return _graph(spark, sf_dir).nodes_df
+
+
+G_NODES_TABLE_SQL = GRAPH_CTE + "SELECT * FROM g_nodes"
+
+
+def g_edges_table(spark, sf_dir):
+    return _graph(spark, sf_dir).edges_df.select("src", "dst", "type", "weight")
+
+
+G_EDGES_TABLE_SQL = GRAPH_CTE + "SELECT src, dst, type, weight FROM g_edges"
+
+
+def g_counts(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return g.nodes_df.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
+        g.edges_df.agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+
+
+G_COUNTS_SQL = GRAPH_CTE + """
+SELECT (SELECT COUNT(*) FROM g_nodes) AS n_nodes,
+       (SELECT COUNT(*) FROM g_edges) AS n_edges
+"""
+
+
+# -- R17/R18: pagination (second page, size 100) ---------------------------------
+
+def g_batch_nodes_page2(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    w = Window.orderBy("key")
+    return (
+        g.nodes_df.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 100) & (F.col("rn") <= 200))
+        .drop("rn")
+    )
+
+
+G_BATCH_NODES_SQL = GRAPH_CTE + "SELECT * FROM g_nodes ORDER BY key LIMIT 100 OFFSET 100"
+
+
+def g_batch_edges_page2(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    w = Window.orderBy("src", "dst", "type")
+    return (
+        g.edges_df.select("src", "dst", "type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 100) & (F.col("rn") <= 200))
+        .drop("rn")
+    )
+
+
+G_BATCH_EDGES_SQL = GRAPH_CTE + (
+    "SELECT src, dst, type FROM g_edges ORDER BY src, dst, type LIMIT 100 OFFSET 100"
+)
+
+
+# -- R19/R20: adjacency export ----------------------------------------------------
+
+def g_adjacency_coo(spark, sf_dir):
+    return _graph(spark, sf_dir).adjacency_coo(weight="weight")
+
+
+G_ADJACENCY_SQL = GRAPH_CTE + """
+, ids AS (
+  SELECT key, CAST(ROW_NUMBER() OVER (ORDER BY key) - 1 AS BIGINT) AS id FROM g_nodes
+)
+SELECT s.id AS sid, t.id AS tid, e.weight AS w
+FROM g_edges e JOIN ids s ON e.src = s.key JOIN ids t ON e.dst = t.key
+"""
+
+
+def g_subgraph_coo(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    keys_df = g.nodes_df.select("key").orderBy("key").limit(40)
+    w = Window.orderBy("key")
+    ids = F.broadcast(
+        keys_df.select("key", (F.row_number().over(w) - 1).cast("long").alias("id"))
+    )
+    e = g.edges_df
+    return (
+        e.select("src", "dst", F.col("weight").alias("w"))
+        .join(ids.withColumnRenamed("key", "src").withColumnRenamed("id", "sid"), "src")
+        .join(ids.withColumnRenamed("key", "dst").withColumnRenamed("id", "tid"), "dst")
+        .select("sid", "tid", "w")
+    )
+
+
+G_SUBGRAPH_SQL = GRAPH_CTE + """
+, keys AS (SELECT key FROM g_nodes ORDER BY key LIMIT 40),
+ids AS (SELECT key, CAST(ROW_NUMBER() OVER (ORDER BY key) - 1 AS BIGINT) AS id FROM keys)
+SELECT s.id AS sid, t.id AS tid, e.weight AS w
+FROM g_edges e JOIN ids s ON e.src = s.key JOIN ids t ON e.dst = t.key
+"""
+
+
+# -- M1: add_node upsert (replace-whole-record semantics, graph.py:1385-1405) ---
+
+def m_add_node_upsert(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    g.add_node("S1", {"index": -1, "name": "updated", "age": 99, "score": 1.5})
+    return g.nodes_df
+
+
+M_ADD_NODE_SQL = GRAPH_CTE + """
+SELECT * FROM g_nodes WHERE key <> 'S1'
+UNION ALL
+SELECT 'S1', CAST(-1 AS BIGINT), 'updated', 99, 1.5
+"""
+
+
+# -- M2: add_edge with endpoint auto-create (graph.py:1446-1453) -----------------
+
+def m_add_edge_autocreate(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    g.add_edge("S1", "NEW_PART_X", {"weight": 0.5})
+    return g.edges_df.select("src", "dst", "type", "weight")
+
+
+M_ADD_EDGE_SQL = GRAPH_CTE + """
+SELECT src, dst, type, weight FROM g_edges
+UNION ALL
+SELECT 'S1', 'NEW_PART_X', 0, 0.5
+"""
+
+
+# -- M3: remove_edge --------------------------------------------------------------
+
+def m_remove_edge(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    victim = g.edges_df.filter(F.col("src") == "S1").agg(F.min("dst")).collect()[0][0]
+    g.remove_edge("S1", victim)
+    return g.edges_df.filter(F.col("src") == "S1").select("src", "dst", "type", "weight")
+
+
+M_REMOVE_EDGE_SQL = GRAPH_CTE + """
+SELECT src, dst, type, weight FROM g_edges
+WHERE src = 'S1' AND dst <> (SELECT min(dst) FROM g_edges WHERE src = 'S1')
+"""
+
+
+# -- M4: remove_node cascades incident edges (graph.py:1543-1563) -----------------
+
+def m_remove_node_cascade(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    g.remove_node("S1")
+    n = g.nodes_df.agg(F.count(F.lit(1)).alias("n_nodes"))
+    e = g.edges_df.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n.crossJoin(e)
+
+
+M_REMOVE_NODE_SQL = GRAPH_CTE + """
+SELECT (SELECT COUNT(*) FROM g_nodes WHERE key <> 'S1') AS n_nodes,
+       (SELECT COUNT(*) FROM g_edges WHERE src <> 'S1' AND dst <> 'S1') AS n_edges
+"""
+
+
+# -- M5/M6: declarative neighbor-set replacement (graph.py:886-926) ----------------
+
+def m_set_neighbors(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    keep = g.edges_df.filter(F.col("src") == "S1").agg(F.min("dst")).collect()[0][0]
+    g.set_neighbors("S1", [keep, "NEW_PART_Y"])
+    return g.edges_df.filter(F.col("src") == "S1").select("src", "dst", "type", "weight")
+
+
+M_SET_NEIGHBORS_SQL = GRAPH_CTE + """
+SELECT src, dst, type, weight FROM g_edges
+WHERE src = 'S1' AND dst = (SELECT min(dst) FROM g_edges WHERE src = 'S1')
+UNION ALL
+SELECT 'S1', 'NEW_PART_Y', 0, CAST(NULL AS DOUBLE)
+"""
+
+
+def m_set_predecessors(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    keep = g.edges_df.filter(F.col("dst") == "P1").agg(F.min("src")).collect()[0][0]
+    g.set_predecessors("P1", [keep, "NEW_SUPP_Z"])
+    return g.edges_df.filter(F.col("dst") == "P1").select("src", "dst", "type", "weight")
+
+
+M_SET_PREDECESSORS_SQL = GRAPH_CTE + """
+SELECT src, dst, type, weight FROM g_edges
+WHERE dst = 'P1' AND src = (SELECT min(src) FROM g_edges WHERE dst = 'P1')
+UNION ALL
+SELECT 'NEW_SUPP_Z', 'P1', 0, CAST(NULL AS DOUBLE)
+"""
+
+
+# -- Batch mutations (the 100 TB path: pure joins, no driver state) ----------------
+
+def m_bulk_add_edges(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    g.add_edges(customer_order_edges(spark, sf_dir))
+    n = g.nodes_df.agg(F.count(F.lit(1)).alias("n_nodes"))
+    e = g.edges_df.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n.crossJoin(e)
+
+
+M_BULK_ADD_EDGES_SQL = GRAPH_CTE + f"""
+, co_edges AS ({CUSTOMER_ORDER_EDGES_SQL}),
+all_keys AS (
+  SELECT key FROM g_nodes
+  UNION SELECT src FROM co_edges
+  UNION SELECT dst FROM co_edges
+)
+SELECT (SELECT COUNT(*) FROM all_keys) AS n_nodes,
+       (SELECT COUNT(*) FROM g_edges) + (SELECT COUNT(*) FROM co_edges) AS n_edges
+"""
+
+
+def m_bulk_remove_nodes(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    victims = spark.createDataFrame([("S1",), ("S2",), ("S3",)], "key string")
+    g.remove_nodes(victims, cascade=True)
+    n = g.nodes_df.agg(F.count(F.lit(1)).alias("n_nodes"))
+    e = g.edges_df.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n.crossJoin(e)
+
+
+M_BULK_REMOVE_NODES_SQL = GRAPH_CTE + """
+SELECT (SELECT COUNT(*) FROM g_nodes WHERE key NOT IN ('S1','S2','S3')) AS n_nodes,
+       (SELECT COUNT(*) FROM g_edges
+        WHERE src NOT IN ('S1','S2','S3') AND dst NOT IN ('S1','S2','S3')) AS n_edges
+"""
+
+
+QUERIES = {
+    "g_node_lookup": g_node_lookup,
+    "g_edge_lookup": g_edge_lookup,
+    "g_exists": g_exists,
+    "g_neighbors": g_neighbors,
+    "g_predecessors": g_predecessors,
+    "g_neighbors_from": g_neighbors_from,
+    "g_predecessors_from": g_predecessors_from,
+    "g_common_neighbors": g_common_neighbors,
+    "g_common_predecessors": g_common_predecessors,
+    "g_out_degrees": g_out_degrees,
+    "g_in_degrees": g_in_degrees,
+    "g_degree_histogram": g_degree_histogram,
+    "g_nodes_table": g_nodes_table,
+    "g_edges_table": g_edges_table,
+    "g_counts": g_counts,
+    "g_batch_nodes_page2": g_batch_nodes_page2,
+    "g_batch_edges_page2": g_batch_edges_page2,
+    "g_adjacency_coo": g_adjacency_coo,
+    "g_subgraph_coo": g_subgraph_coo,
+    "m_add_node_upsert": m_add_node_upsert,
+    "m_add_edge_autocreate": m_add_edge_autocreate,
+    "m_remove_edge": m_remove_edge,
+    "m_remove_node_cascade": m_remove_node_cascade,
+    "m_set_neighbors": m_set_neighbors,
+    "m_set_predecessors": m_set_predecessors,
+    "m_bulk_add_edges": m_bulk_add_edges,
+    "m_bulk_remove_nodes": m_bulk_remove_nodes,
+}
+
+ORACLES = {
+    "g_node_lookup": G_NODE_LOOKUP_SQL,
+    "g_edge_lookup": G_EDGE_LOOKUP_SQL,
+    "g_exists": G_EXISTS_SQL,
+    "g_neighbors": G_NEIGHBORS_SQL,
+    "g_predecessors": G_PREDECESSORS_SQL,
+    "g_neighbors_from": G_NEIGHBORS_FROM_SQL,
+    "g_predecessors_from": G_PREDECESSORS_FROM_SQL,
+    "g_common_neighbors": G_COMMON_NEIGHBORS_SQL,
+    "g_common_predecessors": G_COMMON_PREDECESSORS_SQL,
+    "g_out_degrees": G_OUT_DEGREES_SQL,
+    "g_in_degrees": G_IN_DEGREES_SQL,
+    "g_degree_histogram": G_DEGREE_HISTOGRAM_SQL,
+    "g_nodes_table": G_NODES_TABLE_SQL,
+    "g_edges_table": G_EDGES_TABLE_SQL,
+    "g_counts": G_COUNTS_SQL,
+    "g_batch_nodes_page2": G_BATCH_NODES_SQL,
+    "g_batch_edges_page2": G_BATCH_EDGES_SQL,
+    "g_adjacency_coo": G_ADJACENCY_SQL,
+    "g_subgraph_coo": G_SUBGRAPH_SQL,
+    "m_add_node_upsert": M_ADD_NODE_SQL,
+    "m_add_edge_autocreate": M_ADD_EDGE_SQL,
+    "m_remove_edge": M_REMOVE_EDGE_SQL,
+    "m_remove_node_cascade": M_REMOVE_NODE_SQL,
+    "m_set_neighbors": M_SET_NEIGHBORS_SQL,
+    "m_set_predecessors": M_SET_PREDECESSORS_SQL,
+    "m_bulk_add_edges": M_BULK_ADD_EDGES_SQL,
+    "m_bulk_remove_nodes": M_BULK_REMOVE_NODES_SQL,
+}

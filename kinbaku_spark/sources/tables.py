@@ -1,0 +1,154 @@
+"""Table loaders + deterministic graph derivations (FIXTURES.md §2).
+
+The driver's synthetic parquet tables are the only test inputs. Graph
+fixtures are derived from them with expressions that DuckDB can reproduce
+verbatim, so the Spark engine and the SQL oracle always see identical data.
+
+Scale notes: the derivations are single group-by/projection passes over the
+fact tables — one shuffle each, map-side partial aggregation, column-pruned
+parquet scans (only the 3-4 referenced columns are read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos-as-long (see session.py); truncate ns -> µs exactly like
+        # DuckDB does when it reads TIMESTAMP(NANOS)
+        # integer division: ns values exceed double's exact-int range
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+# ---------------------------------------------------------------------------
+# Graph derivations (FIXTURES.md §2). Each has an exact SQL twin used by the
+# DuckDB oracle; keep the two in lockstep.
+# ---------------------------------------------------------------------------
+
+SUPPLIER_PART_EDGES_SQL = """
+SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+       'P' || CAST(l_partkey AS VARCHAR) AS dst,
+       0 AS type,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS weight
+FROM lineitem
+GROUP BY 1, 2, 3
+"""
+
+SUPPLIER_PART_NODES_SQL = """
+WITH e AS (
+  SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'P' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem
+),
+k AS (
+  SELECT src AS key FROM e UNION SELECT dst FROM e
+)
+SELECT key,
+       CAST(ROW_NUMBER() OVER (ORDER BY key) - 1 AS BIGINT) AS "index",
+       key AS name, 0 AS age, 0.0 AS score
+FROM k
+"""
+
+
+def supplier_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite supplier→part graph from lineitem (skewed degrees)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+            F.lit(0).alias("type"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("weight")
+        )
+    )
+
+
+def supplier_part_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node table for the supplier→part graph with a dense canonical index.
+
+    The reference assigns node ids by insertion order (graph.py:268-269,
+    1372-1373) — a storage artifact. We canonicalize: dense rank over key
+    order, documented deviation (SURVEY.md §4.3b).
+    """
+    from pyspark.sql import Window
+
+    e = supplier_part_edges(spark, sf_dir)
+    keys = e.select(F.col("src").alias("key")).union(e.select("dst")).distinct()
+    w = Window.orderBy("key")
+    return keys.select(
+        "key",
+        (F.row_number().over(w) - 1).cast("long").alias("index"),
+        F.col("key").alias("name"),
+        F.lit(0).alias("age"),
+        F.lit(0.0).alias("score"),
+    )
+
+
+CUSTOMER_ORDER_EDGES_SQL = """
+SELECT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+       'O' || CAST(o_orderkey AS VARCHAR) AS dst,
+       0 AS type,
+       o_totalprice AS weight
+FROM orders
+"""
+
+
+def customer_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree-like customer→order graph (high fan-out) from orders."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("dst"),
+        F.lit(0).alias("type"),
+        F.col("o_totalprice").alias("weight"),
+    )
+
+
+USER_EVENT_EDGES_SQL = """
+SELECT 'U' || CAST(user_id AS VARCHAR) AS src,
+       'E:' || event_type AS dst,
+       0 AS type,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS weight
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def user_event_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user→event-type graph from events."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("src"),
+            F.concat(F.lit("E:"), F.col("event_type")).alias("dst"),
+            F.lit(0).alias("type"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("weight"))
+    )
