@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the noop sink (full pipeline runs, nothing is
+collected to the driver), so timings measure the distributed plan, not
+driver materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kinbaku_spark.queries import QUERIES  # noqa: E402
+from kinbaku_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: scan-bound agg, shuffle join, star join, top-k, window,
+# sessionization, graph degree agg, graph traversal join, adjacency export.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_top_parts",
+    "q_window_top_orders",
+    "q_events_sessions",
+    "g_out_degrees",
+    "g_neighbors_from",
+    "g_adjacency_coo",
+    "g_edges_table",
+]
+# Extension headliners are appended as they land (kept in one place so the
+# bench and the correctness gate stay aligned).
+EXTENSION_HEADLINE = [
+    "x_dedup_exact",
+    "x_dedup_minhash",
+    "x_ann_cosine_topk",
+    "x_text_quality",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="kinbaku_spark_bench")
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    names = [n for n in HEADLINE + EXTENSION_HEADLINE if n in QUERIES]
+
+    # warm up the JVM + parquet footers once, outside the timed region
+    _force(QUERIES["q1_pricing_summary"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _force(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

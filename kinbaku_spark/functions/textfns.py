@@ -1,0 +1,41 @@
+"""Word n-gram shingling, defined once for both engines.
+
+Tokenization is `\\s+` split of the trimmed text — Java regex (Spark) and
+RE2 (DuckDB) agree on this class. Shingles are distinct word n-grams joined
+with single spaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def shingle_array(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams as an array column (Spark side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(c), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    # guard: texts shorter than n words produce an empty set
+    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+SQL_WORDS = "string_split_regex(trim({expr}), '\\s+')"
+
+
+def sql_shingle_array(words_col: str = "words", n: int = 3) -> str:
+    """The same distinct word n-grams in DuckDB SQL, over a pre-split list
+    column (1-based list indexing). Pair with a CTE like
+    ``SELECT doc_id, string_split_regex(trim(text),'\\s+') AS words ...``.
+    """
+    parts = " || ' ' || ".join(f"{words_col}[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({words_col}) >= {n} THEN "
+        f"list_distinct(list_transform(generate_series(1, len({words_col}) - {n - 1}), "
+        f"i -> {parts})) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )

@@ -1,0 +1,242 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference has no dedup surface (its closest concept is edge-identity
+upsert, graph.py:1466-1492); these are the north-star extensions built on the
+same engine. Every operator is pure DataFrame algebra over a shared
+cross-engine hash (functions/hashing.py) so the DuckDB oracle replays it
+exactly.
+
+Scale design (100 TB):
+- exact dedup: hash-shuffle on the content hash only (never the payload);
+  one groupBy, map-side combine.
+- MinHash-LSH: signatures are a single shuffle (explode shingles -> groupBy
+  doc); banding turns the O(n^2) pair space into equi-join buckets; the
+  exact-Jaccard verify join touches only candidate pairs.
+- SimHash: one signature per doc; the pair join at 100 TB uses banded
+  signatures (pigeonhole: hamming<=k pairs share one of k+1 bands); the
+  all-pairs variant here is for oracle-checkable thresholds beyond band
+  reach.
+- embedding near-dup: cosine over banded-LSH buckets (similarity.py); the
+  all-pairs form is the verification baseline.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, functions as F
+
+from kinbaku_spark.functions.hashing import HASH_PRIME, md5_long, minhash_coeffs
+from kinbaku_spark.functions.textfns import shingle_array
+
+SIMHASH_BITS = 60  # the md5-derived content hash is 60 bits
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per distinct content tuple.
+
+    Shuffles on the full 128-bit md5 of the content, not the payload: at
+    100 TB the shuffle carries 32B+id per row instead of the document text,
+    and 128 bits keeps collision probability negligible at any realistic
+    corpus size (2^-128 birthday bound dominates).
+    """
+    h = F.md5(F.concat_ws("\x1f", *content_cols)).alias("__h")
+    keep = (
+        df.select(F.col(id_col), h)
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingle_hashes(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, h): distinct word-n-gram shingles hashed to 60 bits."""
+    return docs.select(
+        F.col(id_col), F.explode(shingle_array(text_col, n)).alias("__s")
+    ).select(id_col, md5_long(F.col("__s")).alias("h"))
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, n_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """One row per doc with mh0..mh{n-1} universal-hash minima."""
+    hp = F.col("h") % HASH_PRIME
+    aggs = [
+        F.min((F.lit(a) * hp + F.lit(b)) % HASH_PRIME).alias(f"mh{j}")
+        for j, (a, b) in enumerate(minhash_coeffs(n_hashes, seed))
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def _jaccard_verify(
+    candidates: DataFrame, shingles: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs only (the LSH contract: banding
+    prunes, verification decides)."""
+    a = F.col(f"{id_col}_a")
+    b = F.col(f"{id_col}_b")
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sh_a = shingles.select(F.col(id_col).alias(f"{id_col}_a"), F.col("h"))
+    sh_b = shingles.select(F.col(id_col).alias(f"{id_col}_b"), F.col("h"))
+    inter = (
+        candidates.join(sh_a, f"{id_col}_a")
+        .join(sh_b, [f"{id_col}_b", "h"])
+        .groupBy(f"{id_col}_a", f"{id_col}_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias(f"{id_col}_a"), F.col("n").alias("na")),
+            f"{id_col}_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias(f"{id_col}_b"), F.col("n").alias("nb")),
+            f"{id_col}_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(f"{id_col}_a", f"{id_col}_b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + banded LSH + exact-Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    Deterministic end-to-end: same shingles, same universal-hash coefficients,
+    same verification arithmetic in Spark and the SQL oracle.
+    """
+    rows = n_hashes // bands
+    sh = shingle_hashes(docs, id_col, text_col, shingle_n)
+    sig = minhash_signatures(sh, id_col, n_hashes, seed)
+    band_cols = [
+        F.struct(
+            F.lit(k).alias("band"),
+            F.concat_ws("|", *[F.col(f"mh{k * rows + r}") for r in range(rows)]).alias(
+                "key"
+            ),
+        )
+        for k in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = banded.select(
+        F.col(id_col).alias(f"{id_col}_a"), "band", "key"
+    )
+    right = banded.select(F.col(id_col).alias(f"{id_col}_b"), "band", "key")
+    candidates = (
+        left.join(right, ["band", "key"])
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .select(f"{id_col}_a", f"{id_col}_b")
+        .distinct()
+    )
+    return _jaccard_verify(candidates, sh, id_col, threshold)
+
+
+def jaccard_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Brute-force n-gram Jaccard: candidates are every pair sharing >=1
+    shingle (inverted-index join). Exact but O(sum of bucket^2); the scale
+    path is minhash_near_duplicates."""
+    sh = shingle_hashes(docs, id_col, text_col, shingle_n)
+    candidates = (
+        sh.select(F.col(id_col).alias(f"{id_col}_a"), "h")
+        .join(sh.select(F.col(id_col).alias(f"{id_col}_b"), "h"), "h")
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .select(f"{id_col}_a", f"{id_col}_b")
+        .distinct()
+    )
+    return _jaccard_verify(candidates, sh, id_col, threshold)
+
+
+def simhash_signatures_df(
+    shingles: DataFrame, id_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Per-doc SimHash: bit b is the sign of sum(+1/-1) of feature-hash bit b
+    over the doc's shingles. One groupBy; 60 conditional sums stay entirely
+    in whole-stage codegen."""
+    sums = shingles.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = functools.reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0)),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return sums.select(F.col(id_col), sig.alias("sig"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 10,
+    shingle_n: int = 3,
+    banded: bool = False,
+    bands: int = 4,
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming.
+
+    banded=True: pigeonhole banding (hamming<=bands-1 pairs MUST share a
+    band) — exact for max_hamming < bands, and the only viable plan at
+    100 TB. banded=False: all-pairs compare, used when the threshold exceeds
+    band reach (still one signature row per doc, so n^2 over docs, not rows).
+    """
+    sh = shingle_hashes(docs, id_col, text_col, shingle_n)
+    sig = simhash_signatures_df(sh, id_col)
+    a = sig.select(F.col(id_col).alias(f"{id_col}_a"), F.col("sig").alias("sig_a"))
+    b = sig.select(F.col(id_col).alias(f"{id_col}_b"), F.col("sig").alias("sig_b"))
+    if banded:
+        width = SIMHASH_BITS // bands
+        mask = (1 << width) - 1
+        def band_key(col, k):
+            return F.shiftright(col, k * width).bitwiseAND(F.lit(mask))
+        pieces = []
+        for k in range(bands):
+            la = a.withColumn("bk", band_key(F.col("sig_a"), k)).withColumn(
+                "band", F.lit(k)
+            )
+            lb = b.withColumn("bk", band_key(F.col("sig_b"), k)).withColumn(
+                "band", F.lit(k)
+            )
+            pieces.append(la.join(lb, ["band", "bk"]).drop("band", "bk"))
+        pairs = functools.reduce(lambda x, y: x.unionByName(y), pieces).distinct()
+    else:
+        pairs = a.crossJoin(b)
+    return (
+        pairs.filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(f"{id_col}_a", f"{id_col}_b", "hamming")
+        .distinct()
+    )

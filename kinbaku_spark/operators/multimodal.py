@@ -1,0 +1,122 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas pipelines.
+
+The decode step is STUBBED (no image/audio libraries in this container):
+``decode_image``/``decode_audio`` raise NotImplementedError unless the
+deterministic fake decoder is selected. Everything around the stub — schema,
+mapInPandas batch shape, partitioning behavior — is real and tested, so
+swapping in PIL/torchaudio later is a one-function change.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row pickling); binary
+payloads never hit the driver; feature extraction is embarrassingly parallel
+so the operator inherits the scan's partitioning (repartition upstream only
+if payload sizes are skewed).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes int, width int, height int, aspect double, checksum bigint"
+)
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes int, sample_rate int, n_frames int, duration_s double"
+)
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """Real decoder stub — requires an imaging library not present here."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv; use fake=True for the "
+        "deterministic stand-in decoder"
+    )
+
+
+def _fake_image_dims(n_bytes: int) -> tuple[int, int]:
+    """Deterministic stand-in: dimensions derived from payload size."""
+    return (n_bytes % 512 + 16, (n_bytes // 7) % 512 + 16)
+
+
+def _checksum(payload: bytes) -> int:
+    """Cheap deterministic checksum (sum of bytes) — stands in for a
+    perceptual hash."""
+    return int(sum(payload))
+
+
+def with_binary_payload(
+    df: DataFrame, source_col: str = "text", payload_col: str = "payload"
+) -> DataFrame:
+    """Testing helper: materialize a binary column (UTF-8 bytes of a string
+    column) so the multimodal path can be exercised without real media."""
+    return df.withColumn(payload_col, F.encode(F.col(source_col), "UTF-8"))
+
+
+def image_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Extract per-image features via Arrow-batched mapInPandas."""
+    if not fake:
+        decode_image(b"")  # raises NotImplementedError with guidance
+
+    # NOTE: the closure must be self-contained (no references to module-level
+    # helpers) — cloudpickle would otherwise serialize them by reference and
+    # executors would need kinbaku_spark importable on their PYTHONPATH.
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            n_bytes = payloads.map(len)
+            dims = n_bytes.map(lambda n: (n % 512 + 16, (n // 7) % 512 + 16))
+            out = _pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": n_bytes.astype("int32"),
+                    "width": dims.map(lambda d: d[0]).astype("int32"),
+                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                }
+            )
+            out["aspect"] = (out["width"] / out["height"]).round(6)
+            out["checksum"] = payloads.map(lambda p: int(sum(p))).astype("int64")
+            yield out
+
+    return df.mapInPandas(extract, IMAGE_FEATURE_SCHEMA)
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Audio twin of image_features (decode stubbed the same way)."""
+    if not fake:
+        raise NotImplementedError("audio decoding requires torchaudio/librosa")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            n_bytes = pdf[payload_col].map(len)
+            sr = (n_bytes % 3).map({0: 16000, 1: 22050, 2: 44100})
+            frames = n_bytes * 4
+            out = _pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": n_bytes.astype("int32"),
+                    "sample_rate": sr.astype("int32"),
+                    "n_frames": frames.astype("int32"),
+                }
+            )
+            out["duration_s"] = (out["n_frames"] / out["sample_rate"]).round(6)
+            yield out
+
+    return df.mapInPandas(extract, AUDIO_FEATURE_SCHEMA)

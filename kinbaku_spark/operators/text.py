@@ -1,0 +1,135 @@
+"""Text analysis operators: quality scoring, language ID, token counting,
+document fingerprinting. All expressible as JVM-side column expressions (no
+Python UDFs) and replayable in DuckDB SQL.
+
+Cross-engine determinism rules used here:
+- substring-occurrence counts via length(x)-length(replace(x,pat,'')) — no
+  regex engine differences;
+- token extraction via simple character-class regexes that Java regex and
+  RE2 interpret identically;
+- ratios divided in double and rounded to 6dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from kinbaku_spark.functions.hashing import md5_long
+from kinbaku_spark.functions.textfns import shingle_array
+
+# BPE-ish coarse token pattern: letter runs, digit runs, single punctuation.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# language -> discriminative stopwords (checked as ' word ' substrings)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "los", "que", "y", "es"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+
+def count_occurrences(text: Column, needle: str) -> Column:
+    """Number of occurrences of ``needle`` in ``text`` (plain substring)."""
+    n = len(needle)
+    return (F.length(text) - F.length(F.replace(text, F.lit(needle)))) / n
+
+
+def text_quality(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document quality features + a composite score.
+
+    Single projection over the corpus — scan-bound at any scale; no shuffle.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    tokens = F.regexp_extract_all(t, F.lit(TOKEN_PATTERN), 0)
+    n_tokens = F.size(tokens)
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    spaces = F.length(F.regexp_replace(t, r"[^ ]", ""))
+    # raw (unrounded) ratios feed the composite score so the single final
+    # round never lands on a manufactured half-boundary; displayed ratios are
+    # rounded separately
+    alpha_raw = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    digit_raw = F.when(n_chars > 0, digits / n_chars).otherwise(F.lit(0.0))
+    avg_tok = F.when(n_tokens > 0, F.round(n_chars / n_tokens, 6)).otherwise(F.lit(0.0))
+    alpha_ratio = F.round(alpha_raw, 6)
+    digit_ratio = F.round(digit_raw, 6)
+    space_ratio = F.when(n_chars > 0, F.round(spaces / n_chars, 6)).otherwise(F.lit(0.0))
+    # simple composite: alphabetic, reasonably long, not digit-noise
+    score = F.round(
+        alpha_raw * 0.5
+        + F.least(n_tokens / 100.0, F.lit(1.0)) * 0.3
+        + (1.0 - digit_raw) * 0.2,
+        6,
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        space_ratio.alias("space_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword-frequency language ID (n-gram heuristic).
+
+    Scores every language by discriminative-stopword occurrences; argmax
+    with deterministic ties (score desc, language asc). 'und' when no
+    stopword fires. Pure column arithmetic — no UDF, no shuffle.
+    """
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = []
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        s = None
+        for w in words:
+            c = count_occurrences(padded, f" {w} ")
+            s = c if s is None else s + c
+        scores.append((lang, s))
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    for lang, s in reversed(scores):  # earlier langs win ties -> apply last
+        pred = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(pred)
+    return docs.select(
+        F.col(id_col),
+        *[F.round(s, 6).alias(f"score_{lang}") for lang, s in scores],
+        pred.alias("pred_lang"),
+    )
+
+
+def token_counts(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Corpus token accounting per group: docs, tokens, tokens/doc."""
+    tokens = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0))
+    return (
+        docs.select(F.col(group_col), tokens.alias("__t"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").alias("n_tokens"),
+            F.round(F.sum("__t") / F.count(F.lit(1)), 6).alias("tokens_per_doc"),
+        )
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Winnowing-style fingerprint: min 60-bit hash over word 5-gram
+    shingles (min-sampling — equal fingerprints ⇒ shared rare shingle).
+    NULL for texts shorter than the shingle width."""
+    sh = shingle_array(text_col, shingle_n)
+    fp = F.array_min(F.transform(sh, lambda s: md5_long(s)))
+    return docs.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,440 @@
+"""Extension-surface queries: dedup, similarity search, text analysis,
+multimodal plumbing — the training-data-pipeline operators (north-star per
+BASELINE.json; no counterpart in the reference, SURVEY.md §2.4).
+
+Every oracle replays the Spark pipeline EXACTLY: same md5-derived hashes,
+same universal-hash coefficients, same sequential double accumulation
+(list_reduce ≡ F.aggregate), same rounding. The SQL strings are generated
+from the same Python constants the Spark operators use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinbaku_spark.functions.hashing import HASH_PRIME, minhash_coeffs, sql_md5_long
+from kinbaku_spark.functions.textfns import SQL_WORDS, sql_shingle_array
+from kinbaku_spark.operators.dedup import (
+    SIMHASH_BITS,
+    exact_dedup,
+    jaccard_near_duplicates,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from kinbaku_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+    random_hyperplanes,
+)
+from kinbaku_spark.operators.text import (
+    LANG_STOPWORDS,
+    TOKEN_PATTERN,
+    doc_fingerprint,
+    lang_id,
+    text_quality,
+    token_counts,
+)
+from kinbaku_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# SQL fragment generators (shared constants -> identical pipelines)
+# ---------------------------------------------------------------------------
+
+P = HASH_PRIME
+N_HASHES, N_BANDS, BAND_ROWS = 32, 8, 4
+MINHASH_THRESHOLD = 0.8
+JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 10
+EMB_NEAR_DUP_THRESHOLD = 0.4
+ANN_K = 10
+LSH_PLANES = random_hyperplanes(n_planes=16, dim=64, seed=7)
+LSH_PROBE_HAMMING = 2
+
+
+def _sql_shingle_cte(n: int) -> str:
+    """CTEs: words -> exploded distinct shingle hashes per doc."""
+    words = SQL_WORDS.format(expr="text")
+    return f"""
+w AS (SELECT doc_id, {words} AS words FROM documents),
+sh AS (SELECT doc_id, unnest({sql_shingle_array('words', n)}) AS s FROM w),
+hx AS (SELECT doc_id, {sql_md5_long('s')} AS h FROM sh)
+"""
+
+
+def _sql_jaccard_tail(threshold: float) -> str:
+    """From a `cand(doc_id_a, doc_id_b)` CTE + `hx`, verify exact Jaccard."""
+    return f"""
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS i
+  FROM cand c
+  JOIN hx a ON a.doc_id = c.doc_id_a
+  JOIN hx b ON b.doc_id = c.doc_id_b AND b.h = a.h
+  GROUP BY 1, 2
+)
+SELECT i.doc_id_a, i.doc_id_b,
+       ROUND(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_id_a
+JOIN sizes sb ON sb.doc_id = i.doc_id_b
+WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= {threshold}
+"""
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Sequential double dot product — same accumulation order as Spark's
+    F.aggregate fold."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt({_sql_dot(a, a)})"
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)}))"
+
+
+def _sql_plane_literal(plane: list[float]) -> str:
+    # string -> double casts use strtod (correctly-rounded), matching how
+    # Python/Java parse the same literal; a bare numeric literal would go
+    # through DECIMAL and could round differently in the last bit
+    return "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in plane) + "]"
+
+
+def _sql_lsh_sig(vec: str) -> str:
+    terms = []
+    for i, plane in enumerate(LSH_PLANES):
+        proj = _sql_dot(vec, _sql_plane_literal(plane))
+        terms.append(f"(CASE WHEN {proj} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_exact
+# ---------------------------------------------------------------------------
+
+def x_dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], "doc_id").select("doc_id", "lang", "source")
+
+
+X_DEDUP_EXACT_SQL = """
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+  USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_minhash — full MinHash+LSH+verify pipeline
+# ---------------------------------------------------------------------------
+
+def x_dedup_minhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs,
+        threshold=MINHASH_THRESHOLD,
+        n_hashes=N_HASHES,
+        bands=N_BANDS,
+    )
+
+
+def _minhash_sql() -> str:
+    coeffs = minhash_coeffs(N_HASHES, 42)
+    mins = ",\n    ".join(
+        f"MIN(({a} * (h % {P}) + {b}) % {P}) AS mh{j}" for j, (a, b) in enumerate(coeffs)
+    )
+    band_selects = []
+    for k in range(N_BANDS):
+        key = " || '|' || ".join(
+            f"CAST(mh{k * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+        )
+        band_selects.append(f"SELECT doc_id, {k} AS band, {key} AS key FROM sig")
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH {_sql_shingle_cte(3)},
+sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),
+bands AS (
+  {bands_sql}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+{_sql_jaccard_tail(MINHASH_THRESHOLD)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_ngram_jaccard — inverted-index exact Jaccard
+# ---------------------------------------------------------------------------
+
+def x_dedup_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_near_duplicates(docs, threshold=JACCARD_THRESHOLD)
+
+
+X_JACCARD_SQL = f"""
+WITH {_sql_shingle_cte(3)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM hx a JOIN hx b ON a.h = b.h
+  WHERE a.doc_id < b.doc_id
+),
+{_sql_jaccard_tail(JACCARD_THRESHOLD)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_simhash
+# ---------------------------------------------------------------------------
+
+def x_dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {_sql_shingle_cte(3)},
+sums AS (SELECT doc_id, {bit_sums} FROM hx GROUP BY doc_id),
+sigs AS (SELECT doc_id, {sig} AS sig FROM sums)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sigs a, sigs b
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_embedding — cosine-threshold pairs
+# ---------------------------------------------------------------------------
+
+def x_dedup_embedding(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, threshold=EMB_NEAR_DUP_THRESHOLD)
+
+
+X_DEDUP_EMBEDDING_SQL = f"""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= {EMB_NEAR_DUP_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# x_ann_cosine_topk — brute-force top-k for the vec_id=0 query vector
+# ---------------------------------------------------------------------------
+
+def _query_vec(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+
+
+def x_ann_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, _query_vec(spark, sf_dir), k=ANN_K, exclude_id=0)
+
+
+X_ANN_COSINE_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, ROUND({_sql_cosine('e.embedding', 'q.qv')}, 6) AS sim
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY sim DESC, e.vec_id
+LIMIT {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# x_ann_lsh_topk — multi-probe hyperplane LSH + exact re-rank
+# ---------------------------------------------------------------------------
+
+def x_ann_lsh_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb,
+        _query_vec(spark, sf_dir),
+        k=ANN_K,
+        planes=LSH_PLANES,
+        max_probe_hamming=LSH_PROBE_HAMMING,
+        exclude_id=0,
+    )
+
+
+def _ann_lsh_sql() -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qs AS (SELECT {_sql_lsh_sig('qv')} AS qsig FROM q),
+sigs AS (SELECT vec_id, embedding, {_sql_lsh_sig('embedding')} AS sig FROM embeddings)
+SELECT s.vec_id, ROUND({_sql_cosine('s.embedding', 'q.qv')}, 6) AS sim
+FROM sigs s, qs, q
+WHERE s.vec_id <> 0
+  AND bit_count(xor(s.sig, qs.qsig)) <= {LSH_PROBE_HAMMING}
+ORDER BY sim DESC, s.vec_id
+LIMIT {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# x_multimodal_image — binary-column decode plumbing (mapInPandas). The
+# decode itself is a deterministic stub (no media libs in the container), so
+# this is declared WITHOUT an oracle: the driver records a rows-only check.
+# ---------------------------------------------------------------------------
+
+def x_multimodal_image(spark, sf_dir):
+    from kinbaku_spark.operators.multimodal import image_features, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_features(with_binary_payload(docs), fake=True)
+
+
+# ---------------------------------------------------------------------------
+# x_text_quality
+# ---------------------------------------------------------------------------
+
+def x_text_quality(spark, sf_dir):
+    return text_quality(load_table(spark, sf_dir, "documents"))
+
+
+X_TEXT_QUALITY_SQL = f"""
+WITH feats AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+    length(regexp_replace(text, '[^ ]', '', 'g')) AS spaces
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_tokens AS INTEGER) AS n_tokens,
+  CASE WHEN n_tokens > 0 THEN ROUND(n_chars * 1.0 / n_tokens, 6) ELSE 0.0 END AS avg_token_len,
+  ROUND(CASE WHEN n_chars > 0 THEN alpha * 1.0 / n_chars ELSE 0.0 END, 6) AS alpha_ratio,
+  ROUND(CASE WHEN n_chars > 0 THEN digits * 1.0 / n_chars ELSE 0.0 END, 6) AS digit_ratio,
+  CASE WHEN n_chars > 0 THEN ROUND(spaces * 1.0 / n_chars, 6) ELSE 0.0 END AS space_ratio,
+  ROUND(
+    (CASE WHEN n_chars > 0 THEN alpha * 1.0 / n_chars ELSE 0.0 END) * 0.5
+    + LEAST(n_tokens / 100.0, 1.0) * 0.3
+    + (1.0 - (CASE WHEN n_chars > 0 THEN digits * 1.0 / n_chars ELSE 0.0 END)) * 0.2,
+  6) AS quality_score
+FROM feats
+"""
+
+
+# ---------------------------------------------------------------------------
+# x_lang_id
+# ---------------------------------------------------------------------------
+
+def x_lang_id(spark, sf_dir):
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(LANG_STOPWORDS)
+    score_exprs = []
+    for lang in langs:
+        terms = []
+        for w in LANG_STOPWORDS[lang]:
+            needle = f" {w} "
+            terms.append(
+                f"((length(padded) - length(replace(padded, '{needle}', ''))) / {len(needle)})"
+            )
+        score_exprs.append((lang, "(" + " + ".join(terms) + ")"))
+    best = "GREATEST(" + ", ".join(s for _, s in score_exprs) + ")"
+    case = "CASE "
+    for lang, s in score_exprs:
+        case += f"WHEN {best} > 0 AND {s} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    cols = ",\n  ".join(f"ROUND({s}, 6) AS score_{lang}" for lang, s in score_exprs)
+    return f"""
+WITH padded_docs AS (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents)
+SELECT doc_id,
+  {cols},
+  {case} AS pred_lang
+FROM padded_docs
+"""
+
+
+# ---------------------------------------------------------------------------
+# x_token_count
+# ---------------------------------------------------------------------------
+
+def x_token_count(spark, sf_dir):
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+X_TOKEN_COUNT_SQL = f"""
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))) AS BIGINT) AS n_tokens,
+  ROUND(SUM(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))) * 1.0 / COUNT(*), 6) AS tokens_per_doc
+FROM documents
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# x_doc_fingerprint
+# ---------------------------------------------------------------------------
+
+def x_doc_fingerprint(spark, sf_dir):
+    return doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+X_DOC_FINGERPRINT_SQL = f"""
+WITH w AS (SELECT doc_id, {SQL_WORDS.format(expr='text')} AS words FROM documents)
+SELECT doc_id,
+  list_aggregate(list_transform({sql_shingle_array('words', 5)},
+                                s -> {sql_md5_long('s')}), 'min') AS fingerprint
+FROM w
+"""
+
+
+QUERIES = {
+    "x_dedup_exact": x_dedup_exact,
+    "x_dedup_minhash": x_dedup_minhash,
+    "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
+    "x_dedup_simhash": x_dedup_simhash,
+    "x_dedup_embedding": x_dedup_embedding,
+    "x_ann_cosine_topk": x_ann_cosine_topk,
+    "x_ann_lsh_topk": x_ann_lsh_topk,
+    "x_multimodal_image": x_multimodal_image,
+    "x_text_quality": x_text_quality,
+    "x_lang_id": x_lang_id,
+    "x_token_count": x_token_count,
+    "x_doc_fingerprint": x_doc_fingerprint,
+}
+
+ORACLES = {
+    "x_dedup_exact": X_DEDUP_EXACT_SQL,
+    "x_dedup_minhash": _minhash_sql(),
+    "x_dedup_ngram_jaccard": X_JACCARD_SQL,
+    "x_dedup_simhash": _simhash_sql(),
+    "x_dedup_embedding": X_DEDUP_EMBEDDING_SQL,
+    "x_ann_cosine_topk": X_ANN_COSINE_SQL,
+    "x_ann_lsh_topk": _ann_lsh_sql(),
+    "x_multimodal_image": None,  # mapInPandas binary decode: rows-only check
+    "x_text_quality": X_TEXT_QUALITY_SQL,
+    "x_lang_id": _lang_id_sql(),
+    "x_token_count": X_TOKEN_COUNT_SQL,
+    "x_doc_fingerprint": X_DOC_FINGERPRINT_SQL,
+}

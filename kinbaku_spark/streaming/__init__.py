@@ -1,0 +1,15 @@
+from kinbaku_spark.streaming.windows import (
+    read_events_stream,
+    sessionized_stats,
+    sliding_event_rates,
+    tumbling_event_counts,
+    user_running_totals,
+)
+
+__all__ = [
+    "read_events_stream",
+    "sessionized_stats",
+    "sliding_event_rates",
+    "tumbling_event_counts",
+    "user_running_totals",
+]

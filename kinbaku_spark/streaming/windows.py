@@ -1,0 +1,138 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface at all (SURVEY.md §2.4); these are
+the Spark-native extension: watermarked tumbling/sliding windows,
+session windows, and a custom stateful operator via applyInPandasWithState.
+
+Each transformation takes ANY events DataFrame — batch or streaming — so
+tests can assert batch/stream parity: run the same function over
+``spark.read.parquet`` and over ``readStream`` (availableNow) and compare.
+
+Scale notes: windowed aggregations shuffle on (window, key) — state store
+size is bounded by watermark horizon × key cardinality, not stream length.
+Late data beyond the watermark is dropped deterministically.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path_dir: str) -> DataFrame:
+    """File-source stream over parquet event files (schema pinned — required
+    for streaming reads)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path_dir)
+
+
+def tumbling_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling window: count + sum(value) per (window, type)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_event_rates(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding window event rate per type."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sessionized_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — the streaming twin
+    of queries.relational.q_events_sessions."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+RUNNING_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_STATE_SCHEMA = "n bigint, total double"
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    event count + value total, emitted on every update.
+
+    State is one fixed-width row per user — at 100 TB the state store scales
+    with |users|, not |events|; RocksDB state backend recommended on a real
+    cluster.
+    """
+
+    # self-contained closure: executors unpickle it without needing
+    # kinbaku_spark on their PYTHONPATH (see operators/multimodal.py note)
+    def running_totals_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 6)))
+        yield _pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            running_totals_fn,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

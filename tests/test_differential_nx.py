@@ -1,0 +1,143 @@
+"""Randomized differential tests against NetworkX — the reference's own test
+strategy (reference tests/test_graph.py:24-63 uses nx.DiGraph as oracle;
+examples/check_integrity.py replays interleaved random op-logs). Seeds fixed
+for reproducibility.
+"""
+
+from __future__ import annotations
+
+import random
+
+import networkx as nx
+import pytest
+
+from kinbaku_spark.graph import Graph
+from kinbaku_spark.exceptions import EdgeNotFound, NodeNotFound
+
+
+def _graph_pair(spark, n_nodes=60, degree=5, seed=42):
+    """Random digraph loaded into both engines (reference conftest.py:4-24)."""
+    rng = random.Random(seed)
+    edges = set()
+    while len(edges) < n_nodes * degree:
+        edges.add((f"node_{rng.randrange(n_nodes)}", f"node_{rng.randrange(n_nodes)}"))
+    nxg = nx.DiGraph()
+    nxg.add_edges_from(edges)
+    df = spark.createDataFrame(
+        [(u, v, 0) for u, v in sorted(edges)], "src string, dst string, type int"
+    )
+    return Graph.from_edges(df, preload=True), nxg
+
+
+@pytest.fixture(scope="module")
+def pair(spark):
+    return _graph_pair(spark)
+
+
+def test_counts(pair):
+    g, nxg = pair
+    assert g.n_nodes == nxg.number_of_nodes()
+    assert g.n_edges == nxg.number_of_edges()
+
+
+def test_node_and_edge_sets(pair):
+    g, nxg = pair
+    assert set(g.nodes) == set(nxg.nodes)
+    assert set(g.edges) == set(nxg.edges)
+
+
+def test_neighbors_and_predecessors_per_node(pair):
+    g, nxg = pair
+    edges_df = g.edges_df.collect()
+    fwd: dict[str, set] = {}
+    rev: dict[str, set] = {}
+    for r in edges_df:
+        fwd.setdefault(r["src"], set()).add(r["dst"])
+        rev.setdefault(r["dst"], set()).add(r["src"])
+    for n in nxg.nodes:
+        assert fwd.get(n, set()) == set(nxg.successors(n)), n
+        assert rev.get(n, set()) == set(nxg.predecessors(n)), n
+
+
+def test_degrees(pair):
+    g, nxg = pair
+    out_d = {r["key"]: r["out_degree"] for r in g.out_degrees().collect()}
+    in_d = {r["key"]: r["in_degree"] for r in g.in_degrees().collect()}
+    for n in nxg.nodes:
+        assert out_d.get(n, 0) == nxg.out_degree(n), n
+        assert in_d.get(n, 0) == nxg.in_degree(n), n
+
+
+def test_oplog_replay(spark):
+    """Interleaved add/remove op-log mirrored against NetworkX (the
+    reference's examples/check_integrity.py pattern: p_add=.55,
+    p_edge_del=.20, p_node_del=.25), with per-batch count equality and
+    final set equality."""
+    rng = random.Random(7)
+    g = Graph(spark, preload=True)
+    nxg = nx.DiGraph()
+    n_ops = 400
+    for i in range(n_ops):
+        p = rng.random()
+        u, v = str(rng.randrange(40)), str(rng.randrange(40))
+        if p < 0.55:
+            g.add_edge(u, v)
+            nxg.add_edge(u, v)
+        elif p < 0.75:
+            if nxg.has_edge(u, v):
+                g.remove_edge(u, v)
+                nxg.remove_edge(u, v)
+            else:
+                with pytest.raises(EdgeNotFound):
+                    g.remove_edge(u, v)
+        else:
+            if nxg.has_node(u):
+                g.remove_node(u)
+                nxg.remove_node(u)
+            else:
+                with pytest.raises(NodeNotFound):
+                    g.remove_node(u)
+        if i % 100 == 99:
+            assert g.n_nodes == nxg.number_of_nodes(), f"op {i}"
+            assert g.n_edges == nxg.number_of_edges(), f"op {i}"
+    assert set(g.nodes) == set(nxg.nodes)
+    assert set(g.edges) == set(nxg.edges)
+    # post-replay traversal parity on surviving nodes (cache-cold re-read,
+    # reference check_integrity.py final phase)
+    for n in list(nxg.nodes)[:10]:
+        assert set(g.neighbors(n)) == set(nxg.successors(n)), n
+        assert set(g.predecessors(n)) == set(nxg.predecessors(n)), n
+
+
+def test_set_neighbors_declarative(spark):
+    g = Graph(spark, preload=True)
+    g.add_edge("a", "x")
+    g.add_edge("a", "y")
+    g.set_neighbors("a", ["y", "z"])
+    assert set(g.neighbors("a")) == {"y", "z"}
+    g.set_predecessors("z", ["a", "w"])
+    assert set(g.predecessors("z")) == {"a", "w"}
+    # upsert keeps edge identity semantics: (src,dst,type) unique
+    g.add_edge("a", "y")
+    assert g.n_edges == len(set(g.edges))
+
+
+def test_hub_skew(spark):
+    """Skewed-degree graph (reference examples/one_node_many_neighbors.py)."""
+    from pyspark.sql import functions as F
+
+    hub_edges = spark.range(2000).select(
+        F.lit("hub").alias("src"),
+        F.concat(F.lit("n"), F.col("id")).alias("dst"),
+        F.lit(0).alias("type"),
+    )
+    g = Graph.from_edges(hub_edges)
+    assert g.out_degree("hub") == 2000
+    assert g.in_degree("hub") == 0
+    assert g.n_nodes == 2001
+    page, cursor = g.batch_get_edges(500)
+    seen = set(page)
+    while cursor != -1:
+        page, cursor = g.batch_get_edges(500, cursor)
+        seen.update(page)
+    assert len(seen) == 2000  # pagination totality, no dupes/gaps

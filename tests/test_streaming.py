@@ -1,0 +1,106 @@
+"""Streaming parity tests: the same transformation over a file-source stream
+(availableNow trigger) must agree with the batch run on identical data —
+the reference's differential-test philosophy (SURVEY.md §5) applied to
+Structured Streaming.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from kinbaku_spark.sources.tables import load_table
+from kinbaku_spark.streaming import (
+    read_events_stream,
+    sessionized_stats,
+    tumbling_event_counts,
+    user_running_totals,
+)
+
+
+@pytest.fixture(scope="module")
+def event_files(spark, sf_dir):
+    """Events re-written as a multi-file parquet dir (a stream of files)."""
+    d = tempfile.mkdtemp(prefix="kb_stream_")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(
+        f"{d}/events"
+    )
+    yield f"{d}/events"
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_batch_stream_parity(spark, event_files):
+    batch = spark.read.parquet(event_files)
+    stream = read_events_stream(spark, event_files)
+    expected = tumbling_event_counts(batch)
+    got = _run_stream(spark, tumbling_event_counts(stream), "t_tumbling")
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(expected, cols)
+
+
+def test_session_batch_stream_parity(spark, event_files):
+    batch = spark.read.parquet(event_files)
+    stream = read_events_stream(spark, event_files)
+    expected = sessionized_stats(batch)
+    got = _run_stream(spark, sessionized_stats(stream), "t_sessions")
+    cols = ["session_start", "session_end", "user_id", "n_events"]
+    assert _rows(got, cols) == _rows(expected, cols)
+
+
+def test_session_agrees_with_batch_gaps_and_islands(spark, event_files, sf_dir):
+    """session_window must produce the same session count per user as the
+    batch lag-based sessionization (q_events_sessions)."""
+    from kinbaku_spark.queries.relational import q_events_sessions
+
+    batch_sessions = sessionized_stats(spark.read.parquet(event_files))
+    per_user = (
+        batch_sessions.groupBy("user_id").count().withColumnRenamed("count", "n")
+    )
+    expected = q_events_sessions(spark, sf_dir).select("user_id", "n_sessions")
+    got = {r["user_id"]: r["n"] for r in per_user.collect()}
+    want = {r["user_id"]: r["n_sessions"] for r in expected.collect()}
+    assert got == want
+
+
+def test_stateful_running_totals(spark, event_files):
+    stream = read_events_stream(spark, event_files)
+    q = (
+        user_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_state")
+    # last update per user must equal the batch totals
+    batch = spark.read.parquet(event_files).groupBy("user_id").agg(
+        {"*": "count", "value": "sum"}
+    )
+    want = {
+        r["user_id"]: (r["count(1)"], round(r["sum(value)"], 4))
+        for r in batch.collect()
+    }
+    final = {}
+    for r in got.collect():
+        final[r["user_id"]] = (r["n_events"], round(r["total_value"], 4))
+    assert final == want
