@@ -122,6 +122,11 @@ def minhash_near_duplicates(
     same verification arithmetic in Spark and the SQL oracle.
     """
     rows = n_hashes // bands
+    # NOTE: no .persist() on the shingle table — its three consumers
+    # (signatures, set sizes, pair intersection) share identical shuffle
+    # subplans that Spark's ReusedExchange already dedups; a cache barrier
+    # measured ~2x slower at sf0.1. At 100 TB the shingle index would be a
+    # materialized table instead.
     sh = shingle_hashes(docs, id_col, text_col, shingle_n)
     sig = minhash_signatures(sh, id_col, n_hashes, seed)
     band_cols = [
