@@ -35,6 +35,9 @@ HEADLINE = [
     "g_neighbors_from",
     "g_adjacency_coo",
     "g_edges_table",
+    "g_link_prediction",
+    "g_pagerank",
+    "q_events_json",
 ]
 # Extension headliners are appended as they land (kept in one place so the
 # bench and the correctness gate stay aligned).

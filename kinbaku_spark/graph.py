@@ -274,7 +274,11 @@ class Graph:
             kind, attrs = op
             if kind == "delete":
                 raise NodeNotFound(key)
-            return {"key": key, **(attrs or {})}
+            # read-your-writes: same shape as a materialized row (absent
+            # attrs are NULL — upsert replaces the whole record)
+            row = {f.name: (attrs or {}).get(f.name) for f in self._nodes.schema}
+            row["key"] = key
+            return row
         rows = self._nodes.filter(F.col("key") == key).limit(1).collect()
         if not rows:
             raise NodeNotFound(key)
@@ -286,7 +290,9 @@ class Graph:
             kind, attrs = op
             if kind == "delete":
                 raise EdgeNotFound((src, dst, type))
-            return {"src": src, "dst": dst, "type": type, **(attrs or {})}
+            row = {f.name: (attrs or {}).get(f.name) for f in self._edges.schema}
+            row.update({"src": src, "dst": dst, "type": type})
+            return row
         rows = (
             self._edges.filter(
                 (F.col("src") == src) & (F.col("dst") == dst) & (F.col("type") == type)

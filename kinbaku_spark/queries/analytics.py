@@ -1,0 +1,177 @@
+"""Second-wave analytics queries: JSON, set operations, cube, scalar
+string/date functions — rounding out the SQL surface the reference lacks
+entirely (SURVEY.md §2.4: no scalar functions, no set ops, no grouping
+sets anywhere in its 1,591 lines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinbaku_spark.sources.tables import load_table
+
+DEC = "decimal(18,6)"
+
+
+# -- JSON extraction over events.props ----------------------------------------
+
+def q_events_json(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.sum("k") / F.count(F.lit(1)), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_EVENTS_JSON_SQL = """
+SELECT event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+  ROUND(SUM(CAST(props->>'k' AS BIGINT)) * 1.0 / COUNT(*), 6) AS avg_k,
+  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# -- set operations ------------------------------------------------------------
+
+def q_intersect_customers(spark, sf_dir):
+    """Customers active in both 1995 and 2000 (INTERSECT)."""
+    orders = load_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    a = orders.filter(y == 1995).select("o_custkey")
+    b = orders.filter(y == 2000).select("o_custkey")
+    return a.intersect(b).withColumnRenamed("o_custkey", "custkey")
+
+
+Q_INTERSECT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 2000
+"""
+
+
+def q_except_customers(spark, sf_dir):
+    """Customers active in 1995 but never in 2000 (EXCEPT)."""
+    orders = load_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    a = orders.filter(y == 1995).select("o_custkey")
+    b = orders.filter(y == 2000).select("o_custkey")
+    # subtract == EXCEPT (set semantics); exceptAll would only cancel one
+    # occurrence per match and let multi-order customers leak through
+    return a.subtract(b).withColumnRenamed("o_custkey", "custkey")
+
+
+Q_EXCEPT_SQL = """
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 2000
+"""
+
+
+# -- cube ------------------------------------------------------------------------
+
+def q_cube_orders(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+    )
+
+
+Q_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# -- scalar string functions ------------------------------------------------------
+
+def q_string_funcs(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_name", r"([a-z]+)", 1).alias("first_word"),
+    )
+
+
+Q_STRING_FUNCS_SQL = """
+SELECT p_partkey,
+  UPPER(p_name) AS name_upper,
+  LENGTH(p_name) AS name_len,
+  SUBSTRING(p_name, 1, 5) AS name_prefix,
+  REPLACE(p_type, ' ', '_') AS type_snake,
+  p_brand || ':' || p_type AS brand_type,
+  COALESCE(regexp_extract(p_name, '([a-z]+)', 1), '') AS first_word
+FROM part
+"""
+
+
+# -- scalar date functions ----------------------------------------------------------
+
+def q_date_funcs(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.month("o_orderdate").alias("m"),
+            F.dayofweek("o_orderdate").alias("dow"),  # 1=Sunday (Spark)
+            F.col("o_totalprice"),
+        )
+        .groupBy("y", "q", "m", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+    )
+
+
+# DuckDB dayofweek: 0=Sunday — shift to Spark's 1=Sunday convention
+Q_DATE_FUNCS_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS q,
+       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+       CAST(EXTRACT(dow FROM o_orderdate) + 1 AS INTEGER) AS dow,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1, 2, 3, 4
+"""
+
+
+QUERIES = {
+    "q_events_json": q_events_json,
+    "q_intersect_customers": q_intersect_customers,
+    "q_except_customers": q_except_customers,
+    "q_cube_orders": q_cube_orders,
+    "q_string_funcs": q_string_funcs,
+    "q_date_funcs": q_date_funcs,
+}
+
+ORACLES = {
+    "q_events_json": Q_EVENTS_JSON_SQL,
+    "q_intersect_customers": Q_INTERSECT_SQL,
+    "q_except_customers": Q_EXCEPT_SQL,
+    "q_cube_orders": Q_CUBE_SQL,
+    "q_string_funcs": Q_STRING_FUNCS_SQL,
+    "q_date_funcs": Q_DATE_FUNCS_SQL,
+}

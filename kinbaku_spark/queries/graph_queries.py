@@ -523,3 +523,170 @@ ORACLES = {
     "m_bulk_add_edges": M_BULK_ADD_EDGES_SQL,
     "m_bulk_remove_nodes": M_BULK_REMOVE_NODES_SQL,
 }
+
+
+# -- Graph analytics extensions (multi-hop traversal, link prediction,
+#    iterative PageRank) — natural extensions beyond the reference surface
+#    (SURVEY.md §4.3: multi-hop would use iterative joins; no engine fork). --
+
+def g_cosuppliers(spark, sf_dir):
+    """2-hop neighborhood of S1 (suppliers sharing a part with S1):
+    one self-join on dst — the iterative-join traversal pattern."""
+    e = _graph(spark, sf_dir).edges_df
+    a = e.filter(F.col("src") == "S1").select(F.col("dst").alias("d"))
+    return (
+        e.join(a, F.col("dst") == F.col("d"))
+        .filter(F.col("src") != "S1")
+        .select(F.col("src").alias("key"))
+        .distinct()
+    )
+
+
+G_COSUPPLIERS_SQL = GRAPH_CTE + """
+SELECT DISTINCT b.src AS key
+FROM g_edges a JOIN g_edges b ON a.dst = b.dst
+WHERE a.src = 'S1' AND b.src <> 'S1'
+"""
+
+
+def g_three_hop_parts(spark, sf_dir):
+    """3-hop: parts supplied by S1's co-suppliers (but ANY part they supply)."""
+    e = _graph(spark, sf_dir).edges_df
+    s1_parts = e.filter(F.col("src") == "S1").select(F.col("dst").alias("d"))
+    cosup = (
+        e.join(s1_parts, F.col("dst") == F.col("d"))
+        .filter(F.col("src") != "S1")
+        .select(F.col("src").alias("cs"))
+        .distinct()
+    )
+    return (
+        e.join(cosup, F.col("src") == F.col("cs"))
+        .select(F.col("dst").alias("key"))
+        .distinct()
+    )
+
+
+G_THREE_HOP_SQL = GRAPH_CTE + """
+SELECT DISTINCT c.dst AS key
+FROM (SELECT DISTINCT b.src FROM g_edges a JOIN g_edges b ON a.dst = b.dst
+      WHERE a.src = 'S1' AND b.src <> 'S1') cs
+JOIN g_edges c ON c.src = cs.src
+"""
+
+
+def g_link_prediction(spark, sf_dir):
+    """Common-neighbor link-prediction scores: top-20 supplier pairs by
+    shared part count. Self-join on dst, one aggregation — at 100 TB the
+    join key (dst) is the bipartite hub side, so AQE skew-join handles hot
+    parts."""
+    e = _graph(spark, sf_dir).edges_df.select("src", "dst")
+    a = e.withColumnRenamed("src", "key_a")
+    b = e.withColumnRenamed("src", "key_b")
+    return (
+        a.join(b, "dst")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .orderBy(F.desc("common"), "key_a", "key_b")
+        .limit(20)
+    )
+
+
+G_LINK_PREDICTION_SQL = GRAPH_CTE + """
+SELECT a.src AS key_a, b.src AS key_b, COUNT(*) AS common
+FROM g_edges a JOIN g_edges b ON a.dst = b.dst
+WHERE a.src < b.src
+GROUP BY 1, 2
+ORDER BY common DESC, key_a, key_b
+LIMIT 20
+"""
+
+
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def g_pagerank(spark, sf_dir):
+    """PageRank, PAGERANK_ITERS fixed iterations (deterministic — the SQL
+    oracle replays the identical recurrence). Dangling-node mass is dropped,
+    documented deviation from the redistribution variant.
+
+    Scale: each iteration is one join + one aggregation on the edge table;
+    rank vectors are (key, double) — at 100 TB co-partition edges and ranks
+    on src to make the join shuffle-free after the first iteration.
+    """
+    g = _graph(spark, sf_dir)
+    nodes = g.nodes_df.select("key")
+    edges = g.edges_df.select("src", "dst")
+    n = nodes.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    pr = nodes.select("key", F.lit(1.0 / n).alias("pr"))
+    base = (1.0 - PAGERANK_DAMPING) / n
+    for _ in range(PAGERANK_ITERS):
+        contribs = (
+            edges.join(pr, pr.key == edges.src)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("outd")).alias("m"))
+        )
+        pr = nodes.join(contribs, nodes.key == contribs.dst, "left").select(
+            "key",
+            (
+                F.lit(base)
+                + F.lit(PAGERANK_DAMPING) * F.coalesce(F.col("m"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return (
+        pr.select("key", F.round("pr", 6).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "key")
+        .limit(20)
+    )
+
+
+def _pagerank_sql() -> str:
+    d = PAGERANK_DAMPING
+    its = []
+    prev = "pr0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        its.append(f"""
+it{i} AS (
+  SELECT k.key,
+         (CAST('{1 - d!r}' AS DOUBLE) / n.n)
+         + CAST('{d!r}' AS DOUBLE) * COALESCE(c.m, CAST(0 AS DOUBLE)) AS pr
+  FROM g_nodes k CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst AS key, SUM(p.pr / dg.outd) AS m
+    FROM g_edges e
+    JOIN {prev} p ON p.key = e.src
+    JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) c ON c.key = k.key
+)""")
+        prev = f"it{i}"
+    return GRAPH_CTE + f"""
+, deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outd FROM g_edges GROUP BY src),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM g_nodes),
+pr0 AS (SELECT key, CAST(1 AS DOUBLE) / n.n AS pr FROM g_nodes CROSS JOIN n),
+{",".join(its)}
+SELECT key, ROUND(pr, 6) AS pagerank FROM {prev}
+ORDER BY pagerank DESC, key
+LIMIT 20
+"""
+
+
+QUERIES.update(
+    {
+        "g_cosuppliers": g_cosuppliers,
+        "g_three_hop_parts": g_three_hop_parts,
+        "g_link_prediction": g_link_prediction,
+        "g_pagerank": g_pagerank,
+    }
+)
+ORACLES.update(
+    {
+        "g_cosuppliers": G_COSUPPLIERS_SQL,
+        "g_three_hop_parts": G_THREE_HOP_SQL,
+        "g_link_prediction": G_LINK_PREDICTION_SQL,
+        "g_pagerank": _pagerank_sql(),
+    }
+)

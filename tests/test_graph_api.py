@@ -1,0 +1,152 @@
+"""Unit tests for Graph facade semantics the reference pins down:
+upsert-replaces-whole-record, endpoint auto-create, cascade delete, dunder
+sugar, batch mutations, I/O round-trips across formats.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinbaku_spark.exceptions import BadArgument, EdgeNotFound, NodeNotFound
+from kinbaku_spark.graph import Graph
+from kinbaku_spark.sources.io import load_graph, read_table, save_graph, write_table
+
+
+@pytest.fixture()
+def g(spark):
+    nodes = spark.createDataFrame(
+        [("a", "Alice", 30, 1.0), ("b", "Bob", 25, 2.0)],
+        "key string, name string, age int, score double",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", 0, 0.5)], "src string, dst string, type int, weight double"
+    )
+    return Graph(spark, nodes=nodes, edges=edges)
+
+
+def test_upsert_replaces_whole_record(g):
+    """Reference semantics (graph.py:1385-1405 + docs 'attention' note):
+    attribute writes replace the record, never merge."""
+    g.add_node("a", {"name": "Alicia"})  # age/score NOT carried over
+    row = g.node("a")
+    assert row["name"] == "Alicia"
+    assert row["age"] is None and row["score"] is None
+    assert g.n_nodes == 2  # still an upsert, not an insert
+
+
+def test_edge_upsert_on_triple(g):
+    g.add_edge("a", "b", {"weight": 9.9})  # same (src,dst,type) -> replace
+    assert g.n_edges == 1
+    assert g.edge("a", "b")["weight"] == 9.9
+    g.add_edge("a", "b", {"weight": 1.1}, type=7)  # new type -> parallel edge
+    assert g.n_edges == 2
+
+
+def test_autocreate_endpoints(g):
+    g.add_edge("a", "zzz")
+    assert g.has_node("zzz")
+    assert g.node("zzz")["name"] is None
+
+
+def test_remove_node_cascade(g):
+    g.add_edge("b", "a")
+    g.add_edge("a", "a")  # self-loop
+    g.remove_node("a")
+    assert not g.has_node("a")
+    assert g.n_edges == 0
+    with pytest.raises(NodeNotFound):
+        g.node("a")
+
+
+def test_dunder_sugar(g):
+    assert g["a"]["name"] == "Alice"
+    assert g["a", "b"]["weight"] == 0.5
+    assert ("a", "b") in g and ("b", "a") not in g
+    g["c"] = {"name": "Carol"}
+    assert "c" in g
+    g["c", "a"] = {"weight": 3.0}
+    assert g["c", "a", 0]["weight"] == 3.0
+    with pytest.raises(BadArgument):
+        g[1.5]
+    with pytest.raises(BadArgument):
+        ("a",) in g
+
+
+def test_batch_mutations(spark, g):
+    new_edges = spark.createDataFrame(
+        [("x", "y", 0, 1.0), ("y", "z", 0, 2.0), ("a", "b", 0, 42.0)],
+        "src string, dst string, type int, weight double",
+    )
+    g.add_edges(new_edges)  # upserts (a,b); creates x,y,z
+    assert g.n_edges == 3
+    assert g.edge("a", "b")["weight"] == 42.0
+    assert g.has_node("x") and g.has_node("z")
+    g.remove_edges(spark.createDataFrame([("x", "y", 0)], "src string, dst string, type int"))
+    assert g.n_edges == 2
+    g.remove_nodes(spark.createDataFrame([("a",)], "key string"), cascade=True)
+    assert g.n_edges == 1 and not g.has_node("a")
+
+
+def test_degree_counts_parallel_edges(g):
+    """Degrees count EDGES (per-type), matching SELECT count(*) WHERE src=?
+    (reference graph.py:985-997 counts the out-tree DFS)."""
+    g.add_edge("a", "b", type=1)
+    assert g.out_degree("a") == 2
+    assert g.in_degree("b") == 2
+
+
+def test_io_roundtrip_formats(spark, g, tmp_path):
+    for fmt in ("parquet", "csv", "json"):
+        path = str(tmp_path / f"g_{fmt}")
+        save_graph(g, path, fmt)
+        g2 = load_graph(
+            spark,
+            path,
+            fmt,
+            nodes_schema="key string, name string, age int, score double",
+            edges_schema="src string, dst string, type int, weight double",
+        )
+        assert sorted(g2.edges) == sorted(g.edges), fmt
+        assert set(g2.nodes) == set(g.nodes), fmt
+
+
+def test_write_table_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("a", 3)], "k string, v int"
+    )
+    path = str(tmp_path / "part")
+    write_table(df, path, partition_by=["k"])
+    back = read_table(spark, path)
+    assert back.count() == 3
+    # partition pruning: reading one partition dir touches only its files
+    pruned = read_table(spark, path).filter(F.col("k") == "a")
+    assert pruned.count() == 2
+
+
+def test_adjacency_and_subgraph(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 0), ("b", "c", 0), ("c", "a", 0), ("a", "c", 0)],
+        "src string, dst string, type int",
+    )
+    g = Graph.from_edges(edges)
+    coo = {(r["sid"], r["tid"]) for r in g.adjacency_coo().collect()}
+    # canonical ids: a=0, b=1, c=2 (key order)
+    assert coo == {(0, 1), (1, 2), (2, 0), (0, 2)}
+    sub = {(r["sid"], r["tid"]) for r in g.subgraph_coo(["a", "b"]).collect()}
+    assert sub == {(0, 1)}  # induced: only a->b survives
+
+
+def test_empty_and_errors(spark):
+    g = Graph(spark)
+    assert g.n_nodes == 0 and g.n_edges == 0
+    with pytest.raises(EdgeNotFound):
+        g.remove_edge("u", "v")
+    with pytest.raises(NodeNotFound):
+        g.remove_node("u")
+    g.add_node("solo")
+    assert list(g.nodes) == ["solo"]
+    assert list(g.neighbors("solo")) == []
