@@ -175,3 +175,133 @@ ORACLES = {
     "q_string_funcs": Q_STRING_FUNCS_SQL,
     "q_date_funcs": Q_DATE_FUNCS_SQL,
 }
+
+
+# -- sliding windows (batch twin of streaming.sliding_event_rates) -------------
+
+def q_events_sliding(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+# Spark aligns sliding windows to the epoch; reproduce with integer µs
+# arithmetic (15 min = 9e8 µs), each event contributing to 4 windows.
+Q_EVENTS_SLIDING_SQL = """
+WITH slid AS (
+  SELECT event_type,
+    make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                   - CAST(k.k AS BIGINT) * 900000000) AS window_start
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events
+FROM slid
+GROUP BY 1, 2, 3
+"""
+
+
+# -- exact percentiles (linear interpolation — verified bit-equal) --------------
+
+def q_percentiles(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", 0.25).alias("p25"),
+            F.percentile("o_totalprice", 0.5).alias("p50"),
+            F.percentile("o_totalprice", 0.9).alias("p90"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_PERCENTILES_SQL = """
+SELECT o_orderpriority,
+  quantile_cont(o_totalprice, 0.25) AS p25,
+  quantile_cont(o_totalprice, 0.5) AS p50,
+  quantile_cont(o_totalprice, 0.9) AS p90,
+  MIN(o_totalprice) AS lo,
+  MAX(o_totalprice) AS hi
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# -- semi / anti joins (EXISTS / NOT EXISTS shapes) ------------------------------
+
+def q_semi_join(spark, sf_dir):
+    """Orders having at least one deep-discount line item (left-semi)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    deep = li.filter(F.col("l_discount") > 0.08).select("l_orderkey")
+    return (
+        orders.join(deep, orders.o_orderkey == deep.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_SEMI_JOIN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """Orders with NO deep-discount line item (left-anti / NOT EXISTS)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    deep = li.filter(F.col("l_discount") > 0.08).select("l_orderkey")
+    return (
+        orders.join(deep, orders.o_orderkey == deep.l_orderkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_ANTI_JOIN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES.update(
+    {
+        "q_events_sliding": q_events_sliding,
+        "q_percentiles": q_percentiles,
+        "q_semi_join": q_semi_join,
+        "q_anti_join": q_anti_join,
+    }
+)
+ORACLES.update(
+    {
+        "q_events_sliding": Q_EVENTS_SLIDING_SQL,
+        "q_percentiles": Q_PERCENTILES_SQL,
+        "q_semi_join": Q_SEMI_JOIN_SQL,
+        "q_anti_join": Q_ANTI_JOIN_SQL,
+    }
+)

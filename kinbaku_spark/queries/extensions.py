@@ -438,3 +438,44 @@ ORACLES = {
     "x_token_count": X_TOKEN_COUNT_SQL,
     "x_doc_fingerprint": X_DOC_FINGERPRINT_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_clusters — connected components over MinHash near-dup pairs
+# ---------------------------------------------------------------------------
+
+def x_dedup_clusters(spark, sf_dir):
+    from kinbaku_spark.operators.dedup import duplicate_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, threshold=MINHASH_THRESHOLD, n_hashes=N_HASHES, bands=N_BANDS
+    )
+    return duplicate_clusters(docs, pairs)
+
+
+def _clusters_sql() -> str:
+    minhash = _minhash_sql().strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_id_a, doc_id_b FROM ({minhash})
+),
+und AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, n.v FROM reach r JOIN und n ON r.v = n.u
+)
+SELECT d.doc_id,
+       COALESCE(LEAST(d.doc_id, (SELECT MIN(v) FROM reach WHERE u = d.doc_id)),
+                d.doc_id) AS cluster_id
+FROM documents d
+"""
+
+
+QUERIES["x_dedup_clusters"] = x_dedup_clusters
+ORACLES["x_dedup_clusters"] = _clusters_sql()

@@ -1,0 +1,104 @@
+"""Property-based differential tests (hypothesis): dedup operators vs
+pure-Python reference implementations on random corpora — extends the
+reference's randomized-differential strategy beyond fixed fixtures.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from kinbaku_spark.operators.dedup import (
+    duplicate_clusters,
+    exact_dedup,
+    jaccard_near_duplicates,
+)
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+doc_strategy = st.lists(
+    st.sampled_from(VOCAB), min_size=0, max_size=12
+).map(lambda ws: " ".join(ws))
+corpus_strategy = st.lists(doc_strategy, min_size=1, max_size=12)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    ws = text.strip().split()
+    if len(ws) < n:
+        return set()
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def _corpus_df(spark, corpus):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+
+
+@given(corpus=corpus_strategy)
+@SETTINGS
+def test_exact_dedup_matches_python(spark, corpus):
+    df = _corpus_df(spark, corpus)
+    got = sorted(r["doc_id"] for r in exact_dedup(df, ["text"], "doc_id").collect())
+    first_seen: dict[str, int] = {}
+    for i, t in enumerate(corpus):
+        first_seen.setdefault(t, i)
+    assert got == sorted(first_seen.values())
+
+
+@given(corpus=corpus_strategy)
+@SETTINGS
+def test_jaccard_pairs_match_python(spark, corpus):
+    df = _corpus_df(spark, corpus)
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in jaccard_near_duplicates(df, threshold=0.5).collect()
+    }
+    want = {}
+    sh = [_shingles(t) for t in corpus]
+    for i in range(len(corpus)):
+        for j in range(i + 1, len(corpus)):
+            inter = len(sh[i] & sh[j])
+            union = len(sh[i] | sh[j])
+            if union and inter / union >= 0.5:
+                want[(i, j)] = round(inter / union, 6)
+    assert got == want
+
+
+@given(
+    n=st.integers(min_value=2, max_value=10),
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=15
+    ),
+)
+@SETTINGS
+def test_clusters_match_union_find(spark, n, edges):
+    edges = [(a, b) for a, b in edges if a < b and a < n and b < n]
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        edges or [(None, None)], "doc_id_a long, doc_id_b long"
+    ).dropna()
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(docs, pairs).collect()
+    }
+    # union-find reference
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+    assert got == want
