@@ -622,10 +622,14 @@ def g_pagerank(spark, sf_dir):
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
     pr = nodes.select("key", F.lit(1.0 / n).alias("pr"))
     base = (1.0 - PAGERANK_DAMPING) / n
+    # rank vector and degree table are |V|-sized: broadcast them while |V|
+    # is broadcastable so each iteration is a map-side join over edges (no
+    # edge shuffle); past ~5M nodes switch to co-partitioned shuffle joins
+    hint = F.broadcast if n < 5_000_000 else (lambda d: d)
     for _ in range(PAGERANK_ITERS):
         contribs = (
-            edges.join(pr, pr.key == edges.src)
-            .join(deg, "src")
+            edges.join(hint(pr), pr.key == edges.src)
+            .join(hint(deg), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("outd")).alias("m"))
         )
