@@ -305,3 +305,150 @@ ORACLES.update(
         "q_anti_join": Q_ANTI_JOIN_SQL,
     }
 )
+
+
+# -- TPC-H Q6 shape: forecast revenue change (pure scan + filter + agg) ---------
+
+def q6_forecast_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(DEC))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q6_SQL = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+# -- TPC-H Q10 shape: top customers by returned-item revenue --------------------
+
+def q10_returned_items(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue.cast(DEC)).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# -- window frames: running revenue per customer --------------------------------
+
+def q_running_revenue(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_revenue"),
+    )
+
+
+Q_RUNNING_REVENUE_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue
+FROM orders
+"""
+
+
+# -- lag: inter-order gaps per customer ------------------------------------------
+
+def q_order_gaps(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+    return (
+        orders.select("o_custkey", gap.alias("gap_days"))
+        .filter(F.col("gap_days").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap_days"), 6).alias("avg_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+Q_ORDER_GAPS_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+    date_diff('day',
+              LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+              o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT o_custkey,
+  COUNT(*) AS n_gaps,
+  ROUND(AVG(gap_days), 6) AS avg_gap_days,
+  CAST(MAX(gap_days) AS INTEGER) AS max_gap_days
+FROM gaps
+WHERE gap_days IS NOT NULL
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+QUERIES.update(
+    {
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q_running_revenue": q_running_revenue,
+        "q_order_gaps": q_order_gaps,
+    }
+)
+ORACLES.update(
+    {
+        "q6_forecast_revenue": Q6_SQL,
+        "q10_returned_items": Q10_SQL,
+        "q_running_revenue": Q_RUNNING_REVENUE_SQL,
+        "q_order_gaps": Q_ORDER_GAPS_SQL,
+    }
+)

@@ -694,3 +694,79 @@ ORACLES.update(
         "g_pagerank": _pagerank_sql(),
     }
 )
+
+
+# -- Queries over the other two FIXTURES.md §2 graph derivations ----------------
+
+def g_co_top_customers(spark, sf_dir):
+    """customer→order graph (tree-like, high fan-out): top-20 customers by
+    out-degree with total edge weight (spend) — Graph facade over the
+    second derivation."""
+    g = Graph.from_edges(customer_order_edges(spark, sf_dir))
+    weights = g.edges_df.groupBy(F.col("src").alias("key")).agg(
+        F.sum(F.col("weight").cast("decimal(18,6)")).cast("double").alias("total_spend")
+    )
+    return (
+        g.out_degrees()
+        .join(weights, "key")
+        .orderBy(F.desc("total_spend"), "key")
+        .limit(20)
+    )
+
+
+G_CO_TOP_CUSTOMERS_SQL = f"""
+WITH co_edges AS ({CUSTOMER_ORDER_EDGES_SQL})
+SELECT src AS key, COUNT(*) AS out_degree,
+       CAST(SUM(CAST(weight AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
+FROM co_edges
+GROUP BY src
+ORDER BY total_spend DESC, key
+LIMIT 20
+"""
+
+
+def g_ue_activity(spark, sf_dir):
+    """user→event-type graph (third derivation): per event-type in-degree
+    and accumulated weight."""
+    from kinbaku_spark.sources.tables import user_event_edges
+
+    g = Graph.from_edges(user_event_edges(spark, sf_dir))
+    return (
+        g.edges_df.groupBy(F.col("dst").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("in_degree"),
+            F.sum(F.col("weight").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("key")
+    )
+
+
+G_UE_ACTIVITY_SQL = """
+WITH ue_edges AS (
+SELECT 'U' || CAST(user_id AS VARCHAR) AS src,
+       'E:' || event_type AS dst,
+       0 AS type,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS weight
+FROM events
+GROUP BY 1, 2, 3
+)
+SELECT dst AS key, COUNT(*) AS in_degree,
+       CAST(SUM(CAST(weight AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM ue_edges
+GROUP BY dst
+ORDER BY key
+"""
+
+
+QUERIES.update(
+    {
+        "g_co_top_customers": g_co_top_customers,
+        "g_ue_activity": g_ue_activity,
+    }
+)
+ORACLES.update(
+    {
+        "g_co_top_customers": G_CO_TOP_CUSTOMERS_SQL,
+        "g_ue_activity": G_UE_ACTIVITY_SQL,
+    }
+)
