@@ -44,8 +44,11 @@ HEADLINE = [
 EXTENSION_HEADLINE = [
     "x_dedup_exact",
     "x_dedup_minhash",
+    "x_dedup_simhash",
     "x_ann_cosine_topk",
+    "x_ann_lsh_topk",
     "x_text_quality",
+    "q10_returned_items",
 ]
 
 

@@ -629,6 +629,44 @@ class Graph:
         self._node_keys = None
         self._edge_keys = None
 
+    # -- graph algorithms (extension surface; the reference has none) ---------
+
+    def connected_components(self, max_iter: int = 30) -> DataFrame:
+        """Weakly-connected components: (key, component) with component =
+        min key in the component (lexicographic). Min-label propagation to
+        fixpoint — each round is one join + one aggregation; see
+        operators/dedup.duplicate_clusters for the same pattern over dup
+        pairs and the large/small-star upgrade path at adversarial scale."""
+        und = (
+            self.edges_df.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .union(self.edges_df.select(F.col("dst"), F.col("src")))
+            .distinct()
+        )
+        labels = self.nodes_df.select(F.col("key").alias("u"), F.col("key").alias("label"))
+        for _ in range(max_iter):
+            neighbor_min = (
+                und.join(labels.withColumnRenamed("u", "v2"), und.v == F.col("v2"))
+                .groupBy("u")
+                .agg(F.min("label").alias("nmin"))
+            )
+            new_labels = labels.join(neighbor_min, "u", "left").select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "u")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels.localCheckpoint(eager=True)
+            if changed == 0:
+                break
+        return labels.select(F.col("u").alias("key"), F.col("label").alias("component"))
+
     # -- dunder sugar (reference graph.py:1271-1306, 1565-1577) ---------------
 
     def __getitem__(self, item):
