@@ -41,7 +41,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dsum("l_quantity").alias("sum_qty"),
@@ -84,9 +84,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+        li.filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz"))
         .join(
-            orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")),
+            orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(

@@ -28,10 +28,14 @@ TABLE_NAMES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark rejects by
+        # default. The conf is runtime-settable, so set it here defensively —
+        # the driver harness may hand us a session built without it.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos-as-long (see session.py); truncate ns -> µs exactly like
-        # DuckDB does when it reads TIMESTAMP(NANOS)
+        # truncate ns -> µs exactly like DuckDB does for TIMESTAMP(NANOS);
         # integer division: ns values exceed double's exact-int range
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
