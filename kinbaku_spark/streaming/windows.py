@@ -136,3 +136,49 @@ def user_running_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def correlate_event_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream (or batch-batch) inner join: pair each ``left_type``
+    event with the same user's ``right_type`` events that follow within
+    ``within``. Watermarks bound both join-state buffers; the time-range
+    predicate lets Spark expire state deterministically.
+
+    Scale: state per side is (watermark horizon x arrival rate); the join
+    shuffles both streams on user_id once.
+    """
+    from pyspark.sql.functions import expr
+
+    a = left.filter(F.col("event_type") == left_type).select(
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_id").alias("a_event"),
+    )
+    b = right.filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("b_event"),
+    )
+    if left.isStreaming:
+        a = a.withWatermark("a_ts", watermark)
+    if right.isStreaming:
+        b = b.withWatermark("b_ts", watermark)
+    return a.join(
+        b,
+        expr(
+            f"a_user = b_user AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL {within}"
+        ),
+    ).select(
+        F.col("a_user").alias("user_id"),
+        "a_event",
+        "b_event",
+        F.col("a_ts").alias("click_ts"),
+        F.col("b_ts").alias("purchase_ts"),
+    )

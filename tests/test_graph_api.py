@@ -150,3 +150,48 @@ def test_empty_and_errors(spark):
     g.add_node("solo")
     assert list(g.nodes) == ["solo"]
     assert list(g.neighbors("solo")) == []
+
+
+def test_bucketed_graph_colocated_joins(spark):
+    """Bucketed-by-src edge storage must make src-keyed self-joins and
+    aggregations shuffle-free (0 Exchange) — the scale replacement for the
+    reference's per-node edge trees."""
+    from kinbaku_spark.plans import explain_str
+    from kinbaku_spark.sources.io import load_graph_bucketed, save_graph_bucketed
+
+    edges = spark.range(5000).select(
+        F.concat(F.lit("n"), (F.col("id") % 200)).alias("src"),
+        F.concat(F.lit("n"), ((F.col("id") * 7) % 200)).alias("dst"),
+        F.lit(0).alias("type"),
+    )
+    g = Graph.from_edges(edges)
+    # leftover state from a previous run can leave catalog and warehouse
+    # location out of sync (DROP clears the catalog, rmtree the location)
+    import os
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for t in ("t_bucketed_edges_by_src", "t_bucketed_edges_by_dst", "t_bucketed_nodes"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(
+            os.path.join(warehouse.removeprefix("file:"), t), ignore_errors=True
+        )
+    save_graph_bucketed(g, "t_bucketed", buckets=8)
+    g2, edges_by_dst = load_graph_bucketed(spark, "t_bucketed")
+    assert sorted(g2.edges) == sorted(g.edges)
+
+    # co-located link-prediction-style self-join (no broadcast: force SMJ)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = g2.edges_df
+        j = t.alias("a").join(t.alias("b"), F.col("a.src") == F.col("b.src"))
+        assert explain_str(j, "simple").count("Exchange") == 0
+        # bucketed groupBy on the bucket column: no exchange either
+        agg = t.groupBy("src").count()
+        assert explain_str(agg, "simple").count("Exchange") == 0
+        # the dst copy serves predecessor scans the same way
+        jd = edges_by_dst.alias("a").join(
+            edges_by_dst.alias("b"), F.col("a.dst") == F.col("b.dst")
+        )
+        assert explain_str(jd, "simple").count("Exchange") == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -104,3 +104,27 @@ def test_stateful_running_totals(spark, event_files):
     for r in got.collect():
         final[r["user_id"]] = (r["n_events"], round(r["total_value"], 4))
     assert final == want
+
+
+def test_stream_stream_join_parity(spark, event_files):
+    """Stream-stream time-bounded join must agree with the batch self-join
+    on identical data."""
+    from kinbaku_spark.streaming.windows import correlate_event_pairs
+
+    batch = spark.read.parquet(event_files)
+    expected = correlate_event_pairs(batch, batch)
+    s1 = read_events_stream(spark, event_files)
+    s2 = read_events_stream(spark, event_files)
+    q = (
+        correlate_event_pairs(s1, s2)
+        .writeStream.format("memory")
+        .queryName("t_sjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_sjoin")
+    cols = ["user_id", "a_event", "b_event"]
+    assert _rows(got, cols) == _rows(expected, cols)
+    assert got.count() > 0
