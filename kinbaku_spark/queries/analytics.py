@@ -452,3 +452,46 @@ ORACLES.update(
         "q_order_gaps": Q_ORDER_GAPS_SQL,
     }
 )
+
+
+# -- TPC-H Q14 shape: promo revenue share (conditional aggregation) --------------
+
+def q14_promo_share(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    promo = F.when(F.col("p_type").startswith("PROMO"), revenue).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(revenue).cast("double"),
+                6,
+            ).alias("promo_revenue_pct"),
+            F.sum(revenue).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT
+  ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+  6) AS promo_revenue_pct,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+QUERIES["q14_promo_share"] = q14_promo_share
+ORACLES["q14_promo_share"] = Q14_SQL
