@@ -770,3 +770,93 @@ ORACLES.update(
         "g_ue_activity": G_UE_ACTIVITY_SQL,
     }
 )
+
+
+# -- BFS depths (iterative frontier expansion; recursive-CTE oracle) ------------
+
+BFS_SOURCE = "S1"
+BFS_MAX_DEPTH = 6
+
+
+def g_bfs_depths(spark, sf_dir):
+    """Undirected BFS from S1: (key, depth) for every reachable node within
+    BFS_MAX_DEPTH. Iterative min-depth frontier expansion — each round is one
+    join + one aggregation over the frontier only (not the full vertex set),
+    the standard distributed-BFS shape.
+    """
+    g = _graph(spark, sf_dir)
+    und = (
+        g.edges_df.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(g.edges_df.select(F.col("dst"), F.col("src")))
+        .distinct()
+    )
+    depths = spark.createDataFrame([(BFS_SOURCE, 0)], "key string, depth int")
+    frontier = depths
+    for d in range(1, BFS_MAX_DEPTH + 1):
+        neighbors = (
+            und.join(frontier.withColumnRenamed("key", "u2"), und.u == F.col("u2"))
+            .select(F.col("v").alias("key"))
+            .distinct()
+        )
+        new = neighbors.join(depths.select("key"), "key", "left_anti").select(
+            "key", F.lit(d).cast("int").alias("depth")
+        ).localCheckpoint(eager=True)
+        if new.limit(1).count() == 0:
+            break
+        depths = depths.unionByName(new)
+        frontier = new
+    return depths
+
+
+G_BFS_SQL = GRAPH_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + f"""
+, und AS (
+  SELECT src AS u, dst AS v FROM g_edges
+  UNION
+  SELECT dst, src FROM g_edges
+),
+reach AS (
+  SELECT '{BFS_SOURCE}' AS key, 0 AS depth
+  UNION
+  SELECT u.v AS key, r.depth + 1
+  FROM reach r JOIN und u ON u.u = r.key
+  WHERE r.depth < {BFS_MAX_DEPTH}
+)
+SELECT key, CAST(MIN(depth) AS INTEGER) AS depth
+FROM reach
+GROUP BY key
+"""
+
+
+# -- per-group top-k: two heaviest edges per supplier ----------------------------
+
+def g_top_edges_per_node(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    w = Window.partitionBy("src").orderBy(F.desc("weight"), F.col("dst"))
+    return (
+        g.edges_df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("src", "dst", "weight", "rk")
+    )
+
+
+G_TOP_EDGES_SQL = GRAPH_CTE + """
+SELECT src, dst, weight, rk FROM (
+  SELECT src, dst, weight,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY weight DESC, dst) AS INTEGER) AS rk
+  FROM g_edges
+) WHERE rk <= 2
+"""
+
+
+QUERIES.update(
+    {
+        "g_bfs_depths": g_bfs_depths,
+        "g_top_edges_per_node": g_top_edges_per_node,
+    }
+)
+ORACLES.update(
+    {
+        "g_bfs_depths": G_BFS_SQL,
+        "g_top_edges_per_node": G_TOP_EDGES_SQL,
+    }
+)

@@ -182,3 +182,32 @@ def correlate_event_pairs(
         F.col("a_ts").alias("click_ts"),
         F.col("b_ts").alias("purchase_ts"),
     )
+
+
+def stream_edges_into_graph(
+    edge_stream: DataFrame, graph, checkpoint_dir: str | None = None
+):
+    """Continuously ingest an edge stream into a Graph via foreachBatch:
+    every micro-batch applies one bulk upsert (Graph.add_edges — anti-join +
+    union with endpoint auto-create). This is the reference's add_edge write
+    path (graph.py:1433-1524) lifted to a streaming micro-batch cadence: the
+    per-record BST insert becomes one join per batch.
+
+    Returns the StreamingQuery; callers stop it (or use availableNow) and
+    then read the mutated graph. Scale: each batch is one shuffle of the
+    batch (not the graph); lineage is truncated by the Graph's periodic
+    localCheckpoint.
+    """
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        graph.add_edges(batch_df)
+        # materialize so the next batch's anti-join doesn't re-run this one
+        graph._edges = graph._edges.localCheckpoint(eager=True)
+        graph._nodes = graph._nodes.localCheckpoint(eager=True)
+
+    writer = edge_stream.writeStream.foreachBatch(ingest).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -128,3 +128,29 @@ def test_stream_stream_join_parity(spark, event_files):
     cols = ["user_id", "a_event", "b_event"]
     assert _rows(got, cols) == _rows(expected, cols)
     assert got.count() > 0
+
+
+def test_stream_edges_into_graph(spark, event_files):
+    """Streaming graph mutation: edges derived from the event stream land in
+    a Graph via foreachBatch bulk upserts; the final graph must equal the
+    batch-derived graph."""
+    from pyspark.sql import functions as F
+
+    from kinbaku_spark.graph import Graph
+    from kinbaku_spark.streaming.windows import stream_edges_into_graph
+
+    def to_edges(df):
+        return df.select(
+            F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("src"),
+            F.concat(F.lit("E:"), F.col("event_type")).alias("dst"),
+            F.lit(0).alias("type"),
+        ).distinct()
+
+    g = Graph(spark)
+    q = stream_edges_into_graph(to_edges(read_events_stream(spark, event_files)), g)
+    q.awaitTermination(120)
+    want = to_edges(spark.read.parquet(event_files))
+    assert sorted(g.edges) == sorted(
+        (r["src"], r["dst"]) for r in want.collect()
+    )
+    assert g.n_nodes == want.select("src").union(want.select("dst")).distinct().count()
