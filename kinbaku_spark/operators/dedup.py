@@ -39,8 +39,12 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     100 TB the shuffle carries 32B+id per row instead of the document text,
     and 128 bits keeps collision probability negligible at any realistic
     corpus size (2^-128 birthday bound dominates).
+
+    NULLs are sentinel-coded before hashing — concat_ws silently drops
+    nulls, which would dedup NULL content with empty strings.
     """
-    h = F.md5(F.concat_ws("\x1f", *content_cols)).alias("__h")
+    coded = [F.coalesce(F.col(c), F.lit("\x00NULL")) for c in content_cols]
+    h = F.md5(F.concat_ws("\x1f", *coded)).alias("__h")
     keep = (
         df.select(F.col(id_col), h)
         .groupBy("__h")

@@ -145,3 +145,66 @@ def embedding_near_duplicates(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def label_centroids(
+    corpus: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid vectors (IVF cells). Per-dimension means use exact
+    decimal sums so the SQL oracle reproduces centroids bit-for-bit.
+
+    Scale: one explode + two aggregations; at 100 TB the centroids would be
+    k-means-refined and stored, but assignment/probing below is identical.
+    """
+    ex = corpus.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    per_dim = ex.groupBy(label_col, "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg")
+    )
+    return per_dim.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "avg"))), lambda s: s["avg"]
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF-style ANN: rank cells (labels) by centroid cosine, search only the
+    ``n_probe`` nearest cells, exact cosine re-rank inside them.
+
+    Scale: the corpus is partitioned by cell; probing turns a full scan into
+    reading n_probe/k_cells of the data (plus a tiny centroid table that
+    always broadcasts).
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cen = label_centroids(corpus, label_col, vec_col)
+    probes = [
+        r[label_col]
+        for r in cen.select(
+            label_col, cosine(F.col("centroid"), q).alias("sim")
+        )
+        .orderBy(F.desc("sim"), F.col(label_col))
+        .limit(n_probe)
+        .collect()
+    ]
+    df = corpus.filter(F.col(label_col).isin(probes))
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    return (
+        df.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )

@@ -126,7 +126,8 @@ def x_dedup_exact(spark, sf_dir):
 X_DEDUP_EXACT_SQL = """
 SELECT d.doc_id, d.lang, d.source
 FROM documents d
-JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+JOIN (SELECT MIN(doc_id) AS doc_id FROM documents
+      GROUP BY md5(COALESCE(text, chr(0) || 'NULL'))) k
   USING (doc_id)
 """
 
@@ -479,3 +480,50 @@ FROM documents d
 
 QUERIES["x_dedup_clusters"] = x_dedup_clusters
 ORACLES["x_dedup_clusters"] = _clusters_sql()
+
+
+# ---------------------------------------------------------------------------
+# x_ann_ivf_topk — IVF-style cell-probed ANN (labels as cells)
+# ---------------------------------------------------------------------------
+
+IVF_N_PROBE = 2
+
+
+def x_ann_ivf_topk(spark, sf_dir):
+    from kinbaku_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, _query_vec(spark, sf_dir), k=ANN_K, n_probe=IVF_N_PROBE, exclude_id=0
+    )
+
+
+def _ann_ivf_sql() -> str:
+    return f"""
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS val
+  FROM embeddings
+),
+cen AS (
+  SELECT label, list(avg ORDER BY pos) AS centroid FROM (
+    SELECT label, pos,
+           CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg
+    FROM ex GROUP BY label, pos
+  ) GROUP BY label
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT cen.label FROM cen, q
+  ORDER BY {_sql_cosine('cen.centroid', 'q.qv')} DESC, cen.label
+  LIMIT {IVF_N_PROBE}
+)
+SELECT e.vec_id, ROUND({_sql_cosine('e.embedding', 'q.qv')}, 6) AS sim
+FROM embeddings e JOIN probes ON e.label = probes.label, q
+WHERE e.vec_id <> 0
+ORDER BY sim DESC, e.vec_id
+LIMIT {ANN_K}
+"""
+
+
+QUERIES["x_ann_ivf_topk"] = x_ann_ivf_topk
+ORACLES["x_ann_ivf_topk"] = _ann_ivf_sql()

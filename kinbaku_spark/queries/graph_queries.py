@@ -626,10 +626,13 @@ def g_pagerank(spark, sf_dir):
     # is broadcastable so each iteration is a map-side join over edges (no
     # edge shuffle); past ~5M nodes switch to co-partitioned shuffle joins
     hint = F.broadcast if n < 5_000_000 else (lambda d: d)
+    # hoist the degree join out of the loop: (src, dst, outd) is loop-
+    # invariant, so each iteration is ONE join + one aggregation. Division
+    # stays pr/outd (not pr * 1/outd) to match the oracle bit-for-bit.
+    edges_deg = edges.join(hint(deg), "src").localCheckpoint(eager=False)
     for _ in range(PAGERANK_ITERS):
         contribs = (
-            edges.join(hint(pr), pr.key == edges.src)
-            .join(hint(deg), "src")
+            edges_deg.join(hint(pr), pr.key == edges_deg.src)
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("outd")).alias("m"))
         )
