@@ -527,3 +527,47 @@ LIMIT {ANN_K}
 
 QUERIES["x_ann_ivf_topk"] = x_ann_ivf_topk
 ORACLES["x_ann_ivf_topk"] = _ann_ivf_sql()
+
+
+# ---------------------------------------------------------------------------
+# x_doc_winnowing — rolling window-min fingerprints (Schleimer et al.)
+# ---------------------------------------------------------------------------
+
+WINNOW_WINDOW = 4
+
+
+def x_doc_winnowing(spark, sf_dir):
+    from kinbaku_spark.operators.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        load_table(spark, sf_dir, "documents"), window=WINNOW_WINDOW
+    )
+
+
+# NOTE: positions must be NON-distinct shingles in document order; the
+# rolling min runs over a frame of WINNOW_WINDOW consecutive positions.
+X_DOC_WINNOWING_SQL = f"""
+WITH w AS (SELECT doc_id, {SQL_WORDS.format(expr='text')} AS words FROM documents),
+grams AS (
+  SELECT doc_id,
+         generate_subscripts(g, 1) AS pos,
+         unnest(g) AS gram
+  FROM (
+    SELECT doc_id,
+      CASE WHEN len(words) >= 3 THEN
+        list_transform(generate_series(1, len(words) - 2),
+                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+      ELSE CAST([] AS VARCHAR[]) END AS g
+    FROM w
+  )
+),
+hx AS (SELECT doc_id, pos, {sql_md5_long('gram')} AS h FROM grams)
+SELECT DISTINCT doc_id,
+  MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {WINNOW_WINDOW - 1} FOLLOWING) AS fingerprint
+FROM hx
+"""
+
+
+QUERIES["x_doc_winnowing"] = x_doc_winnowing
+ORACLES["x_doc_winnowing"] = X_DOC_WINNOWING_SQL
