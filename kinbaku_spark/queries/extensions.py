@@ -52,11 +52,11 @@ LSH_PLANES = random_hyperplanes(n_planes=16, dim=64, seed=7)
 LSH_PROBE_HAMMING = 2
 
 
-def _sql_shingle_cte(n: int) -> str:
+def _sql_shingle_cte(n: int, source: str = "documents") -> str:
     """CTEs: words -> exploded distinct shingle hashes per doc."""
     words = SQL_WORDS.format(expr="text")
     return f"""
-w AS (SELECT doc_id, {words} AS words FROM documents),
+w AS (SELECT doc_id, {words} AS words FROM {source}),
 sh AS (SELECT doc_id, unnest({sql_shingle_array('words', n)}) AS s FROM w),
 hx AS (SELECT doc_id, {sql_md5_long('s')} AS h FROM sh)
 """
@@ -146,7 +146,7 @@ def x_dedup_minhash(spark, sf_dir):
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(source: str = "documents") -> str:
     coeffs = minhash_coeffs(N_HASHES, 42)
     mins = ",\n    ".join(
         f"MIN(({a} * (h % {P}) + {b}) % {P}) AS mh{j}" for j, (a, b) in enumerate(coeffs)
@@ -159,7 +159,7 @@ def _minhash_sql() -> str:
         band_selects.append(f"SELECT doc_id, {k} AS band, {key} AS key FROM sig")
     bands_sql = "\n  UNION ALL\n  ".join(band_selects)
     return f"""
-WITH {_sql_shingle_cte(3)},
+WITH {_sql_shingle_cte(3, source)},
 sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),
 bands AS (
   {bands_sql}
@@ -571,3 +571,59 @@ FROM hx
 
 QUERIES["x_doc_winnowing"] = x_doc_winnowing
 ORACLES["x_doc_winnowing"] = X_DOC_WINNOWING_SQL
+
+
+# ---------------------------------------------------------------------------
+# x_curate_corpus — the composed pipeline: quality filter -> MinHash-LSH
+# near-dup clustering -> representative selection. The oracle replays the
+# identical composition as nested CTEs.
+# ---------------------------------------------------------------------------
+
+MIN_QUALITY = 0.72
+
+
+def x_curate_corpus(spark, sf_dir):
+    from kinbaku_spark.operators.pipeline import curate_corpus
+
+    return curate_corpus(
+        load_table(spark, sf_dir, "documents"),
+        min_quality=MIN_QUALITY,
+        dup_threshold=MINHASH_THRESHOLD,
+        n_hashes=N_HASHES,
+        bands=N_BANDS,
+    )
+
+
+def _curate_sql() -> str:
+    quality = X_TEXT_QUALITY_SQL.strip()
+    minhash_on_filtered = _minhash_sql("filtered").strip()
+    return f"""
+WITH RECURSIVE q AS (
+  SELECT doc_id, quality_score FROM ({quality})
+),
+filtered AS (
+  SELECT d.*, q.quality_score FROM documents d JOIN q USING (doc_id)
+  WHERE q.quality_score >= {MIN_QUALITY}
+),
+pairs AS (
+  SELECT doc_id_a, doc_id_b FROM ({minhash_on_filtered})
+),
+und AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, n.v FROM reach r JOIN und n ON r.v = n.u
+)
+SELECT f.doc_id, f.lang, f.source, f.quality_score
+FROM filtered f
+WHERE COALESCE(LEAST(f.doc_id, (SELECT MIN(v) FROM reach WHERE u = f.doc_id)),
+               f.doc_id) = f.doc_id
+"""
+
+
+QUERIES["x_curate_corpus"] = x_curate_corpus
+ORACLES["x_curate_corpus"] = _curate_sql()
