@@ -141,3 +141,33 @@ def test_hub_skew(spark):
         page, cursor = g.batch_get_edges(500, cursor)
         seen.update(page)
     assert len(seen) == 2000  # pagination totality, no dupes/gaps
+
+
+def test_oplog_replay_with_frequent_flushes(spark):
+    """Same interleaved op-log, but flush_every=40 forces ~10 delta
+    materializations (anti-join + union each) plus periodic lineage
+    checkpoints mid-log — stresses the flush path the default test never
+    hits. Final state must still match NetworkX exactly."""
+    rng = random.Random(23)
+    g = Graph(spark, preload=True, flush_every=40)
+    nxg = nx.DiGraph()
+    for i in range(400):
+        p = rng.random()
+        u, v = str(rng.randrange(30)), str(rng.randrange(30))
+        if p < 0.6:
+            g.add_edge(u, v)
+            nxg.add_edge(u, v)
+        elif p < 0.8:
+            if nxg.has_edge(u, v):
+                g.remove_edge(u, v)
+                nxg.remove_edge(u, v)
+        else:
+            if nxg.has_node(u):
+                g.remove_node(u)
+                nxg.remove_node(u)
+    assert g.n_nodes == nxg.number_of_nodes()
+    assert g.n_edges == nxg.number_of_edges()
+    assert set(g.nodes) == set(nxg.nodes)
+    assert set(g.edges) == set(nxg.edges)
+    # flushes actually happened (delta was materialized repeatedly)
+    assert g._flushes >= 5
