@@ -17,7 +17,8 @@ column plumbing, and Structured-Streaming windowed aggregation.
 
 from kinbaku_spark.graph import Graph
 from kinbaku_spark.session import get_spark
+from kinbaku_spark.structure import Edge, Node, text
 
 __version__ = "0.1.0"
 
-__all__ = ["Graph", "get_spark", "__version__"]
+__all__ = ["Graph", "get_spark", "Node", "Edge", "text", "__version__"]

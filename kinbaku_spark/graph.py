@@ -133,6 +133,23 @@ class Graph:
         return cls(spark, nodes=nodes, edges=edges, preload=preload)
 
     @classmethod
+    def with_schema(
+        cls,
+        spark: SparkSession,
+        node_class: type | None = None,
+        edge_class: type | None = None,
+        **kw: Any,
+    ) -> "Graph":
+        """Empty graph with schemas declared as dataclasses — the reference's
+        ``Graph(node_class=..., edge_class=...)`` constructor pattern
+        (graph.py:112-119, README.md:58-90)."""
+        from kinbaku_spark.structure import Edge, Node, edge_schema, node_schema
+
+        nodes = spark.createDataFrame([], node_schema(node_class or Node))
+        edges = spark.createDataFrame([], edge_schema(edge_class or Edge))
+        return cls(spark, nodes=nodes, edges=edges, **kw)
+
+    @classmethod
     def load(cls, spark: SparkSession, path: str, **kw: Any) -> "Graph":
         nodes = spark.read.parquet(f"{path}/nodes")
         edges = spark.read.parquet(f"{path}/edges")
@@ -472,6 +489,22 @@ class Graph:
         except ImportError:
             return {"shape": (n, n), "rows": rows, "cols": cols, "vals": vals}, ids
 
+    def subgraph(self, keys: list[str], weight: str | None = None):
+        """Induced-subgraph sparse matrix + key->id dict — reference return
+        shape (graph.py:1231-1265); dict-of-arrays fallback without scipy."""
+        ids = {k: i for i, k in enumerate(sorted(set(keys)))}
+        coo = self.subgraph_coo(keys, weight).collect()
+        n = len(ids)
+        rows = [r["sid"] for r in coo]
+        cols = [r["tid"] for r in coo]
+        vals = [r["w"] for r in coo]
+        try:
+            from scipy.sparse import csr_matrix
+
+            return csr_matrix((vals, (rows, cols)), shape=(n, n)), ids
+        except ImportError:
+            return {"shape": (n, n), "rows": rows, "cols": cols, "vals": vals}, ids
+
     def subgraph_coo(self, keys: list[str], weight: str | None = None) -> DataFrame:
         """Induced subgraph as COO (reference graph.py:1231-1265): double
         broadcast semi-join on the key list, then dense ids over the list."""
@@ -628,6 +661,31 @@ class Graph:
     def _invalidate_index(self) -> None:
         self._node_keys = None
         self._edge_keys = None
+
+    # -- lifecycle / maintenance parity (reference graph.py:383-407, 852) -----
+
+    def empty_cache(self) -> None:
+        """Drop cached/persisted state (reference empty_cache drops its four
+        LRU caches, graph.py:383-388)."""
+        self._invalidate_index()
+        for df in (self._nodes, self._edges):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+    def find_tombstones(self) -> list:
+        """Reference rebuilds its free-list by scanning for blanked records
+        (graph.py:390-407). Immutable storage has no tombstones: deletes are
+        anti-joins that produce new files. Returns [] for API parity;
+        storage reclamation is the writer's compaction (rewrite/OPTIMIZE)."""
+        return []
+
+    def close(self) -> None:
+        """Release resources (reference unmaps the file, graph.py:852-854).
+        The SparkSession is shared and NOT stopped here."""
+        self._flush()
+        self.empty_cache()
 
     # -- graph algorithms (extension surface; the reference has none) ---------
 

@@ -195,3 +195,35 @@ def test_bucketed_graph_colocated_joins(spark):
         assert explain_str(jd, "simple").count("Exchange") == 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_schema_from_dataclass_and_lifecycle(spark):
+    """Reference migration surface: dataclass schemas (node_class/edge_class
+    pattern), empty_cache, find_tombstones, close, subgraph parity shape."""
+    import dataclasses
+
+    from kinbaku_spark.structure import Edge, Node, text
+
+    @dataclasses.dataclass
+    class MyNode(Node):
+        name: str = ""
+        age: int = 0
+        bio: text(40) = ""  # fixed-width in the reference; variable here
+
+    @dataclasses.dataclass
+    class MyEdge(Edge):
+        weight: float = 0.0
+
+    g = Graph.with_schema(spark, node_class=MyNode, edge_class=MyEdge, preload=True)
+    g.add_node("a", {"name": "Ann", "age": 3, "bio": "hi"})
+    g.add_edge("a", "b", {"weight": 2.5})
+    assert g.node("a")["age"] == 3
+    assert g.edge("a", "b")["weight"] == 2.5
+    assert g.node("b")["name"] is None  # auto-created endpoint
+    mat, ids = g.subgraph(["a", "b"])
+    assert ids == {"a": 0, "b": 1}
+    assert mat["rows"] == [0] and mat["cols"] == [1]  # a->b only
+    assert g.find_tombstones() == []
+    g.empty_cache()
+    assert g.n_edges == 1  # still queryable after cache drop
+    g.close()
