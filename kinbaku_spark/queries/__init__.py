@@ -5,12 +5,17 @@ oracle string with IDENTICAL output column names (driver contract).
 Submodules register into QUERIES / ORACLES at import time.
 """
 
-from kinbaku_spark.queries import analytics, graph_queries, relational  # noqa: F401
+from kinbaku_spark.queries import (  # noqa: F401
+    analytics,
+    graph_queries,
+    relational,
+    relational_ext,
+)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-for mod in (relational, analytics, graph_queries):
+for mod in (relational, relational_ext, analytics, graph_queries):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 
