@@ -46,3 +46,148 @@ def curate_corpus(
     return filtered.join(representatives, id_col, "left_semi").select(
         id_col, "lang", "source", "quality_score"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic splits / sampling / packing / contamination — the rest of the
+# training-data plumbing. All pure column expressions (no UDFs), all
+# replayable in SQL, all hash-based so re-runs and backfills are stable.
+# ---------------------------------------------------------------------------
+
+from kinbaku_spark.functions.hashing import md5_long  # noqa: E402
+from kinbaku_spark.functions.textfns import shingle_array  # noqa: E402
+from kinbaku_spark.operators.text import TOKEN_PATTERN  # noqa: E402
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    n_buckets: int = 1000,
+    split_weights: tuple[int, int, int] = (8, 1, 1),
+) -> DataFrame:
+    """Deterministic per-stratum downsampling + train/val/test assignment.
+
+    Membership is a pure function of the id (bucket = md5-hash(id) mod
+    n_buckets < rate·n_buckets), so the sample is reproducible across runs,
+    engines, and partitionings — the property `df.sample()` does NOT give.
+    The split uses an independently salted hash so it is uncorrelated with
+    the sampling decision. No shuffle at all: a scan-side filter at 100 TB.
+    """
+    bucket = md5_long(F.col(id_col).cast("string")) % n_buckets
+    cut = None
+    for k, r in rates.items():
+        c = F.when(F.col(strata_col) == k, F.lit(int(r * n_buckets)))
+        cut = c if cut is None else cut.when(
+            F.col(strata_col) == k, F.lit(int(r * n_buckets))
+        )
+    cut = cut.otherwise(F.lit(int(default_rate * n_buckets)))
+    t_train, t_val, _ = split_weights
+    denom = sum(split_weights)
+    sbucket = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(":split"))) % denom
+    split = (
+        F.when(sbucket < t_train, F.lit("train"))
+        .when(sbucket < t_train + t_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(strata_col),
+            bucket.cast("long").alias("bucket"),
+            split.alias("split"),
+        )
+        .filter(F.col("bucket") < cut)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 512,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget chunking: stream each shard's docs in id order and cut a
+    new chunk whenever the running token total crosses the capacity —
+    sequence-packing's deterministic, window-expressible form (chunk =
+    floor(exclusive-running-sum / capacity)).
+
+    Packing is per-shard BY DESIGN: a global order would serialize the whole
+    corpus through one partition, while per-shard packing is one window over
+    the shard partitioning — embarrassingly parallel at 100 TB (shards are
+    the unit real pretraining pipelines pack within anyway). Integer token
+    counts -> exact in any engine.
+    """
+    from pyspark.sql import Window
+
+    tokens = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_chunk = docs.select(
+        F.col(shard_col),
+        F.col(id_col),
+        tokens.alias("__t"),
+    ).withColumn(
+        "chunk_id",
+        F.floor(F.coalesce(F.sum("__t").over(w), F.lit(0)) / capacity).cast("long"),
+    )
+    return (
+        with_chunk.groupBy(shard_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").cast("long").alias("sum_tokens"),
+        )
+        .orderBy(shard_col, "chunk_id")
+    )
+
+
+def cross_split_contamination(
+    docs: DataFrame,
+    train_sources: list[str],
+    eval_sources: list[str],
+    shingle_n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Benchmark-contamination check: training docs sharing at least one
+    word ``shingle_n``-gram with any eval doc, with the count of distinct
+    eval docs hit and distinct shared grams.
+
+    Plan shape: both sides explode to (doc, gram-hash) and equi-join on the
+    hash — the inverted-index join. The eval side is tiny relative to the
+    corpus, so Spark broadcasts it: the training side never shuffles, which
+    is what makes this a single-pass scan at 100 TB (the standard scale-out
+    alternative is a Bloom filter over eval grams; the broadcast equi-join
+    IS that check, exact).
+    """
+    grams = F.explode(shingle_array(text_col, shingle_n)).alias("g")
+
+    def side(pred):
+        return (
+            docs.filter(pred)
+            .select(F.col(id_col), grams)
+            .select(id_col, md5_long(F.col("g")).alias("h"))
+        )
+
+    train = side(F.col(source_col).isin(train_sources))
+    ev = (
+        side(F.col(source_col).isin(eval_sources))
+        .withColumnRenamed(id_col, "eval_doc_id")
+        .distinct()
+    )
+    return (
+        train.join(F.broadcast(ev), "h")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+            F.countDistinct("h").alias("n_shared_grams"),
+        )
+        .orderBy(id_col)
+    )

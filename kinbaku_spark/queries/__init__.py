@@ -8,6 +8,7 @@ Submodules register into QUERIES / ORACLES at import time.
 from kinbaku_spark.queries import (  # noqa: F401
     analytics,
     graph_queries,
+    pipeline_ext,
     relational,
     relational_ext,
 )
@@ -15,7 +16,7 @@ from kinbaku_spark.queries import (  # noqa: F401
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-for mod in (relational, relational_ext, analytics, graph_queries):
+for mod in (relational, relational_ext, analytics, graph_queries, pipeline_ext):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 

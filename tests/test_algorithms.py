@@ -64,3 +64,66 @@ def test_salted_join_equals_direct(spark):
     assert got.count() == want.count() == 3000
     assert got.groupBy("name").count().orderBy("name").collect() == \
         want.groupBy("name").count().orderBy("name").collect()
+
+
+# -- training-data plumbing invariants (pipeline_ext wave) -------------------
+
+def _docs_df(spark, sf_dir):
+    from kinbaku_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_stratified_sample_partition_invariant(spark, sf_dir):
+    """Sample membership is a pure function of doc_id — identical under any
+    repartitioning (the property rand()-based sampling lacks)."""
+    from kinbaku_spark.operators.pipeline import stratified_sample
+
+    docs = _docs_df(spark, sf_dir)
+    a = stratified_sample(docs, rates={"en": 0.2}, default_rate=0.6)
+    b = stratified_sample(
+        docs.repartition(7, "source"), rates={"en": 0.2}, default_rate=0.6
+    )
+    rows_a = sorted(tuple(r) for r in a.collect())
+    rows_b = sorted(tuple(r) for r in b.collect())
+    assert rows_a == rows_b and len(rows_a) > 0
+    # every stratum respects its cut
+    assert a.filter((F.col("lang") == "en") & (F.col("bucket") >= 200)).count() == 0
+    assert a.filter((F.col("lang") != "en") & (F.col("bucket") >= 600)).count() == 0
+    assert {r["split"] for r in a.select("split").distinct().collect()} \
+        <= {"train", "val", "test"}
+
+
+def test_pack_sequences_covers_all_docs_exactly_once(spark, sf_dir):
+    """Chunking is a partition of each shard: doc counts and token totals
+    are conserved, chunk ids are dense from 0 per shard."""
+    from kinbaku_spark.operators.pipeline import pack_sequences
+    from kinbaku_spark.operators.text import TOKEN_PATTERN
+
+    docs = _docs_df(spark, sf_dir)
+    packed = pack_sequences(docs, capacity=512).collect()
+    n_docs = sum(r["n_docs"] for r in packed)
+    assert n_docs == docs.count()
+    tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0))
+    total = docs.select(F.sum(tokens).alias("t")).collect()[0]["t"]
+    assert sum(r["sum_tokens"] for r in packed) == total
+    per_shard: dict[str, list[int]] = {}
+    for r in packed:
+        per_shard.setdefault(r["source"], []).append(r["chunk_id"])
+    for chunks in per_shard.values():
+        assert sorted(chunks) == list(range(len(chunks)))
+
+
+def test_contamination_detects_planted_near_dups(spark, sf_dir):
+    """Near-identical doc pairs that straddle the train/eval source split
+    must surface as contamination hits."""
+    from kinbaku_spark.operators.pipeline import cross_split_contamination
+
+    docs = _docs_df(spark, sf_dir)
+    train = [f"src{i}" for i in range(10)]
+    ev = [f"src{i}" for i in range(10, 20)]
+    hits = cross_split_contamination(docs, train, ev).collect()
+    assert all(r["n_eval_docs"] >= 1 and r["n_shared_grams"] >= 1 for r in hits)
+    # symmetric run (swapped splits) must find the mirror image
+    mirror = cross_split_contamination(docs, ev, train).collect()
+    assert (len(hits) > 0) == (len(mirror) > 0)
