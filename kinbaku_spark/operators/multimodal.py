@@ -120,3 +120,62 @@ def audio_features(
             yield out
 
     return df.mapInPandas(extract, AUDIO_FEATURE_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, ts_ms bigint, frame_bytes int, frame_checksum bigint"
+)
+
+
+def video_frame_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_ms: int = 1000,
+    fake: bool = True,
+) -> DataFrame:
+    """Frame sampling: one output row PER SAMPLED FRAME (a 1→N mapInPandas
+    shape, unlike the 1→1 feature extractors). The fake "decoder" treats the
+    payload as a container whose duration is 3 ms per byte and whose frames
+    are equal byte slices; a real decoder (pyav/opencv) slots into the same
+    closure.
+
+    Scale notes: the row expansion happens executor-side inside the Arrow
+    batch (never on the driver), and output size is bounded by
+    duration/every_ms per clip — skew from long videos is handled by
+    repartitioning on a duration estimate upstream, not here.
+    """
+    if not fake:
+        raise NotImplementedError("video decoding requires pyav/opencv")
+
+    # self-contained closure: no module-level references (cloudpickle ships
+    # it whole; executors don't need this package importable)
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, tss, sizes, sums = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(payload)
+                duration_ms = n * 3
+                n_frames = max(1, duration_ms // every_ms)
+                frame_len = n // n_frames
+                for k in range(int(n_frames)):
+                    lo = int(k * frame_len)
+                    hi = int(n if k == n_frames - 1 else (k + 1) * frame_len)
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    tss.append(k * every_ms)
+                    sizes.append(hi - lo)
+                    sums.append(int(sum(payload[lo:hi])))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "frame_idx": _pd.Series(idxs, dtype="int32"),
+                    "ts_ms": _pd.Series(tss, dtype="int64"),
+                    "frame_bytes": _pd.Series(sizes, dtype="int32"),
+                    "frame_checksum": _pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(sample, VIDEO_FRAME_SCHEMA)

@@ -114,3 +114,89 @@ ORACLES = {
     "x_seq_packing": X_SEQ_PACKING_SQL,
     "x_contamination": X_CONTAMINATION_SQL,
 }
+
+
+# -- multimodal plumbing, oracle-checked ------------------------------------
+# The fake decoders are pure functions of the payload BYTES, so DuckDB can
+# replay them exactly (hex() + per-byte arithmetic): the mapInPandas
+# plumbing gets a full value-hash check, not just rows-only. (The image
+# variant stays rows-only: its aspect ratio can land on exact 6dp rounding
+# ties, e.g. odd/128.)
+
+VIDEO_EVERY_MS = 200
+
+
+def x_multimodal_audio(spark, sf_dir):
+    from kinbaku_spark.operators.multimodal import audio_features, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_features(with_binary_payload(docs), fake=True)
+
+
+X_MULTIMODAL_AUDIO_SQL = """
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+)
+SELECT doc_id,
+  CAST(n AS INT) AS n_bytes,
+  CAST(CASE n % 3 WHEN 0 THEN 16000 WHEN 1 THEN 22050 ELSE 44100 END AS INT)
+    AS sample_rate,
+  CAST(n * 4 AS INT) AS n_frames,
+  ROUND(CAST(n * 4 AS DOUBLE)
+        / CASE n % 3 WHEN 0 THEN 16000 WHEN 1 THEN 22050 ELSE 44100 END, 6)
+    AS duration_s
+FROM b
+"""
+
+
+def x_multimodal_video(spark, sf_dir):
+    from kinbaku_spark.operators.multimodal import (
+        video_frame_samples,
+        with_binary_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return video_frame_samples(with_binary_payload(docs), every_ms=VIDEO_EVERY_MS)
+
+
+X_MULTIMODAL_VIDEO_SQL = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+), f AS (
+  SELECT doc_id, hx, n,
+         GREATEST(1, (n * 3) // {VIDEO_EVERY_MS}) AS n_frames,
+         n // GREATEST(1, (n * 3) // {VIDEO_EVERY_MS}) AS frame_len
+  FROM b
+), fr AS (
+  SELECT doc_id, hx, n, n_frames, frame_len,
+         unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT))) AS k
+  FROM f
+)
+SELECT doc_id,
+  CAST(k AS INT) AS frame_idx,
+  CAST(k * {VIDEO_EVERY_MS} AS BIGINT) AS ts_ms,
+  CAST((CASE WHEN k = n_frames - 1 THEN n ELSE (k + 1) * frame_len END)
+       - k * frame_len AS INT) AS frame_bytes,
+  CAST(list_aggregate(list_transform(
+      generate_series(CAST(k * frame_len + 1 AS BIGINT),
+                      CAST(CASE WHEN k = n_frames - 1 THEN n
+                                ELSE (k + 1) * frame_len END AS BIGINT)),
+      i -> CAST(('0x' || substr(hx, CAST(2 * i - 1 AS INT), 2)) AS BIGINT)),
+    'sum') AS BIGINT) AS frame_checksum
+FROM fr
+"""
+
+
+QUERIES.update(
+    {
+        "x_multimodal_audio": x_multimodal_audio,
+        "x_multimodal_video": x_multimodal_video,
+    }
+)
+ORACLES.update(
+    {
+        "x_multimodal_audio": X_MULTIMODAL_AUDIO_SQL,
+        "x_multimodal_video": X_MULTIMODAL_VIDEO_SQL,
+    }
+)

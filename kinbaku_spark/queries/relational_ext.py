@@ -160,10 +160,11 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     average quantity (TPC-H Q17 shape: per-group scalar subquery feeding the
     fact filter), reported per brand.
 
-    Plan: the avg subquery groups on l_partkey and joins back on the same
-    key — AQE coalesces to ONE l_partkey exchange reused by both sides. The
-    0.2*avg comparison happens on raw doubles computed identically in both
-    engines (decimal-exact sum ÷ count), never on rounded values.
+    Plan: the avg subquery re-scans lineitem with only (l_partkey,
+    l_quantity) — column pruning makes the second scan cheap — and both
+    sides shuffle on l_partkey once for the join. The 0.2*avg comparison
+    happens on raw doubles computed identically in both engines
+    (decimal-exact sum ÷ count), never on rounded values.
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")

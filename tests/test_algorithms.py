@@ -127,3 +127,35 @@ def test_contamination_detects_planted_near_dups(spark, sf_dir):
     # symmetric run (swapped splits) must find the mirror image
     mirror = cross_split_contamination(docs, ev, train).collect()
     assert (len(hits) > 0) == (len(mirror) > 0)
+
+
+def test_video_frames_partition_each_payload(spark, sf_dir):
+    """Frame sampling is a partition of the payload bytes: per-doc
+    frame_bytes sum to the payload size, frame indexes are dense from 0
+    (no byte dropped or double-counted; checksum parity is covered by the
+    DuckDB oracle)."""
+    from kinbaku_spark.operators.multimodal import (
+        video_frame_samples,
+        with_binary_payload,
+    )
+
+    docs = with_binary_payload(_docs_df(spark, sf_dir))
+    frames = video_frame_samples(docs, every_ms=200)
+    got = {
+        r["doc_id"]: (r["b"], r["nf"], r["maxi"])
+        for r in frames.groupBy("doc_id")
+        .agg(
+            F.sum("frame_bytes").alias("b"),
+            F.count(F.lit(1)).alias("nf"),
+            F.max("frame_idx").alias("maxi"),
+        )
+        .collect()
+    }
+    want = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", F.octet_length("payload").alias("n")).collect()
+    }
+    assert set(got) == set(want)
+    for d, (total, nf, maxi) in got.items():
+        assert total == want[d], d
+        assert maxi == nf - 1, d

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from kinbaku_spark.graph import Graph
 from kinbaku_spark.plans import (
+    explain_str,
     has_broadcast_join,
     has_pushed_filter,
     read_schema_columns,
@@ -92,3 +93,54 @@ def test_ann_topk_no_global_sort(spark, sf_dir):
     df = QUERIES["x_ann_cosine_topk"](spark, sf_dir)
     plan = explain_str(df, mode="simple")
     assert "TakeOrderedAndProject" in plan, plan[:500]
+
+
+# -- second-wave relational shapes (relational_ext) --------------------------
+
+def test_q13_left_outer_with_pushed_join_filter(spark, sf_dir):
+    """Zero-order customers must survive (left outer) while the priority
+    filter still reaches the orders scan."""
+    df = QUERIES["q13_customer_distribution"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "LeftOuter" in plan
+    assert has_pushed_filter(df, "o_orderpriority")
+
+
+def test_q16_in_list_pushdown_and_broadcast(spark, sf_dir):
+    df = QUERIES["q16_supplier_part_counts"](spark, sf_dir)
+    assert has_broadcast_join(df), "filtered part dim must broadcast"
+    assert has_pushed_filter(df, "p_size"), "IN-list must reach the part scan"
+    assert has_pushed_filter(df, "p_brand")
+
+
+def test_q17_avg_subquery_scan_is_pruned(spark, sf_dir):
+    """The per-part avg re-scan must read only (l_partkey, l_quantity) —
+    at 100 TB the narrow second scan is what keeps the shape viable."""
+    df = QUERIES["q17_small_qty_revenue"](spark, sf_dir)
+    cols = read_schema_columns(df)
+    assert any(set(c) == {"l_partkey", "l_quantity"} for c in cols), cols
+
+
+def test_q19_or_of_ands_disjunct_extraction(spark, sf_dir):
+    """Catalyst must extract the per-side disjunction (l_quantity ranges)
+    and push it into the lineitem scan — the classic Q19 optimization."""
+    df = QUERIES["q19_or_predicates"](spark, sf_dir)
+    assert has_pushed_filter(df, "l_quantity")
+    assert has_broadcast_join(df)
+
+
+def test_q22_anti_join_with_pushed_balance_filter(spark, sf_dir):
+    df = QUERIES["q22_idle_customers"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan
+    assert has_pushed_filter(df, "c_acctbal")
+
+
+def test_sample_stratified_is_scan_side_only(spark, sf_dir):
+    """Deterministic sampling must be a pure scan-side filter: no exchange,
+    no aggregate — the whole point of hash-based membership at 100 TB."""
+    df = QUERIES["x_sample_stratified"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "Exchange" not in plan, "sampling must not shuffle"
+    cols = read_schema_columns(df)
+    assert all(set(c) <= {"doc_id", "lang"} for c in cols), cols
