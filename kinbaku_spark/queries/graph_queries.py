@@ -620,7 +620,6 @@ def g_pagerank(spark, sf_dir):
     edges = g.edges_df.select("src", "dst")
     n = nodes.count()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
-    pr = nodes.select("key", F.lit(1.0 / n).alias("pr"))
     base = (1.0 - PAGERANK_DAMPING) / n
     # rank vector and degree table are |V|-sized: broadcast them while |V|
     # is broadcastable so each iteration is a map-side join over edges (no
@@ -630,21 +629,30 @@ def g_pagerank(spark, sf_dir):
     # invariant, so each iteration is ONE join + one aggregation. Division
     # stays pr/outd (not pr * 1/outd) to match the oracle bit-for-bit.
     edges_deg = edges.join(hint(deg), "src").localCheckpoint(eager=False)
-    for _ in range(PAGERANK_ITERS):
+    # The rank vector stays SPARSE throughout: it holds only nodes with
+    # in-edges, and an absent key means pr == base exactly (base + d·0).
+    # This removes the |V|-densifying join from every iteration; iteration 1
+    # needs no rank join at all because pr0 is the uniform constant 1/n.
+    contribs = edges_deg.groupBy("dst").agg(
+        F.sum(F.lit(1.0 / n) / F.col("outd")).alias("m")
+    )
+    step = (F.lit(base) + F.lit(PAGERANK_DAMPING) * F.col("m")).alias("pr")
+    pr = contribs.select(F.col("dst").alias("key"), step)
+    for _ in range(PAGERANK_ITERS - 1):
         contribs = (
-            edges_deg.join(hint(pr), pr.key == edges_deg.src)
+            edges_deg.join(hint(pr), F.col("key") == F.col("src"), "left")
             .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("outd")).alias("m"))
+            .agg(
+                F.sum(F.coalesce(F.col("pr"), F.lit(base)) / F.col("outd")).alias("m")
+            )
         )
-        pr = nodes.join(contribs, nodes.key == contribs.dst, "left").select(
-            "key",
-            (
-                F.lit(base)
-                + F.lit(PAGERANK_DAMPING) * F.coalesce(F.col("m"), F.lit(0.0))
-            ).alias("pr"),
-        )
+        pr = contribs.select(F.col("dst").alias("key"), step)
+    # densify once at the end: every node not in the sparse vector is base
+    full = nodes.join(hint(pr), "key", "left").select(
+        "key", F.coalesce(F.col("pr"), F.lit(base)).alias("pr")
+    )
     return (
-        pr.select("key", F.round("pr", 6).alias("pagerank"))
+        full.select("key", F.round("pr", 6).alias("pagerank"))
         .orderBy(F.desc("pagerank"), "key")
         .limit(20)
     )
@@ -863,3 +871,85 @@ ORACLES.update(
         "g_top_edges_per_node": G_TOP_EDGES_SQL,
     }
 )
+
+
+# -- k-core decomposition (fixed-round peeling) ------------------------------
+
+KCORE_ROUNDS = 3
+
+
+def g_kcore(spark, sf_dir):
+    """k-core peeling, KCORE_ROUNDS fixed rounds (deterministic: the SQL
+    oracle replays the identical peels): repeatedly drop nodes with total
+    degree (in+out) < k, restrict edges to survivors, recount. k is the
+    graph's mean total degree floor(2|E|/|V|) — integer-exact in both
+    engines, and scale-adaptive so the peel actually bites at every SF. The
+    reference has no subgraph-mining ops at all (SURVEY.md §2.4); this is
+    the Spark-native extension on its own graph model.
+
+    Scale: each round is one degree aggregation over the live edge set plus
+    two semi-joins — the surviving-node set shrinks monotonically, and the
+    keep-list broadcasts. Fixed rounds (not to-convergence) keep the
+    lineage bounded; each round's edge set is checkpointed because it has
+    three consumers (next degree agg + both semi-joins) and would otherwise
+    re-execute 3^rounds times.
+    """
+    g = _graph(spark, sf_dir)
+    edges = g.edges_df.select("src", "dst")
+    k = edges.count() // g.nodes_df.count()
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("src").alias("key"))
+            .unionAll(edges.select(F.col("dst").alias("key")))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("key")
+        edges = (
+            edges.join(F.broadcast(keep), edges.src == keep.key, "left_semi")
+            .join(F.broadcast(keep), edges.dst == keep.key, "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    final_deg = (
+        edges.select(F.col("src").alias("key"))
+        .unionAll(edges.select(F.col("dst").alias("key")))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= k)
+        .orderBy("key")
+    )
+    return final_deg
+
+
+def _kcore_sql() -> str:
+    rounds = KCORE_ROUNDS
+    parts = [
+        "kk AS (SELECT (SELECT COUNT(*) FROM g_edges)"
+        " // (SELECT COUNT(*) FROM g_nodes) AS k)",
+        "e0 AS (SELECT src, dst FROM g_edges)",
+    ]
+    for i in range(rounds):
+        parts.append(f"""
+d{i} AS (
+  SELECT key, COUNT(*) AS deg FROM (
+    SELECT src AS key FROM e{i} UNION ALL SELECT dst FROM e{i}
+  ) GROUP BY key
+),
+k{i} AS (SELECT key FROM d{i} WHERE deg >= (SELECT k FROM kk)),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i} e
+  WHERE e.src IN (SELECT key FROM k{i}) AND e.dst IN (SELECT key FROM k{i})
+)""")
+    body = ",".join(parts)
+    return GRAPH_CTE.rstrip() + ", " + body + f"""
+SELECT key, deg FROM (
+  SELECT key, COUNT(*) AS deg FROM (
+    SELECT src AS key FROM e{rounds} UNION ALL SELECT dst FROM e{rounds}
+  ) GROUP BY key
+) WHERE deg >= (SELECT k FROM kk)
+ORDER BY key
+"""
+
+
+QUERIES["g_kcore"] = g_kcore
+ORACLES["g_kcore"] = _kcore_sql()
