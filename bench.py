@@ -49,6 +49,9 @@ EXTENSION_HEADLINE = [
     "x_ann_lsh_topk",
     "x_text_quality",
     "q10_returned_items",
+    "q8_market_share",
+    "q21_waiting_suppliers",
+    "g_kcore",
 ]
 
 

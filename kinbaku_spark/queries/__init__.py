@@ -11,12 +11,20 @@ from kinbaku_spark.queries import (  # noqa: F401
     pipeline_ext,
     relational,
     relational_ext,
+    relational_ext3,
 )
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-for mod in (relational, relational_ext, analytics, graph_queries, pipeline_ext):
+for mod in (
+    relational,
+    relational_ext,
+    relational_ext3,
+    analytics,
+    graph_queries,
+    pipeline_ext,
+):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 
