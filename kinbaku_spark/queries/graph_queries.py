@@ -953,3 +953,103 @@ ORDER BY key
 
 QUERIES["g_kcore"] = g_kcore
 ORACLES["g_kcore"] = _kcore_sql()
+
+
+# -- triangle participation on the co-supplier projection --------------------
+
+def g_triangles(spark, sf_dir):
+    """Per-node triangle participation, top 20, on the co-supplier
+    similarity graph (the stored graph is bipartite supplier→part, so it
+    is triangle-free by construction; triangles live in its one-mode
+    projection: suppliers sharing >= t parts, t = ceil(mean shared-part
+    count) — integer-exact in both engines, scale-adaptive so the
+    projection stays sparse). The reference has no multi-hop analytics at
+    all (SURVEY.md §2.4).
+
+    Scale: the projection join (sp ⋈ sp on part) is the quadratic risk —
+    per-part supplier lists blow up on hub parts; the mean-threshold cut
+    keeps only strongly-co-occurring pairs. Triangles are enumerated on
+    canonically ORIENTED edges (s1 < s2): each triangle counted exactly
+    once via the wedge join e1(a,b) ⋈ e2(b,c) closed by e3(a,c) — the
+    standard distributed formulation (one shuffle per hop on the edge
+    endpoint); at 1000-executor scale the orientation would be by degree
+    (lower-degree endpoint first) to bound wedge fan-out, which changes no
+    results, only the join sizes. Participation = each triangle credited
+    to all 3 corners (union-all + groupBy, partial aggregation map-side).
+    """
+    g = _graph(spark, sf_dir)
+    sp = g.edges_df.select("src", "dst").distinct()
+    b = sp.select(F.col("src").alias("s2"), F.col("dst").alias("p"))
+    shared = (
+        sp.select(F.col("src").alias("s1"), F.col("dst").alias("p"))
+        .join(b, "p")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+    )
+    thr = shared.agg(
+        F.ceil(F.avg("shared_parts")).cast("long").alias("t")
+    )
+    proj = (
+        shared.join(F.broadcast(thr))
+        .filter(F.col("shared_parts") >= F.col("t"))
+        .select("s1", "s2")
+        .localCheckpoint(eager=False)  # 3 consumers in the wedge join
+    )
+    e2 = proj.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
+    e3 = proj.select(F.col("s1").alias("a2"), F.col("s2").alias("c2"))
+    tri = (
+        proj.withColumnRenamed("s1", "a").withColumnRenamed("s2", "b")
+        .join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+            "left_semi",
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("key"))
+        .unionAll(tri.select(F.col("b")))
+        .unionAll(tri.select(F.col("c")))
+    )
+    return (
+        corners.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "key")
+        .limit(20)
+    )
+
+
+G_TRIANGLES_SQL = (
+    GRAPH_CTE.rstrip()
+    + """,
+sp AS (SELECT DISTINCT src, dst FROM g_edges),
+shared AS (
+  SELECT a.src AS s1, b.src AS s2, COUNT(*) AS shared_parts
+  FROM sp a JOIN sp b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+),
+thr AS (SELECT CAST(CEIL(AVG(shared_parts)) AS BIGINT) AS t FROM shared),
+proj AS (SELECT s1, s2 FROM shared WHERE shared_parts >= (SELECT t FROM thr)),
+tri AS (
+  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+  FROM proj e1
+  JOIN proj e2 ON e2.s1 = e1.s2
+  WHERE EXISTS (SELECT 1 FROM proj e3 WHERE e3.s1 = e1.s1 AND e3.s2 = e2.s2)
+),
+corners AS (
+  SELECT a AS key FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT key, COUNT(*) AS n_triangles
+FROM corners
+GROUP BY key
+ORDER BY n_triangles DESC, key
+LIMIT 20
+"""
+)
+
+
+QUERIES["g_triangles"] = g_triangles
+ORACLES["g_triangles"] = G_TRIANGLES_SQL
