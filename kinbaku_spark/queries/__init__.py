@@ -12,6 +12,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     relational,
     relational_ext,
     relational_ext3,
+    temporal,
 )
 
 QUERIES: dict = {}
@@ -24,6 +25,7 @@ for mod in (
     analytics,
     graph_queries,
     pipeline_ext,
+    temporal,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -1,0 +1,304 @@
+"""Temporal join operators + sketch aggregates the reference lacks entirely
+(SURVEY.md §2.4 — no join or time surface of any kind): as-of join, range
+(interval) join, and a deterministic KMV distinct-count sketch.
+
+These are the classic "Spark has no built-in for this" operators; each is
+expressed as a composition of DataFrame ops chosen for its SHUFFLE SHAPE at
+scale, not row-at-a-time logic:
+
+- as-of join: union-then-window (one shuffle on the key, sort-merge within
+  partition) instead of the naive inequality join, whose per-key cross
+  product is quadratic.
+- range join: bin the time axis and equi-join on (key, bin) so Catalyst
+  gets a hash join; the interval length equals the bin width, so every
+  interval spans exactly 2 bins — a bounded 2x fan-out replaces the
+  unbounded inequality-join explosion (the same trick Databricks' range
+  join hints apply).
+- KMV sketch: distinct-count estimation from the k smallest hashes —
+  mergeable (union of sketches = sketch of union), O(k) state per group.
+  Hashing is the shared 60-bit md5 prefix (functions/hashing.py) so the
+  DuckDB oracle replays it bit-exactly; estimates are therefore
+  deterministic, unlike approx_count_distinct's HLL whose internals differ
+  across engines.
+
+Determinism: all time math in integer microseconds (unix_micros ≡
+epoch_us, see FIXTURES.md); double sums via DECIMAL(18,6); the as-of lag
+average is FLOOR(µs) — identical IEEE double ops both engines, no
+decimal-ROUND boundary (engines' ROUND impls diverge by 1 ulp on exact
+halves); 63 * 2^60 is exactly representable in double (6-bit
+significand), so the KMV estimate divides identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kinbaku_spark.functions.hashing import md5_long, sql_md5_long
+from kinbaku_spark.sources.tables import load_table
+
+DEC = "decimal(18,6)"
+
+
+# -- as-of join: purchase -> most recent preceding click ----------------------
+
+def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute each purchase to the same user's most recent click at or
+    before it (classic attribution as-of join; reference has no joins at
+    all, SURVEY.md §2.4).
+
+    Plan shape: filter both sides, UNION, one window over
+    (user_id ORDER BY us, event_id) carrying the last non-null click
+    timestamp forward — a single hash shuffle on user_id plus an in-
+    partition sort. The naive formulation (inequality join + per-purchase
+    argmax) shuffles both sides AND builds a per-user cross product; at
+    100 TB the union-window form is the only one that survives skewed
+    users. Ties at identical microseconds break on event_id (click first
+    iff lower id), identical in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    us = F.unix_micros(F.col("ts"))
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        us.alias("us"),
+        F.when(F.col("event_type") == "click", us).alias("click_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = tagged.withColumn(
+        "last_click_us", F.last("click_us", ignorenulls=True).over(w)
+    )
+    lag_us = F.col("us") - F.col("last_click_us")
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count("last_click_us").alias("n_attributed"),
+            F.floor(
+                F.sum(lag_us).cast("double") / F.count("last_click_us")
+            )
+            .cast("long")
+            .alias("avg_lag_us"),
+            F.sum(
+                F.when(
+                    F.col("last_click_us").isNotNull(), F.col("value")
+                ).cast(DEC)
+            )
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+X_ASOF_JOIN_SQL = """
+WITH ce AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+), enr AS (
+  SELECT *,
+         LAST_VALUE(click_us IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+  FROM ce
+)
+SELECT user_id,
+       COUNT(*) AS n_purchases,
+       COUNT(last_click_us) AS n_attributed,
+       CAST(FLOOR(CAST(SUM(us - last_click_us) AS DOUBLE)
+                  / COUNT(last_click_us)) AS BIGINT) AS avg_lag_us,
+       CAST(SUM(CASE WHEN last_click_us IS NOT NULL
+                     THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+         AS attributed_value
+FROM enr
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# -- range join: follow-up events inside a 10-minute incident window ----------
+
+BIN_US = 600_000_000  # 10 min in microseconds = interval length = bin width
+
+
+def x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: how many click/view events land inside the 10-minute
+    window after each of their errors (interval join; reference has no
+    joins, SURVEY.md §2.4).
+
+    Plan shape: binned range join. Because the interval length equals the
+    bin width, interval [t, t+W] intersects exactly bins {t div W,
+    t div W + 1}: explode each error into those two candidate bins and
+    equi-join on (user_id, bin), then apply the exact range predicate —
+    Catalyst gets a shuffled hash join with a bounded 2x build fan-out
+    instead of a per-user nested-loop inequality join. LEFT join keeps
+    zero-follow errors. All µs math is integer-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), us.alias("err_us")
+    )
+    follows = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("f_user"),
+        us.alias("f_us"),
+        F.expr(f"unix_micros(ts) div {BIN_US}").alias("f_bin"),
+    )
+    cand = errors.withColumn(
+        "bin",
+        F.explode(
+            F.array(
+                F.expr(f"err_us div {BIN_US}"),
+                F.expr(f"err_us div {BIN_US} + 1"),
+            )
+        ),
+    )
+    joined = cand.join(
+        follows,
+        (F.col("user_id") == F.col("f_user"))
+        & (F.col("bin") == F.col("f_bin"))
+        & (F.col("f_us") >= F.col("err_us"))
+        & (F.col("f_us") <= F.col("err_us") + F.lit(BIN_US)),
+        "left",
+    )
+    per_err = joined.groupBy("user_id", "err_id").agg(
+        F.count("f_us").alias("n_follow")
+    )
+    return (
+        per_err.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_errors"),
+            F.sum("n_follow").alias("total_follows"),
+            F.max("n_follow").alias("max_follows"),
+        )
+        .orderBy("user_id")
+    )
+
+
+X_RANGE_JOIN_SQL = f"""
+WITH errors AS (
+  SELECT user_id, event_id AS err_id, epoch_us(ts) AS err_us
+  FROM events WHERE event_type = 'error'
+), follows AS (
+  SELECT user_id AS f_user, epoch_us(ts) AS f_us
+  FROM events WHERE event_type IN ('click', 'view')
+), per_err AS (
+  SELECT e.user_id, e.err_id, COUNT(f.f_us) AS n_follow
+  FROM errors e
+  LEFT JOIN follows f
+    ON f.f_user = e.user_id
+   AND f.f_us >= e.err_us AND f.f_us <= e.err_us + {BIN_US}
+  GROUP BY 1, 2
+)
+SELECT user_id,
+       COUNT(*) AS n_errors,
+       CAST(SUM(n_follow) AS BIGINT) AS total_follows,
+       MAX(n_follow) AS max_follows
+FROM per_err
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# -- KMV sketch: deterministic distinct-count estimate ------------------------
+
+KMV_K = 64
+TWO_60 = float(1 << 60)  # exactly representable: power of two
+
+
+def x_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l_partkey per l_returnflag, estimated with a k-minimum-
+    values sketch (k=64) next to the exact count (reference has no
+    aggregation surface, SURVEY.md §2.4).
+
+    KMV: hash every value uniformly into [0, 2^60); the k-th smallest
+    hash h_k estimates distinct ≈ (k-1) * 2^60 / h_k. Sketches merge by
+    unioning hash sets and re-truncating to k, so at 100 TB this runs as
+    a map-side partial (each partition keeps its k smallest) + one tiny
+    shuffle of k longs per group — versus the full shuffle of every
+    distinct value the exact count needs. Here the reference plan keeps
+    the exact count alongside (the test IS the comparison); groups with
+    fewer than k values fall back to the exact count, the standard KMV
+    small-cardinality rule. Deterministic md5-prefix hashing makes the
+    estimate reproducible and oracle-checkable, unlike HLL.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_partkey")
+        .distinct()
+    )
+    hashed = li.select(
+        "l_returnflag", md5_long(F.col("l_partkey").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    agg = ranked.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("kth"),
+        F.count(F.lit(1)).alias("true_distinct"),
+    )
+    est = F.when(
+        F.col("kth").isNull(), F.col("true_distinct").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(KMV_K - 1)) * F.lit(TWO_60) / F.col("kth").cast("double"),
+            6,
+        )
+    )
+    return agg.select(
+        F.col("l_returnflag").alias("grp"),
+        "true_distinct",
+        est.alias("est_distinct"),
+    ).orderBy("grp")
+
+
+X_KMV_DISTINCT_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT l_returnflag, l_partkey FROM lineitem
+), h AS (
+  SELECT l_returnflag,
+         {sql_md5_long("CAST(l_partkey AS VARCHAR)")} AS h
+  FROM d
+), r AS (
+  SELECT l_returnflag, h,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM h
+), a AS (
+  SELECT l_returnflag,
+         MAX(CASE WHEN rn = {KMV_K} THEN h END) AS kth,
+         COUNT(*) AS true_distinct
+  FROM r GROUP BY 1
+)
+SELECT l_returnflag AS grp,
+       true_distinct,
+       CASE WHEN kth IS NULL THEN CAST(true_distinct AS DOUBLE)
+            ELSE ROUND(CAST('{KMV_K - 1}' AS DOUBLE)
+                       * CAST('{1 << 60}' AS DOUBLE)
+                       / CAST(kth AS DOUBLE), 6)
+       END AS est_distinct
+FROM a
+ORDER BY grp
+"""
+
+
+QUERIES = {
+    "x_asof_join": x_asof_join,
+    "x_range_join": x_range_join,
+    "x_kmv_distinct": x_kmv_distinct,
+}
+
+ORACLES = {
+    "x_asof_join": X_ASOF_JOIN_SQL,
+    "x_range_join": X_RANGE_JOIN_SQL,
+    "x_kmv_distinct": X_KMV_DISTINCT_SQL,
+}
