@@ -52,6 +52,10 @@ EXTENSION_HEADLINE = [
     "q8_market_share",
     "q21_waiting_suppliers",
     "g_kcore",
+    "x_asof_join",
+    "x_range_join",
+    "x_hypertable_rollup",
+    "x_kmv_distinct",
 ]
 
 

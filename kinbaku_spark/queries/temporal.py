@@ -291,14 +291,193 @@ ORDER BY grp
 """
 
 
+# -- hypertable rollup: hierarchical time-bucket aggregates -------------------
+
+HOUR_US = 3_600_000_000
+
+
+def x_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type event aggregates computed FROM hourly partials — the
+    TimescaleDB continuous-aggregate / hypertable-rollup pattern
+    (reference has no time or aggregation surface, SURVEY.md §2.4).
+
+    Plan shape: the hourly tier aggregates raw events once (map-side
+    partial + one shuffle on (hour, type)); the daily tier then shuffles
+    only |hours|x|types| partial rows, not raw events — at 100 TB the
+    coarse tiers are effectively free, and columns like peak_hour_events
+    / n_active_hours are only computable from the hierarchy, not from a
+    flat daily groupBy. In production the hourly tier is an incremental
+    materialized sink (streaming/ has the watermarked writeStream
+    equivalent); here both tiers run in one plan. Bucket indices are
+    integer µs divisions — exact in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour_idx", F.expr(f"unix_micros(ts) div {HOUR_US}"))
+        .groupBy("hour_idx", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("sv"),
+        )
+    )
+    return (
+        hourly.withColumn("day_idx", F.expr("hour_idx div 24"))
+        .groupBy("day_idx", "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+            F.max("n").alias("peak_hour_events"),
+            F.count(F.lit(1)).alias("n_active_hours"),
+        )
+        .orderBy("day_idx", "event_type")
+    )
+
+
+X_HYPERTABLE_ROLLUP_SQL = f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // {HOUR_US} AS hour_idx, event_type,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sv
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT hour_idx // 24 AS day_idx, event_type,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(sv) AS DOUBLE) AS sum_value,
+       MAX(n) AS peak_hour_events,
+       COUNT(*) AS n_active_hours
+FROM hourly
+GROUP BY 1, 2
+ORDER BY day_idx, event_type
+"""
+
+
+# -- KMV set algebra: sketch-estimated audience overlap -----------------------
+
+EVENT_PAIRS = [
+    ("click", "purchase"),
+    ("view", "purchase"),
+    ("error", "signup"),
+]
+
+
+def x_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated vs exact user-audience overlap between event types via
+    KMV sketch set algebra: the k smallest hashes of A ∪ B form the union
+    sketch; the fraction of them present in both sides, scaled by the
+    union estimate, estimates |A ∩ B| (Beyer et al., SIGMOD'07).
+
+    This is the operation sketches exist for at 100 TB: the exact overlap
+    needs a full shuffle of every (type, user) pair, while sketch
+    intersection ships k=64 longs per side and composes (the per-type
+    sketches would be precomputed once and reused across all pairs).
+    Groups with < k union hashes fall back to exact (sketch is lossless
+    there) — sf0.001 exercises that branch, sf0.01+ the estimate branch.
+    The estimate expression is written with identical association in both
+    engines, so the doubles are bit-equal without rounding.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pairs = spark.createDataFrame(EVENT_PAIRS, "t1 string, t2 string")
+    s = ev.select(
+        "event_type", md5_long(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    tagged = s.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("t1"))
+        | (F.col("event_type") == F.col("t2")),
+    )
+    member = tagged.groupBy("t1", "t2", "h").agg(
+        F.max((F.col("event_type") == F.col("t1")).cast("int")).alias("in_a"),
+        F.max((F.col("event_type") == F.col("t2")).cast("int")).alias("in_b"),
+    )
+    w = Window.partitionBy("t1", "t2").orderBy("h")
+    ranked = member.withColumn("rn", F.row_number().over(w))
+    agg = (
+        ranked.filter(F.col("rn") <= KMV_K)
+        .groupBy("t1", "t2")
+        .agg(
+            F.max("h").alias("kth"),
+            F.count(F.lit(1)).alias("sk_size"),
+            F.sum(
+                (F.col("in_a") * F.col("in_b")).cast("long")
+            ).alias("k_both"),
+        )
+    )
+    exact = (
+        member.groupBy("t1", "t2")
+        .agg(
+            F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias(
+                "true_intersection"
+            )
+        )
+    )
+    est = F.when(
+        F.col("sk_size") < KMV_K, F.col("k_both").cast("double")
+    ).otherwise(
+        F.col("k_both").cast("double")
+        * F.lit(float(KMV_K - 1))
+        * F.lit(TWO_60)
+        / F.col("kth").cast("double")
+        / F.lit(float(KMV_K))
+    )
+    return (
+        agg.join(exact, ["t1", "t2"])
+        .select("t1", "t2", "true_intersection", est.alias("est_intersection"))
+        .orderBy("t1", "t2")
+    )
+
+
+_PAIRS_VALUES = ", ".join(f"('{a}', '{b}')" for a, b in EVENT_PAIRS)
+
+X_KMV_INTERSECT_SQL = f"""
+WITH pairs(t1, t2) AS (VALUES {_PAIRS_VALUES}),
+s AS (
+  SELECT DISTINCT event_type,
+         {sql_md5_long("CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+), member AS (
+  SELECT p.t1, p.t2, s.h,
+         MAX(CASE WHEN s.event_type = p.t1 THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.event_type = p.t2 THEN 1 ELSE 0 END) AS in_b
+  FROM s JOIN pairs p ON s.event_type = p.t1 OR s.event_type = p.t2
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY t1, t2 ORDER BY h) AS rn
+  FROM member
+), a AS (
+  SELECT t1, t2, MAX(h) AS kth, COUNT(*) AS sk_size,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS k_both
+  FROM ranked WHERE rn <= {KMV_K}
+  GROUP BY 1, 2
+), exact AS (
+  SELECT t1, t2, CAST(SUM(in_a * in_b) AS BIGINT) AS true_intersection
+  FROM member GROUP BY 1, 2
+)
+SELECT a.t1, a.t2, exact.true_intersection,
+       CASE WHEN a.sk_size < {KMV_K} THEN CAST(a.k_both AS DOUBLE)
+            ELSE CAST(a.k_both AS DOUBLE)
+                 * CAST('{KMV_K - 1}' AS DOUBLE)
+                 * CAST('{1 << 60}' AS DOUBLE)
+                 / CAST(a.kth AS DOUBLE)
+                 / CAST('{KMV_K}' AS DOUBLE)
+       END AS est_intersection
+FROM a JOIN exact ON a.t1 = exact.t1 AND a.t2 = exact.t2
+ORDER BY a.t1, a.t2
+"""
+
+
 QUERIES = {
     "x_asof_join": x_asof_join,
     "x_range_join": x_range_join,
     "x_kmv_distinct": x_kmv_distinct,
+    "x_hypertable_rollup": x_hypertable_rollup,
+    "x_kmv_intersect": x_kmv_intersect,
 }
 
 ORACLES = {
     "x_asof_join": X_ASOF_JOIN_SQL,
     "x_range_join": X_RANGE_JOIN_SQL,
     "x_kmv_distinct": X_KMV_DISTINCT_SQL,
+    "x_hypertable_rollup": X_HYPERTABLE_ROLLUP_SQL,
+    "x_kmv_intersect": X_KMV_INTERSECT_SQL,
 }
