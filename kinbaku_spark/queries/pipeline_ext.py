@@ -12,7 +12,9 @@ from kinbaku_spark.operators.pipeline import (
     cross_split_contamination,
     pack_sequences,
     stratified_sample,
+    weighted_sample,
 )
+from pyspark.sql import functions as F
 from kinbaku_spark.operators.text import TOKEN_PATTERN
 from kinbaku_spark.sources.tables import load_table
 
@@ -41,6 +43,35 @@ SELECT doc_id, lang, bucket,
   CASE WHEN sb < 8 THEN 'train' WHEN sb < 9 THEN 'val' ELSE 'test' END AS split
 FROM s
 WHERE bucket < CASE WHEN lang = 'en' THEN 200 ELSE 600 END
+"""
+
+
+# -- deterministic weighted sample (Efraimidis-Spirakis top-k) ----------------
+
+WSAMPLE_K = 20
+
+
+def x_weighted_sample(spark, sf_dir):
+    """Length-weighted document sample: longer docs proportionally more
+    likely, yet the draw is a pure function of doc_id (see
+    operators/pipeline.py weighted_sample for the scale analysis)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "weight", (F.col("n_chars") + F.lit(1)).cast("long")
+    )
+    return weighted_sample(docs, k=WSAMPLE_K, weight_col="weight")
+
+
+X_WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars + 1 AS BIGINT) AS weight,
+         ln(CAST({sql_md5_long("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+            / CAST('{1 << 60}' AS DOUBLE))
+         / CAST(n_chars + 1 AS DOUBLE) AS k
+  FROM documents
+), top AS (
+  SELECT doc_id, weight FROM keyed ORDER BY k DESC, doc_id LIMIT {WSAMPLE_K}
+)
+SELECT doc_id, weight FROM top ORDER BY doc_id
 """
 
 
@@ -105,12 +136,14 @@ ORDER BY tr.doc_id
 
 QUERIES = {
     "x_sample_stratified": x_sample_stratified,
+    "x_weighted_sample": x_weighted_sample,
     "x_seq_packing": x_seq_packing,
     "x_contamination": x_contamination,
 }
 
 ORACLES = {
     "x_sample_stratified": X_SAMPLE_SQL,
+    "x_weighted_sample": X_WEIGHTED_SAMPLE_SQL,
     "x_seq_packing": X_SEQ_PACKING_SQL,
     "x_contamination": X_CONTAMINATION_SQL,
 }

@@ -466,12 +466,109 @@ ORDER BY a.t1, a.t2
 """
 
 
+# -- count-min sketch: heavy-hitter frequency estimation ----------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+CM_TOPN = 10
+
+
+def x_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for the 10 most active users,
+    next to their exact event counts (Cormode-Muthukrishnan'05; reference
+    has no aggregation surface, SURVEY.md §2.4).
+
+    The sketch is a d x w counter matrix (d=4, w=1024): each event
+    increments one counter per row at bucket md5(row:user) mod w; a
+    user's estimate is the MIN of its d counters — always >= truth, over
+    by at most ~2n/w with probability 1 - 2^-d. At 100 TB the matrix is
+    4 KiB of state per partition, merged by addition (vs a full shuffle
+    per exact count); here both the sketch fill (explode d rows ->
+    groupBy (row, bucket), map-side partial) and the probe (broadcast of
+    top-N x d cells) are DataFrame ops so the DuckDB oracle replays the
+    exact same counters. Integer-only math — no float drift.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rows = F.array(*[F.lit(j) for j in range(CM_DEPTH)])
+    cell = ev.select(
+        F.explode(rows).alias("j"), F.col("user_id")
+    ).select(
+        "j",
+        (
+            md5_long(
+                F.concat(
+                    F.col("j").cast("string"),
+                    F.lit(":"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+            % CM_WIDTH
+        ).alias("bucket"),
+    )
+    counters = cell.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    heavy = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_freq"))
+        .orderBy(F.desc("true_freq"), "user_id")
+        .limit(CM_TOPN)
+    )
+    probes = heavy.select(
+        "user_id", "true_freq", F.explode(rows).alias("j")
+    ).withColumn(
+        "bucket",
+        md5_long(
+            F.concat(
+                F.col("j").cast("string"),
+                F.lit(":"),
+                F.col("user_id").cast("string"),
+            )
+        )
+        % CM_WIDTH,
+    )
+    return (
+        F.broadcast(probes)
+        .join(counters, ["j", "bucket"])
+        .groupBy("user_id", "true_freq")
+        .agg(F.min("cnt").alias("est_freq"))
+        .orderBy("user_id")
+    )
+
+
+_CM_ROWS = ", ".join(f"({j})" for j in range(CM_DEPTH))
+
+X_COUNTMIN_FREQ_SQL = f"""
+WITH rows_(j) AS (VALUES {_CM_ROWS}),
+cell AS (
+  SELECT r.j,
+         {sql_md5_long("CAST(r.j AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)")}
+           % {CM_WIDTH} AS bucket
+  FROM events e CROSS JOIN rows_ r
+), counters AS (
+  SELECT j, bucket, COUNT(*) AS cnt FROM cell GROUP BY 1, 2
+), heavy AS (
+  SELECT user_id, COUNT(*) AS true_freq
+  FROM events GROUP BY 1
+  ORDER BY true_freq DESC, user_id LIMIT {CM_TOPN}
+), probes AS (
+  SELECT h.user_id, h.true_freq, r.j,
+         {sql_md5_long("CAST(r.j AS VARCHAR) || ':' || CAST(h.user_id AS VARCHAR)")}
+           % {CM_WIDTH} AS bucket
+  FROM heavy h CROSS JOIN rows_ r
+)
+SELECT p.user_id, p.true_freq, MIN(c.cnt) AS est_freq
+FROM probes p JOIN counters c ON c.j = p.j AND c.bucket = p.bucket
+GROUP BY 1, 2
+ORDER BY p.user_id
+"""
+
+
 QUERIES = {
     "x_asof_join": x_asof_join,
     "x_range_join": x_range_join,
     "x_kmv_distinct": x_kmv_distinct,
     "x_hypertable_rollup": x_hypertable_rollup,
     "x_kmv_intersect": x_kmv_intersect,
+    "x_countmin_freq": x_countmin_freq,
 }
 
 ORACLES = {
@@ -480,4 +577,5 @@ ORACLES = {
     "x_kmv_distinct": X_KMV_DISTINCT_SQL,
     "x_hypertable_rollup": X_HYPERTABLE_ROLLUP_SQL,
     "x_kmv_intersect": X_KMV_INTERSECT_SQL,
+    "x_countmin_freq": X_COUNTMIN_FREQ_SQL,
 }
