@@ -1,4 +1,5 @@
 from kinbaku_spark.streaming.windows import (
+    dedup_events,
     read_events_stream,
     sessionized_stats,
     sliding_event_rates,
@@ -7,6 +8,7 @@ from kinbaku_spark.streaming.windows import (
 )
 
 __all__ = [
+    "dedup_events",
     "read_events_stream",
     "sessionized_stats",
     "sliding_event_rates",

@@ -34,6 +34,25 @@ def read_events_stream(spark: SparkSession, path_dir: str) -> DataFrame:
     return spark.readStream.schema(EVENTS_SCHEMA).parquet(path_dir)
 
 
+def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exact-dedup ingest: keep one arrival per event_id — the first stage
+    of any training-data ingest (at-least-once sources redeliver).
+
+    Streaming path uses dropDuplicatesWithinWatermark: state holds one
+    entry per event_id seen inside the watermark horizon and is evicted
+    past it, so state size is bounded by (horizon x arrival rate), not
+    stream length — the property that makes exact streaming dedup viable
+    at 100 TB/day. Batch path is plain dropDuplicates (same semantics
+    when data fits one run). Emits append-mode rows (no aggregation), so
+    downstream sinks see each surviving event exactly once.
+    """
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
 def tumbling_event_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

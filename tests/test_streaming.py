@@ -154,3 +154,36 @@ def test_stream_edges_into_graph(spark, event_files):
         (r["src"], r["dst"]) for r in want.collect()
     )
     assert g.n_nodes == want.select("src").union(want.select("dst")).distinct().count()
+
+
+def test_stream_dedup_parity(spark, event_files):
+    """Exact-dedup ingest over a redelivering source: every file delivered
+    twice; the streaming dedup must recover exactly the batch-distinct
+    set of events (one row per event_id)."""
+    import tempfile
+
+    from kinbaku_spark.streaming import dedup_events
+
+    d = tempfile.mkdtemp(prefix="kb_dupstream_")
+    src = spark.read.parquet(event_files)
+    src.write.mode("append").parquet(f"{d}/dup")
+    src.write.mode("append").parquet(f"{d}/dup")  # redelivery
+
+    batch = spark.read.parquet(f"{d}/dup")
+    assert batch.count() == 2 * src.count()
+    expected = dedup_events(batch)
+
+    q = (
+        dedup_events(read_events_stream(spark, f"{d}/dup"))
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_dedup")
+    cols = ["event_id", "user_id", "event_type"]
+    assert _rows(got, cols) == _rows(expected, cols)
+    assert got.count() == src.count()
+    shutil.rmtree(d, ignore_errors=True)
