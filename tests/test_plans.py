@@ -144,3 +144,40 @@ def test_sample_stratified_is_scan_side_only(spark, sf_dir):
     assert "Exchange" not in plan, "sampling must not shuffle"
     cols = read_schema_columns(df)
     assert all(set(c) <= {"doc_id", "lang"} for c in cols), cols
+
+
+# -- temporal joins & sketches (temporal.py) ---------------------------------
+
+def test_asof_join_is_join_free(spark, sf_dir):
+    """The as-of join must compile to a window over ONE key shuffle —
+    any Join node means the per-key cross product came back."""
+    df = QUERIES["x_asof_join"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "Join" not in plan, plan[:800]
+    assert "Window" in plan, plan[:800]
+    assert has_pushed_filter(df, "event_type"), "type filter must reach scan"
+
+
+def test_range_join_stays_equi(spark, sf_dir):
+    """The binned interval join must be a hash join on (user, bin) — a
+    BroadcastNestedLoopJoin means the inequality leaked into the join and
+    the plan is quadratic at scale."""
+    df = QUERIES["x_range_join"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+    assert "HashJoin" in plan, plan[:800]
+
+
+def test_weighted_sample_no_global_sort(spark, sf_dir):
+    """E-S top-k must be TakeOrderedAndProject (per-partition top-k +
+    bounded merge), never a full Sort of the corpus."""
+    df = QUERIES["x_weighted_sample"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+
+
+def test_countmin_probe_broadcasts(spark, sf_dir):
+    """The sketch probe (top-N x d cells) must broadcast against the
+    counter matrix, not shuffle it."""
+    df = QUERIES["x_countmin_freq"](spark, sf_dir)
+    assert has_broadcast_join(df), "probe side must broadcast"
