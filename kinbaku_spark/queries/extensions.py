@@ -627,3 +627,60 @@ WHERE COALESCE(LEAST(f.doc_id, (SELECT MIN(v) FROM reach WHERE u = f.doc_id)),
 
 QUERIES["x_curate_corpus"] = x_curate_corpus
 ORACLES["x_curate_corpus"] = _curate_sql()
+
+
+# ---------------------------------------------------------------------------
+# x_ann_recall — recall@k of the LSH path vs brute-force ground truth
+# ---------------------------------------------------------------------------
+
+def x_ann_recall(spark, sf_dir):
+    """Recall@k of each ANN index (IVF cell-probe, multi-probe LSH)
+    against the brute-force top-k — the quality metric that decides
+    whether an index is shippable, and the honest comparison between
+    them: on these synthetic near-uniform embeddings IVF beats
+    hyperplane LSH, which concentration of measure renders unselective.
+
+    At 100 TB this is the standard offline evaluation loop: ground truth
+    on a sampled query set (brute force is O(n) per query but exact),
+    semi-joined against each index's candidates. Composes the existing
+    pipelines unchanged; the oracle nests all three SQL replays as CTEs,
+    so any drift in any path surfaces here too.
+    """
+    exact = x_ann_cosine_topk(spark, sf_dir).select("vec_id")
+    per_method = []
+    for method, qfn in (("ivf", x_ann_ivf_topk), ("lsh", x_ann_lsh_topk)):
+        approx = qfn(spark, sf_dir).select("vec_id")
+        per_method.append(
+            exact.join(approx, "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(ANN_K).alias("k"),
+                "n_overlap",
+                (
+                    F.col("n_overlap").cast("double") / F.lit(float(ANN_K))
+                ).alias("recall_at_k"),
+            )
+        )
+    return per_method[0].unionAll(per_method[1]).orderBy("method")
+
+
+def _ann_recall_sql() -> str:
+    frac = f"CAST(COUNT(*) AS DOUBLE) / CAST('{ANN_K}' AS DOUBLE)"
+    return f"""
+WITH exact_k AS ({X_ANN_COSINE_SQL}),
+approx_ivf AS ({_ann_ivf_sql()}),
+approx_lsh AS ({_ann_lsh_sql()})
+SELECT 'ivf' AS method, {ANN_K} AS k, COUNT(*) AS n_overlap,
+       {frac} AS recall_at_k
+FROM exact_k WHERE vec_id IN (SELECT vec_id FROM approx_ivf)
+UNION ALL
+SELECT 'lsh' AS method, {ANN_K} AS k, COUNT(*) AS n_overlap,
+       {frac} AS recall_at_k
+FROM exact_k WHERE vec_id IN (SELECT vec_id FROM approx_lsh)
+ORDER BY method
+"""
+
+
+QUERIES["x_ann_recall"] = x_ann_recall
+ORACLES["x_ann_recall"] = _ann_recall_sql()
