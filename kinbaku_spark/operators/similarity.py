@@ -10,10 +10,20 @@ a small batch) broadcasts. Brute force is one scan + one top-k
 (TakeOrderedAndProject — no full sort); LSH turns it into a bucket-pruned
 scan. For a real ANN index (IVF/HNSW) the bucketing below generalizes:
 centroid assignment is the same broadcast-join shape.
+
+Driver-cost note: query-side quantities (the query signature, the query
+norm) are computed in pure Python — CPython floats are the same IEEE-754
+doubles with the same left-to-right accumulation, so the values are
+bit-identical to a Spark job's, and we skip both a collect() job and the
+construction of a second giant expression. Corpus-side expressions embed the
+plane/query literals in ONE `F.expr` SQL string (one py4j round trip,
+server-side parse) instead of thousands of `F.lit` calls, which dominated
+wall-clock at 16 planes x 64 dims.
 """
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -37,6 +47,56 @@ def cosine(a: Column, b: Column) -> Column:
     return dot_double(a, b) / (norm_double(a) * norm_double(b))
 
 
+# ---------------------------------------------------------------------------
+# Literal-query fast path: pure-Python query math + single-parse SQL exprs
+# ---------------------------------------------------------------------------
+
+def py_dot(a: list[float], b: list[float]) -> float:
+    """Sequential left-to-right Σ a_i*b_i — bit-identical to dot_double."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def py_norm(a: list[float]) -> float:
+    acc = 0.0
+    for x in a:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def sql_double_array(vals: list[float]) -> str:
+    """Spark-SQL array literal of doubles via string casts (strtod parses
+    repr() exactly, matching how the same literal reaches DuckDB)."""
+    return "array(" + ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals) + ")"
+
+
+def _sql_dot_lit(vec_col: str, vals: list[float]) -> str:
+    return (
+        f"aggregate(zip_with({vec_col}, {sql_double_array(vals)}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_norm(vec_col: str) -> str:
+    return (
+        f"sqrt(aggregate({vec_col}, CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+
+
+def cosine_vs_literal(vec_col: str, query_vec: list[float]) -> Column:
+    """cosine(col, literal query) with the query norm folded to a Python
+    constant — same value as cosine(col, lit(q)) bit-for-bit, built in one
+    py4j call."""
+    qn = py_norm(query_vec)
+    return F.expr(
+        f"{_sql_dot_lit(vec_col, query_vec)} / ({_sql_norm(vec_col)} * CAST('{qn!r}' AS DOUBLE))"
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     query_vec: list[float],
@@ -50,14 +110,13 @@ def cosine_topk(
     The query is a literal array (broadcast by value); the plan is a single
     projection + TakeOrderedAndProject — no shuffle of the corpus.
     """
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
     df = corpus
     if exclude_id is not None:
         df = df.filter(F.col(id_col) != exclude_id)
     return (
         df.select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 6).alias("sim"),
+            F.round(cosine_vs_literal(vec_col, query_vec), 6).alias("sim"),
         )
         .orderBy(F.desc("sim"), F.col(id_col))
         .limit(k)
@@ -73,13 +132,29 @@ def random_hyperplanes(n_planes: int = 16, dim: int = 64, seed: int = 7) -> list
     ]
 
 
-def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-of-projection bit signature as a long."""
-    sig = F.lit(0).cast("long")
+def py_lsh_signature(vec: list[float], planes: list[list[float]]) -> int:
+    """Sign-of-projection bit signature, computed driver-side. Bit-identical
+    to the SQL/Column form: same sequential dot, same `> 0` test."""
+    sig = 0
     for i, p in enumerate(planes):
-        proj = dot_double(vec, F.array(*[F.lit(v) for v in p]))
-        sig = sig + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        if py_dot(vec, p) > 0:
+            sig += 1 << i
     return sig
+
+
+def lsh_signature_sql(vec_col: str, planes: list[list[float]]) -> str:
+    """Spark-SQL text for the corpus-side signature (one parse, no py4j
+    literal storm)."""
+    terms = [
+        f"(CASE WHEN {_sql_dot_lit(vec_col, p)} > CAST(0 AS DOUBLE) "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_signature(vec_col: str, planes: list[list[float]]) -> Column:
+    return F.expr(lsh_signature_sql(vec_col, planes))
 
 
 def lsh_topk(
@@ -98,26 +173,20 @@ def lsh_topk(
 
     Scale: the signature is precomputable/persistable per corpus row; the
     probe is a bit_count filter (or an IN over the probe bucket set) that
-    prunes the scan before any vector arithmetic.
+    prunes the scan before any vector arithmetic. The query signature is
+    computed driver-side (no Spark job).
     """
     planes = planes or random_hyperplanes(dim=len(query_vec))
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    qsig_row = (
-        corpus.sparkSession.range(1)
-        .select(lsh_signature(q, planes).alias("qsig"))
-        .collect()[0]
-    )
-    qsig = int(qsig_row["qsig"])
+    qsig = py_lsh_signature(query_vec, planes)
     df = corpus
     if exclude_id is not None:
         df = df.filter(F.col(id_col) != exclude_id)
-    sig = lsh_signature(F.col(vec_col), planes)
     return (
-        df.select(F.col(id_col), F.col(vec_col), sig.alias("sig"))
+        df.select(F.col(id_col), F.col(vec_col), lsh_signature(vec_col, planes).alias("sig"))
         .filter(F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_probe_hamming)
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 6).alias("sim"),
+            F.round(cosine_vs_literal(vec_col, query_vec), 6).alias("sim"),
         )
         .orderBy(F.desc("sim"), F.col(id_col))
         .limit(k)
@@ -189,12 +258,11 @@ def ivf_topk(
     reading n_probe/k_cells of the data (plus a tiny centroid table that
     always broadcasts).
     """
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
     cen = label_centroids(corpus, label_col, vec_col)
     probes = [
         r[label_col]
         for r in cen.select(
-            label_col, cosine(F.col("centroid"), q).alias("sim")
+            label_col, cosine_vs_literal("centroid", query_vec).alias("sim")
         )
         .orderBy(F.desc("sim"), F.col(label_col))
         .limit(n_probe)
@@ -204,7 +272,10 @@ def ivf_topk(
     if exclude_id is not None:
         df = df.filter(F.col(id_col) != exclude_id)
     return (
-        df.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("sim"))
+        df.select(
+            F.col(id_col),
+            F.round(cosine_vs_literal(vec_col, query_vec), 6).alias("sim"),
+        )
         .orderBy(F.desc("sim"), F.col(id_col))
         .limit(k)
     )

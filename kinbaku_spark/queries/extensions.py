@@ -245,9 +245,18 @@ WHERE a.vec_id < b.vec_id
 # x_ann_cosine_topk — brute-force top-k for the vec_id=0 query vector
 # ---------------------------------------------------------------------------
 
+_QUERY_VEC_CACHE: dict[str, list[float]] = {}
+
+
 def _query_vec(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
-    return emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    # memoized per sf_dir: the parquet is immutable, the vector is a plain
+    # Python list, and every ANN query would otherwise pay a one-row job
+    if sf_dir not in _QUERY_VEC_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _QUERY_VEC_CACHE[sf_dir] = (
+            emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        )
+    return _QUERY_VEC_CACHE[sf_dir]
 
 
 def x_ann_cosine_topk(spark, sf_dir):

@@ -2,7 +2,7 @@
 
 The reference reads/writes exactly one format: its own mmap'd binary file
 (graph.py:282-331). Here the engine speaks the standard lake formats —
-Parquet (default), CSV, JSON — for both the graph tables and arbitrary
+Parquet (default), CSV, JSON, ORC — for both the graph tables and arbitrary
 DataFrames, with schema pinning on read (never infer in production paths:
 inference costs an extra pass and can drift between files).
 
@@ -18,7 +18,7 @@ from pyspark.sql.types import StructType
 
 from kinbaku_spark.graph import Graph
 
-FORMATS = ("parquet", "csv", "json")
+FORMATS = ("parquet", "csv", "json", "orc")
 
 
 def read_table(

@@ -100,7 +100,7 @@ def test_degree_counts_parallel_edges(g):
 
 
 def test_io_roundtrip_formats(spark, g, tmp_path):
-    for fmt in ("parquet", "csv", "json"):
+    for fmt in ("parquet", "csv", "json", "orc"):
         path = str(tmp_path / f"g_{fmt}")
         save_graph(g, path, fmt)
         g2 = load_graph(
