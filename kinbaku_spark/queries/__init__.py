@@ -12,6 +12,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     relational,
     relational_ext,
     relational_ext3,
+    reshape,
     temporal,
 )
 
@@ -25,6 +26,7 @@ for mod in (
     analytics,
     graph_queries,
     pipeline_ext,
+    reshape,
     temporal,
 ):
     QUERIES.update(mod.QUERIES)
