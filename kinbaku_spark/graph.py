@@ -266,6 +266,23 @@ class Graph:
         self._flush()
         return self._edges
 
+    # -- SQL facade (extension; the reference has no SQL surface at all,
+    #    SURVEY.md §2.4) ------------------------------------------------------
+
+    def register_views(
+        self, nodes_view: str = "g_nodes", edges_view: str = "g_edges"
+    ) -> None:
+        """Expose the graph as temp views so any ANSI SQL runs against it
+        via ``spark.sql`` (Catalyst plans it like the DataFrame API)."""
+        self.nodes_df.createOrReplaceTempView(nodes_view)
+        self.edges_df.createOrReplaceTempView(edges_view)
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL against this graph's registered views (sugar: registers
+        the default view names first)."""
+        self.register_views()
+        return self.spark.sql(query)
+
     # -- iteration (reference graph.py:152-171; order is canonicalized to key
     #    order — the reference's DFS/file order is a storage artifact,
     #    FIXTURES.md §5) ------------------------------------------------------

@@ -13,6 +13,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     relational_ext,
     relational_ext3,
     reshape,
+    sql_surface,
     temporal,
 )
 
@@ -27,6 +28,7 @@ for mod in (
     graph_queries,
     pipeline_ext,
     reshape,
+    sql_surface,
     temporal,
 ):
     QUERIES.update(mod.QUERIES)

@@ -45,6 +45,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every base table as a temp view (same names DuckDB
+    pre-registers), enabling a shared ANSI-SQL path: the identical query
+    string runs on both engines."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 # ---------------------------------------------------------------------------
 # Graph derivations (FIXTURES.md §2). Each has an exact SQL twin used by the
 # DuckDB oracle; keep the two in lockstep.

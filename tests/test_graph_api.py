@@ -127,6 +127,14 @@ def test_write_table_partitioned(spark, tmp_path):
     assert pruned.count() == 2
 
 
+def test_sql_facade(spark, g):
+    """Graph.sql runs ANSI SQL over the registered node/edge views."""
+    out = g.sql("SELECT src, COUNT(*) AS d FROM g_edges GROUP BY src ORDER BY src")
+    got = [(r.src, r.d) for r in out.collect()]
+    srcs = sorted({r.src for r in g.edges_df.select("src").collect()})
+    assert got == [(k, g.out_degree(k)) for k in srcs]
+
+
 def test_adjacency_and_subgraph(spark):
     edges = spark.createDataFrame(
         [("a", "b", 0), ("b", "c", 0), ("c", "a", 0), ("a", "c", 0)],
