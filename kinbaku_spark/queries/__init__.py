@@ -15,6 +15,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     reshape,
     sql_surface,
     temporal,
+    udf_surface,
 )
 
 QUERIES: dict = {}
@@ -30,6 +31,7 @@ for mod in (
     reshape,
     sql_surface,
     temporal,
+    udf_surface,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

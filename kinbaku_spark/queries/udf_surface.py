@@ -1,0 +1,75 @@
+"""UDF/UDTF surface queries: the Arrow pandas_udf and the Python UDTF from
+``functions.udfs`` driven end-to-end, with exact DuckDB replays (integer and
+string outputs only — no float drift possible).
+
+The reference's UDF story is a pluggable hash function and dataclass
+schemas (SURVEY.md §2.4); this is the Spark-native equivalent surface.
+"""
+
+from __future__ import annotations
+
+from kinbaku_spark.functions.udfs import make_ws_token_count, register_udfs
+from kinbaku_spark.sources.tables import load_table, register_views
+
+
+def x_udf_token_count(spark, sf_dir):
+    """Arrow-vectorized pandas UDF over the corpus (batch transfer, one
+    Python invocation per Arrow batch — the only acceptable Python-UDF
+    shape at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", make_ws_token_count()("text").alias("n_ws_tokens")
+    ).orderBy("doc_id")
+
+
+X_UDF_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       CAST(CASE WHEN text IS NULL THEN 0
+            ELSE len(list_filter(string_split_regex(text, '\s+'), p -> p <> ''))
+       END AS INTEGER) AS n_ws_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def x_udtf_sentences(spark, sf_dir):
+    """Python UDTF via LATERAL correlation in SQL: 1->N row generation with
+    per-document state (the sentence index)."""
+    register_udfs(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.sent_idx, s.sentence, s.n_tokens
+        FROM documents d, LATERAL sentence_split(d.doc_id, d.text) s
+        ORDER BY doc_id, sent_idx
+        """
+    )
+
+
+X_UDTF_SENTENCES_SQL = r"""
+WITH parts AS (
+  SELECT doc_id, generate_subscripts(p, 1) AS i, unnest(p) AS raw
+  FROM (SELECT doc_id, string_split(text, '.') AS p FROM documents)
+),
+sent AS (
+  SELECT doc_id, i, trim(raw, ' ' || chr(9) || chr(10) || chr(13)) AS sentence
+  FROM parts
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INTEGER) AS sent_idx,
+       sentence,
+       CAST(len(list_filter(string_split_regex(sentence, '\s+'), p -> p <> '')) AS INTEGER) AS n_tokens
+FROM sent
+WHERE sentence <> ''
+ORDER BY doc_id, sent_idx
+"""
+
+
+QUERIES = {
+    "x_udf_token_count": x_udf_token_count,
+    "x_udtf_sentences": x_udtf_sentences,
+}
+ORACLES = {
+    "x_udf_token_count": X_UDF_TOKEN_COUNT_SQL,
+    "x_udtf_sentences": X_UDTF_SENTENCES_SQL,
+}
