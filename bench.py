@@ -56,6 +56,11 @@ EXTENSION_HEADLINE = [
     "x_range_join",
     "x_hypertable_rollup",
     "x_kmv_distinct",
+    "x_ann_ivf_topk",
+    "q_pivot_orders",
+    "q_sql_top_nations",
+    "x_pii_scrub",
+    "x_udf_token_count",
 ]
 
 

@@ -179,3 +179,29 @@ def winnowing_fingerprints(
         .select(id_col, F.col("wmin").alias("fingerprint"))
         .distinct()
     )
+
+
+# -- PII scrubbing -----------------------------------------------------------
+
+# dialect-intersection regexes: identical semantics in Java regex (Spark)
+# and RE2 (DuckDB) — char classes, bounded repetition, \b word boundaries
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Detect and mask emails/phone numbers: per-doc match counts plus the
+    scrubbed text. Pure column regex ops — scan-bound, no shuffle, no UDF;
+    the standard pre-training redaction pass at any scale."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]"), PII_PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("int").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )

@@ -693,3 +693,59 @@ ORDER BY method
 
 QUERIES["x_ann_recall"] = x_ann_recall
 ORACLES["x_ann_recall"] = _ann_recall_sql()
+
+
+# ---------------------------------------------------------------------------
+# x_pii_scrub — email/phone redaction over a deterministically-enriched
+# corpus (the synthetic docs contain no PII, so every third doc gets a
+# synthesized contact line FIRST — identically in both engines — and the
+# scrub then has real work to verify: varying counts and masked text).
+# ---------------------------------------------------------------------------
+
+def x_pii_scrub(spark, sf_dir):
+    from kinbaku_spark.operators.text import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com tel 555-123-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_scrub(enriched).orderBy("doc_id")
+
+
+def _pii_scrub_sql() -> str:
+    from kinbaku_spark.operators.text import PII_EMAIL_RE, PII_PHONE_RE
+
+    return f"""
+WITH enriched AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+      THEN text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+           || '@example.com tel 555-123-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS INTEGER) AS n_phones,
+  regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                 '{PII_PHONE_RE}', '[PHONE]', 'g') AS scrubbed
+FROM enriched
+ORDER BY doc_id
+"""
+
+
+QUERIES["x_pii_scrub"] = x_pii_scrub
+ORACLES["x_pii_scrub"] = _pii_scrub_sql()
