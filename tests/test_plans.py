@@ -181,3 +181,43 @@ def test_countmin_probe_broadcasts(spark, sf_dir):
     counter matrix, not shuffle it."""
     df = QUERIES["x_countmin_freq"](spark, sf_dir)
     assert has_broadcast_join(df), "probe side must broadcast"
+
+
+def test_pivot_single_shuffle(spark, sf_dir):
+    """Pivot with an explicit value list must be ONE aggregation pass: no
+    value-discovery scan, a single exchange."""
+    df = QUERIES["q_pivot_orders"](spark, sf_dir)
+    plan = explain_str(df)
+    # pinning the value list means NO second scan of orders to discover
+    # pivot values (that discovery pass is a full extra scan at 100 TB);
+    # formatted explain lists each node twice (tree + detail), so count
+    # the detail headers
+    import re
+
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan[:400]
+    # both pivot phases aggregate map-side before their exchange
+    assert "partial_count" in plan and "partial_pivotfirst" in plan, (
+        "expected map-side partial aggregation in both pivot phases"
+    )
+
+
+def test_sql_surface_broadcasts_and_prunes(spark, sf_dir):
+    """The shared-SQL path goes through the same Catalyst planning: dims
+    broadcast and the fact scan is column-pruned."""
+    df = QUERIES["q_sql_top_nations"](spark, sf_dir)
+    assert has_broadcast_join(df), "nation/customer dims must broadcast"
+    cols = read_schema_columns(df)
+    # lineitem (11 cols) must be pruned to the 3 referenced columns
+    assert any(len(c) <= 3 for c in cols), cols
+
+
+def test_pii_scrub_is_codegen_projection(spark, sf_dir):
+    """PII scrubbing is a pure scan+project — inside whole-stage codegen,
+    no exchange at all before the final sort."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = QUERIES["x_pii_scrub"](spark, sf_dir)
+        assert whole_stage_codegen_spans(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
