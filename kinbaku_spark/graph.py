@@ -164,6 +164,29 @@ class Graph:
         ew = self._edges.sortWithinPartitions("src") if partition_edges_by_src else self._edges
         ew.write.mode("overwrite").parquet(f"{path}/edges")
 
+    def compact(self, path: str, target_partitions: int | None = None) -> "Graph":
+        """Rewrite storage into few, sorted files — the immutable-storage
+        analog of the reference's tombstone reclamation (graph.py:390-407,
+        recycled slots) and of Delta OPTIMIZE. Mutation-heavy facades
+        accumulate small files / long lineage; compaction range-partitions
+        nodes by key and edges by (src, dst) and sorts within partitions,
+        so reloads get tight min/max stats (point lookups prune to one
+        file) and co-located per-node edge runs. Returns the compacted,
+        reloaded Graph.
+        """
+        self._flush()
+        n = target_partitions or max(1, self._nodes.rdd.getNumPartitions() // 8)
+        nodes = (
+            self._nodes.repartitionByRange(n, "key").sortWithinPartitions("key")
+        )
+        edges = (
+            self._edges.repartitionByRange(n, "src", "dst")
+            .sortWithinPartitions("src", "dst", "type")
+        )
+        nodes.write.mode("overwrite").parquet(f"{path}/nodes")
+        edges.write.mode("overwrite").parquet(f"{path}/edges")
+        return Graph.load(self.spark, path)
+
     # -- delta machinery -----------------------------------------------------
 
     def _ensure_index(self) -> None:

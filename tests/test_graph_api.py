@@ -235,3 +235,24 @@ def test_schema_from_dataclass_and_lifecycle(spark):
     g.empty_cache()
     assert g.n_edges == 1  # still queryable after cache drop
     g.close()
+
+
+def test_compact_rewrites_sorted_and_equal(spark, tmp_path):
+    """compact(): fewer+sorted files, identical graph content, and the
+    reload's point lookup still pushes the key filter down."""
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7) % 40}", 0) for i in range(200)],
+        "src string, dst string, type int",
+    )
+    g = Graph.from_edges(edges.repartition(16))
+    path = str(tmp_path / "compacted")
+    g2 = g.compact(path, target_partitions=2)
+    assert sorted(g2.edges) == sorted(g.edges)
+    assert set(g2.nodes) == set(g.nodes)
+    import glob
+
+    files = glob.glob(f"{path}/edges/part-*")
+    assert len(files) <= 2, files
+    from kinbaku_spark.plans import has_pushed_filter
+
+    assert has_pushed_filter(g2.nodes_df.filter(F.col("key") == "n7"), "key")
