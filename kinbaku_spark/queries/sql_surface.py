@@ -56,11 +56,34 @@ def g_sql_hub_parts(spark, sf_dir):
     return _graph(spark, sf_dir).sql(SQL_HUB_PARTS)
 
 
+# Explicit GROUPING SETS (not a rollup/cube prefix lattice) + grouping()
+# markers. One shuffle: Spark expands the sets map-side. NULLS FIRST is
+# spelled out — Spark defaults ASC NULLS FIRST, DuckDB NULLS LAST.
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+       CAST(grouping(l_linestatus) AS INTEGER) AS g_ls
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY g_rf, g_ls,
+         l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def q_sql_grouping_sets(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_GROUPING_SETS)
+
+
 QUERIES = {
     "q_sql_top_nations": q_sql_top_nations,
+    "q_sql_grouping_sets": q_sql_grouping_sets,
     "g_sql_hub_parts": g_sql_hub_parts,
 }
 ORACLES = {
     "q_sql_top_nations": SQL_TOP_NATIONS,
+    "q_sql_grouping_sets": SQL_GROUPING_SETS,
     "g_sql_hub_parts": GRAPH_CTE + SQL_HUB_PARTS,
 }
