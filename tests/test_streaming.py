@@ -187,3 +187,62 @@ def test_stream_dedup_parity(spark, event_files):
     assert _rows(got, cols) == _rows(expected, cols)
     assert got.count() == src.count()
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_watermark_drops_late_data(spark):
+    """Late-data semantics: an event arriving after the watermark passed its
+    window must be DROPPED (its window was finalized and state evicted) —
+    two availableNow triggers against one checkpoint (the watermark persists
+    in it), with a parquet sink (append + checkpoint recovery; the memory
+    sink cannot recover)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="kb_late_")
+    src, ckpt, out = f"{d}/files", f"{d}/ckpt", f"{d}/out"
+    os.makedirs(src, exist_ok=True)
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [(i, ts, 1, "t", 1.0, "{}") for i, ts in rows],
+            "event_id bigint, ts string, user_id bigint, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once():
+        agg = tumbling_event_counts(
+            read_events_stream(spark, src), window="30 minutes", watermark="30 minutes"
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (str(r["window_start"]), r["n_events"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # batch 1: two events at 10:0x, one at 12:00 -> watermark ends at 11:30,
+    # so only the 10:00 window is finalized and emitted
+    write_batch([(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:01:00"),
+                 (3, "2024-01-01 12:00:00")])
+    assert run_once() == {("2024-01-01 10:00:00", 2)}
+
+    # batch 2: one LATE event inside the already-finalized 10:00 window plus
+    # one at 13:01 that closes the 12:00 window. The late event must not
+    # re-open, re-emit, or re-count the 10:00 window.
+    write_batch([(4, "2024-01-01 10:05:00"), (5, "2024-01-01 13:01:00")])
+    assert run_once() == {
+        ("2024-01-01 10:00:00", 2),
+        ("2024-01-01 12:00:00", 1),
+    }
+
+    shutil.rmtree(d, ignore_errors=True)
