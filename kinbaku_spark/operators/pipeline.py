@@ -228,3 +228,60 @@ def cross_split_contamination(
         )
         .orderBy(id_col)
     )
+
+
+def profile_table(
+    df: DataFrame,
+    numeric_cols: list[str],
+    string_cols: list[str],
+) -> DataFrame:
+    """One-pass data profiling: per-column non-null count, distinct count,
+    min/max — the quality gate run before any training pipeline ingests a
+    new table.
+
+    Single aggregation over one scan (COUNT DISTINCT over k columns plans
+    as one expand + aggregate, not k scans); the wide result row is then
+    inlined to long form (col, stats) with zero extra data movement. At
+    100 TB this is the difference between one pass and one-pass-per-column.
+    Min/max are emitted in typed columns (double vs string) — no
+    double->string casts whose formatting differs across engines.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in numeric_cols + string_cols:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    rows = []
+    for c in numeric_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("n_rows"),
+                F.col(f"nn_{c}").alias("n_nonnull"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").cast("double").alias("min_num"),
+                F.col(f"mx_{c}").cast("double").alias("max_num"),
+                null_s.alias("min_str"),
+                null_s.alias("max_str"),
+            )
+        )
+    for c in string_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("n_rows"),
+                F.col(f"nn_{c}").alias("n_nonnull"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                null_d.alias("min_num"),
+                null_d.alias("max_num"),
+                F.col(f"mn_{c}").cast("string").alias("min_str"),
+                F.col(f"mx_{c}").cast("string").alias("max_str"),
+            )
+        )
+    return wide.select(F.inline(F.array(*rows))).orderBy("col")

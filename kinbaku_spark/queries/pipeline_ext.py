@@ -233,3 +233,48 @@ ORACLES.update(
         "x_multimodal_video": X_MULTIMODAL_VIDEO_SQL,
     }
 )
+
+
+# -- one-pass table profiling -------------------------------------------------
+
+PROFILE_NUM_COLS = ["l_discount", "l_extendedprice", "l_quantity"]
+PROFILE_STR_COLS = ["l_linestatus", "l_returnflag"]
+
+
+def x_profile_lineitem(spark, sf_dir):
+    from kinbaku_spark.operators.pipeline import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_table(li, PROFILE_NUM_COLS, PROFILE_STR_COLS)
+
+
+def _profile_sql() -> str:
+    aggs = ["COUNT(*) AS n_rows"]
+    for c in PROFILE_NUM_COLS + PROFILE_STR_COLS:
+        aggs += [
+            f"COUNT({c}) AS nn_{c}",
+            f"COUNT(DISTINCT {c}) AS nd_{c}",
+            f"MIN({c}) AS mn_{c}",
+            f"MAX({c}) AS mx_{c}",
+        ]
+    rows = []
+    for c in PROFILE_NUM_COLS:
+        rows.append(
+            f"SELECT '{c}' AS col, n_rows, CAST(nn_{c} AS BIGINT) AS n_nonnull,"
+            f" CAST(nd_{c} AS BIGINT) AS n_distinct,"
+            f" CAST(mn_{c} AS DOUBLE) AS min_num, CAST(mx_{c} AS DOUBLE) AS max_num,"
+            f" CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a"
+        )
+    for c in PROFILE_STR_COLS:
+        rows.append(
+            f"SELECT '{c}' AS col, n_rows, CAST(nn_{c} AS BIGINT) AS n_nonnull,"
+            f" CAST(nd_{c} AS BIGINT) AS n_distinct,"
+            f" CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,"
+            f" CAST(mn_{c} AS VARCHAR) AS min_str, CAST(mx_{c} AS VARCHAR) AS max_str FROM a"
+        )
+    body = "\nUNION ALL\n".join(rows)
+    return f"WITH a AS (SELECT {', '.join(aggs)} FROM lineitem)\n{body}\nORDER BY col"
+
+
+QUERIES["x_profile_lineitem"] = x_profile_lineitem
+ORACLES["x_profile_lineitem"] = _profile_sql()
