@@ -295,3 +295,90 @@ def duplicate_clusters(
         if changed == 0:
             break
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def incremental_near_duplicates(
+    corpus_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental MinHash dedup: probe NEW documents against an existing
+    corpus index without re-pairing the corpus with itself.
+
+    This is the production ingest shape at 100 TB: the corpus side
+    (signatures banded to keys + shingle table) is computed once and stored
+    — here it is derived inline from ``corpus_docs``, but the plan is
+    identical when those two tables are read from Parquet, bucketed by the
+    band key so the probe join is shuffle-free on the corpus side. Each
+    ingest batch only pays for its own shingling plus one join per band
+    against the index, then exact-Jaccard verification on candidates.
+
+    Returns (id_new, id_corpus, jaccard) for pairs >= threshold.
+    """
+    rows = n_hashes // bands
+
+    def banded_keys(sig: DataFrame) -> DataFrame:
+        cols = [
+            F.struct(
+                F.lit(k).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{k * rows + r}") for r in range(rows)]
+                ).alias("key"),
+            )
+            for k in range(bands)
+        ]
+        return sig.select(
+            F.col(id_col), F.explode(F.array(*cols)).alias("bk")
+        ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    sh_c = shingle_hashes(corpus_docs, id_col, text_col, shingle_n)
+    sh_n = shingle_hashes(new_docs, id_col, text_col, shingle_n)
+    b_c = banded_keys(minhash_signatures(sh_c, id_col, n_hashes, seed)).select(
+        F.col(id_col).alias(f"{id_col}_corpus"), "band", "key"
+    )
+    b_n = banded_keys(minhash_signatures(sh_n, id_col, n_hashes, seed)).select(
+        F.col(id_col).alias(f"{id_col}_new"), "band", "key"
+    )
+    cand = (
+        b_n.join(b_c, ["band", "key"])
+        .select(f"{id_col}_new", f"{id_col}_corpus")
+        .distinct()
+    )
+    sizes_n = sh_n.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_new"))
+    sizes_c = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_corpus"))
+    inter = (
+        cand.join(
+            sh_n.select(F.col(id_col).alias(f"{id_col}_new"), "h"), f"{id_col}_new"
+        )
+        .join(
+            sh_c.select(F.col(id_col).alias(f"{id_col}_corpus"), "h"),
+            [f"{id_col}_corpus", "h"],
+        )
+        .groupBy(f"{id_col}_new", f"{id_col}_corpus")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes_n.select(F.col(id_col).alias(f"{id_col}_new"), "n_new"),
+            f"{id_col}_new",
+        )
+        .join(
+            sizes_c.select(F.col(id_col).alias(f"{id_col}_corpus"), "n_corpus"),
+            f"{id_col}_corpus",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_new") + F.col("n_corpus") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(f"{id_col}_new", f"{id_col}_corpus", "jaccard")
+    )

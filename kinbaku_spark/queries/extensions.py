@@ -749,3 +749,64 @@ ORDER BY doc_id
 
 QUERIES["x_pii_scrub"] = x_pii_scrub
 ORACLES["x_pii_scrub"] = _pii_scrub_sql()
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_incremental — probe NEW docs (odd ids) against the corpus index
+# (even ids): the production ingest pattern — each batch pays only its own
+# shingling plus band joins against the stored index, never corpus x corpus.
+# ---------------------------------------------------------------------------
+
+def x_dedup_incremental(spark, sf_dir):
+    from kinbaku_spark.operators.dedup import incremental_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_near_duplicates(
+        corpus, new, threshold=MINHASH_THRESHOLD, n_hashes=N_HASHES, bands=N_BANDS
+    )
+
+
+def _incremental_sql() -> str:
+    coeffs = minhash_coeffs(N_HASHES, 42)
+    mins = ",\n    ".join(
+        f"MIN(({a} * (h % {P}) + {b}) % {P}) AS mh{j}" for j, (a, b) in enumerate(coeffs)
+    )
+    band_selects = []
+    for k in range(N_BANDS):
+        key = " || '|' || ".join(
+            f"CAST(mh{k * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+        )
+        band_selects.append(f"SELECT doc_id, {k} AS band, {key} AS key FROM sig")
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH {_sql_shingle_cte(3)},
+sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),
+bands AS (
+  {bands_sql}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_new, b.doc_id AS doc_id_corpus
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id_new, c.doc_id_corpus, COUNT(*) AS i
+  FROM cand c
+  JOIN hx a ON a.doc_id = c.doc_id_new
+  JOIN hx b ON b.doc_id = c.doc_id_corpus AND b.h = a.h
+  GROUP BY 1, 2
+)
+SELECT i.doc_id_new, i.doc_id_corpus,
+       ROUND(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_id_new
+JOIN sizes sb ON sb.doc_id = i.doc_id_corpus
+WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= {MINHASH_THRESHOLD}
+"""
+
+
+QUERIES["x_dedup_incremental"] = x_dedup_incremental
+ORACLES["x_dedup_incremental"] = _incremental_sql()
