@@ -45,12 +45,22 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+_REGISTERED: dict[tuple[int, str], bool] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every base table as a temp view (same names DuckDB
     pre-registers), enabling a shared ANSI-SQL path: the identical query
-    string runs on both engines."""
+    string runs on both engines. Memoized per (session, sf_dir) — the
+    tables are immutable on disk and re-registration re-reads 10 parquet
+    footers per call."""
+    key = (id(spark), sf_dir)
+    if _REGISTERED.get(key):
+        return
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _REGISTERED.clear()  # one sf_dir active per session: re-register on switch
+    _REGISTERED[key] = True
 
 
 # ---------------------------------------------------------------------------
