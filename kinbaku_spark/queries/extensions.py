@@ -810,3 +810,65 @@ WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= {MINHASH_THRESHOLD}
 
 QUERIES["x_dedup_incremental"] = x_dedup_incremental
 ORACLES["x_dedup_incremental"] = _incremental_sql()
+
+
+# ---------------------------------------------------------------------------
+# x_fuzzy_match — entity resolution by edit distance: a probe set of
+# corrupted part names (3rd char dropped, deterministic in both engines) is
+# matched back to the catalog by minimum levenshtein, ties by part key.
+# Scale: probes broadcast (they're the small side by construction); the
+# catalog is scanned once; top-1 per probe is a window over per-probe
+# groups. Both engines implement classic unit-cost Levenshtein.
+# ---------------------------------------------------------------------------
+
+FUZZY_PROBE_MOD = 97
+
+
+def x_fuzzy_match(spark, sf_dir):
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    probes = part.filter(F.col("p_partkey") % FUZZY_PROBE_MOD == 0).select(
+        F.col("p_partkey").alias("probe_key"),
+        F.concat(
+            F.substring("p_name", 1, 2), F.substring(F.col("p_name"), 4, 1000000)
+        ).alias("corrupted"),
+    )
+    scored = F.broadcast(probes).crossJoin(part.select("p_partkey", "p_name")).select(
+        "probe_key",
+        "corrupted",
+        F.col("p_partkey").alias("match_key"),
+        F.col("p_name").alias("match_name"),
+        F.levenshtein("corrupted", "p_name").alias("dist"),
+    )
+    w = Window.partitionBy("probe_key").orderBy("dist", "match_key")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe_key", "corrupted", "match_key", "match_name", "dist")
+        .orderBy("probe_key")
+    )
+
+
+X_FUZZY_MATCH_SQL = f"""
+WITH probes AS (
+  SELECT p_partkey AS probe_key,
+         substr(p_name, 1, 2) || substr(p_name, 4) AS corrupted
+  FROM part WHERE p_partkey % {FUZZY_PROBE_MOD} = 0
+),
+scored AS (
+  SELECT pr.probe_key, pr.corrupted, p.p_partkey AS match_key,
+         p.p_name AS match_name,
+         CAST(levenshtein(pr.corrupted, p.p_name) AS INTEGER) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY pr.probe_key
+                            ORDER BY levenshtein(pr.corrupted, p.p_name), p.p_partkey) AS rn
+  FROM probes pr CROSS JOIN part p
+)
+SELECT probe_key, corrupted, match_key, match_name, dist
+FROM scored WHERE rn = 1
+ORDER BY probe_key
+"""
+
+
+QUERIES["x_fuzzy_match"] = x_fuzzy_match
+ORACLES["x_fuzzy_match"] = X_FUZZY_MATCH_SQL
