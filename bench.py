@@ -61,6 +61,7 @@ EXTENSION_HEADLINE = [
     "q_sql_top_nations",
     "x_pii_scrub",
     "x_udf_token_count",
+    "x_profile_lineitem",
 ]
 
 

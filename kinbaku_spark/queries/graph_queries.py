@@ -619,16 +619,21 @@ def g_pagerank(spark, sf_dir):
     nodes = g.nodes_df.select("key")
     edges = g.edges_df.select("src", "dst")
     n = nodes.count()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
     base = (1.0 - PAGERANK_DAMPING) / n
     # rank vector and degree table are |V|-sized: broadcast them while |V|
     # is broadcastable so each iteration is a map-side join over edges (no
     # edge shuffle); past ~5M nodes switch to co-partitioned shuffle joins
     hint = F.broadcast if n < 5_000_000 else (lambda d: d)
-    # hoist the degree join out of the loop: (src, dst, outd) is loop-
-    # invariant, so each iteration is ONE join + one aggregation. Division
+    # hoist the degree join out of the loop AND cache it per sf_dir:
+    # (src, dst, outd) is loop- and call-invariant (the stored graph is
+    # immutable), so every invocation's iterations reuse one persisted
+    # table and each iteration is ONE join + one aggregation. Division
     # stays pr/outd (not pr * 1/outd) to match the oracle bit-for-bit.
-    edges_deg = edges.join(hint(deg), "src").localCheckpoint(eager=False)
+    extra = _cached(spark, sf_dir)[2]
+    if "edges_deg" not in extra:
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+        extra["edges_deg"] = edges.join(hint(deg), "src").persist()
+    edges_deg = extra["edges_deg"]
     # The rank vector stays SPARSE throughout: it holds only nodes with
     # in-edges, and an absent key means pr == base exactly (base + d·0).
     # This removes the |V|-densifying join from every iteration; iteration 1
