@@ -872,3 +872,68 @@ ORDER BY probe_key
 
 QUERIES["x_fuzzy_match"] = x_fuzzy_match
 ORACLES["x_fuzzy_match"] = X_FUZZY_MATCH_SQL
+
+
+# ---------------------------------------------------------------------------
+# x_embed_quantize — per-vector int8 scalar quantization (the storage
+# compression step for vector indexes: 4 bytes/dim float32 -> 1 byte/dim).
+# Codes are floor((x - min) / scale) clamped to [0, 255]; outputs are the
+# quantization params plus integer checksums over the code array (exact in
+# both engines — no float emitted, and the code arithmetic is the identical
+# double sequence on both sides).
+# ---------------------------------------------------------------------------
+
+def x_embed_quantize(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    mn = F.array_min(v).cast("double")
+    mx = F.array_max(v).cast("double")
+    scale = (mx - mn) / F.lit(255.0)
+    code = lambda x: F.least(  # noqa: E731
+        F.floor((x.cast("double") - mn) / scale), F.lit(255)
+    )
+    codes = F.when(mx == mn, F.transform(v, lambda x: F.lit(0).cast("bigint"))).otherwise(
+        F.transform(v, lambda x: code(x))
+    )
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("n_dims"),
+        mn.alias("q_min"),
+        mx.alias("q_max"),
+        F.aggregate(codes, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "code_sum"
+        ),
+        F.element_at(codes, 1).alias("code_first"),
+        F.element_at(codes, -1).alias("code_last"),
+    ).orderBy("vec_id")
+
+
+X_EMBED_QUANTIZE_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         len(embedding) AS n_dims,
+         CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS q_min,
+         CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS q_max
+  FROM embeddings
+),
+c AS (
+  SELECT e.vec_id, q.n_dims, q.q_min, q.q_max,
+         CASE WHEN q.q_max = q.q_min
+           THEN list_transform(e.embedding, x -> CAST(0 AS BIGINT))
+           ELSE list_transform(e.embedding,
+             x -> CAST(LEAST(FLOOR((CAST(x AS DOUBLE) - q.q_min)
+                                   / ((q.q_max - q.q_min) / 255.0)), 255) AS BIGINT))
+         END AS codes
+  FROM embeddings e JOIN q USING (vec_id)
+)
+SELECT vec_id, CAST(n_dims AS INTEGER) AS n_dims, q_min, q_max,
+       CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+       codes[1] AS code_first,
+       codes[len(codes)] AS code_last
+FROM c
+ORDER BY vec_id
+"""
+
+
+QUERIES["x_embed_quantize"] = x_embed_quantize
+ORACLES["x_embed_quantize"] = X_EMBED_QUANTIZE_SQL
