@@ -15,6 +15,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     reshape,
     sql_surface,
     temporal,
+    timeseries,
     udf_surface,
 )
 
@@ -31,6 +32,7 @@ for mod in (
     reshape,
     sql_surface,
     temporal,
+    timeseries,
     udf_surface,
 ):
     QUERIES.update(mod.QUERIES)
