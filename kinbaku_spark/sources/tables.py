@@ -34,10 +34,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the driver harness may hand us a session built without it.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # truncate ns -> µs exactly like DuckDB does for TIMESTAMP(NANOS);
-        # integer division: ns values exceed double's exact-int range
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # truncate ns -> µs exactly like DuckDB does for TIMESTAMP(NANOS);
+            # integer division: ns values exceed double's exact-int range
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # a session built without nanosAsLong reads TIMESTAMP(NANOS) as
+            # NTZ (µs-truncated). Pin the wall clock to UTC — session-timezone
+            # independent, and identical to DuckDB's epoch_us on naive ts.
+            df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     return df
 
 
