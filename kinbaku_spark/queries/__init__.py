@@ -7,6 +7,7 @@ Submodules register into QUERIES / ORACLES at import time.
 
 from kinbaku_spark.queries import (  # noqa: F401
     analytics,
+    analytics_ext,
     graph_queries,
     pipeline_ext,
     relational,
@@ -27,6 +28,7 @@ for mod in (
     relational_ext,
     relational_ext3,
     analytics,
+    analytics_ext,
     graph_queries,
     pipeline_ext,
     reshape,

@@ -1,0 +1,396 @@
+"""Warehouse/pipeline operators the reference lacks entirely (SURVEY.md
+§2.4 — no time surface, no windows, no joins): cohort retention, moving
+z-score anomaly flags, SCD type-2 history construction from an event log,
+a data-quality audit, and overlapping document chunking (RAG prep).
+
+Shuffle shapes (the 100 TB story):
+
+- retention: the activity stream collapses to distinct (user, day) FIRST
+  (map-side combine on the dominant key), then one groupBy user for the
+  cohort date; the join back is user-dimension-sized and broadcast. The
+  final (cohort, week) rollup is tiny. No self-join of raw events.
+- anomaly: window runs over the already-reduced daily series (thousands
+  of rows after one groupBy) — never over raw facts.
+- scd2: one hash shuffle on the entity key; both window passes share the
+  same partitioning and sort prefix, so Catalyst plans a single exchange
+  + sort. At 100 TB this is the canonical "build dimension history from
+  a change log" shape: shuffle once by key, window twice for free.
+- dq audit: the three intra-table check groups fuse into one scan + one
+  conditional aggregate per table (no per-check passes); referential
+  checks are anti-joins that broadcast the PK side when small and
+  shuffle-join otherwise. Output is a handful of rows.
+- chunking: pure 1→N rowwise explode — no shuffle at all; chunk math is
+  arithmetic on the existing length column, so the scan prunes to
+  (doc_id, text). At 100 TB the operator is embarrassingly parallel and
+  bounded by parquet read + write.
+
+Determinism: integer day/week arithmetic, DECIMAL(18,6) sums cast to
+double only at the end, identical double expression trees on both
+engines, ties broken on unique keys (o_orderkey).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kinbaku_spark.sources.tables import load_table
+
+DEC = "decimal(18,6)"
+
+
+# -- weekly cohort retention ---------------------------------------------------
+
+def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-activity day
+    (cohort), counted as retained in week N if active in [N*7, N*7+7)
+    days after their cohort day.
+
+    Raw events collapse to distinct (user_id, day) before any join —
+    at 100 TB that distinct is the only big shuffle, keyed on the same
+    (user, day) the downstream groupBy needs. The cohort map is
+    |users|-sized and broadcast back.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+    )
+    cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(F.broadcast(cohorts), "user_id")
+        .select(
+            "cohort_day",
+            F.floor(F.datediff(F.col("day"), F.col("cohort_day")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.count_distinct("user_id").alias("users"))
+        .orderBy("cohort_day", "week_offset")
+    )
+
+
+X_RETENTION_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+)
+SELECT c.cohort_day,
+       CAST(FLOOR(date_diff('day', c.cohort_day, d.day) / 7.0) AS BIGINT)
+         AS week_offset,
+       COUNT(DISTINCT d.user_id) AS users
+FROM days d JOIN cohorts c ON c.user_id = d.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# -- moving z-score anomaly flags over the daily revenue series ---------------
+
+def x_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 28-day z-score anomaly flags on daily order revenue.
+    The daily series is reduced to exact integer micro-units (BIGINT);
+    the frame's power sums (sum, sum-of-daily-squares) stay exact
+    integers (DECIMAL(38,0) on Spark, HUGEINT on DuckDB), converted to
+    double only for the final mean/σ/z expressions — the identical
+    expression tree then runs on both engines, so the doubles match
+    bit-for-bit.
+
+    The window sees the post-aggregation daily series, not raw orders.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast(DEC)
+    daily = (
+        orders.select(
+            F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+            p.alias("p"),
+        )
+        .groupBy("day")
+        .agg((F.sum("p") * 1000000).cast("bigint").alias("rev_u"))
+    )
+    sq = F.col("rev_u").cast("decimal(38,0)") * F.col("rev_u").cast(
+        "decimal(38,0)"
+    )
+    daily = daily.withColumn("sq_u", sq)
+    w = Window.orderBy("day").rowsBetween(-27, Window.currentRow)
+    s1 = F.sum("rev_u").over(w).cast("double") / 1000000.0
+    s2 = F.sum("sq_u").over(w).cast("double") / 1000000000000.0
+    n = F.count(F.lit(1)).over(w)
+    stats = daily.select(
+        "day",
+        (F.col("rev_u").cast("double") / 1000000.0).alias("rev"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        n.alias("n"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    out = stats.select(
+        "day",
+        "rev",
+        mean.alias("mean28"),
+        F.when((F.col("n") > 1) & (var > 0), F.sqrt(var)).alias("sd28"),
+    )
+    z = (F.col("rev") - F.col("mean28")) / F.col("sd28")
+    return (
+        out.select(
+            "day",
+            "rev",
+            "mean28",
+            "sd28",
+            z.alias("z"),
+            F.coalesce(F.abs(z) > 2.5, F.lit(False)).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+X_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+           AS rev_u
+  FROM orders GROUP BY 1
+),
+sq AS (
+  SELECT day, rev_u,
+         CAST(rev_u AS HUGEINT) * CAST(rev_u AS HUGEINT) AS sq_u
+  FROM daily
+),
+stats AS (
+  SELECT day, CAST(rev_u AS DOUBLE) / 1000000.0 AS rev,
+         CAST(SUM(rev_u) OVER w AS DOUBLE) / 1000000.0 AS s1,
+         CAST(SUM(sq_u) OVER w AS DOUBLE) / 1000000000000.0 AS s2,
+         COUNT(*) OVER w AS n
+  FROM sq
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT day, rev, s1 / n AS mean28,
+         CASE WHEN n > 1 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+              THEN SQRT((s2 - s1 * s1 / n) / (n - 1)) END AS sd28
+  FROM stats
+)
+SELECT day, rev, mean28, sd28,
+       (rev - mean28) / sd28 AS z,
+       COALESCE(ABS((rev - mean28) / sd28) > 2.5, FALSE) AS is_anomaly
+FROM scored ORDER BY day
+"""
+
+
+# -- SCD type-2 history from a change log -------------------------------------
+
+def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a slowly-changing-dimension (type 2) history of each
+    customer's order priority from the orders log: consecutive equal
+    values collapse, each change opens a [valid_from, valid_to) interval,
+    the live row has valid_to NULL. The standard "dimension history from
+    CDC/event log" construction.
+
+    One shuffle on o_custkey; the change-point filter and the interval
+    close (lead) share that partitioning and sort order.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+        .withColumn("prev", F.lag("o_orderpriority").over(w))
+        .filter(
+            F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority"))
+        )
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        changes.select(
+            "o_custkey",
+            F.row_number().over(w2).alias("version"),
+            "o_orderpriority",
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w2).alias("valid_to"),
+        )
+        .orderBy("o_custkey", "version")
+    )
+
+
+X_SCD2_SQL = """
+WITH marked AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+         LAG(o_orderpriority) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev
+  FROM orders
+),
+changes AS (
+  SELECT * FROM marked
+  WHERE prev IS NULL OR prev <> o_orderpriority
+)
+SELECT o_custkey,
+       ROW_NUMBER() OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS version,
+       o_orderpriority,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS valid_to
+FROM changes ORDER BY o_custkey, version
+"""
+
+
+# -- data-quality audit (Deequ-style constraint suite) ------------------------
+
+def x_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suite over the warehouse in a handful of fused scans:
+    completeness (nulls), uniqueness (PK duplicates), referential
+    integrity (orphan FKs via anti-join), and a domain rule — each check
+    one row (check, violations).
+
+    Intra-table checks fuse into ONE conditional aggregate per table;
+    the two referential checks are anti-joins (broadcast the PK side
+    when it fits, shuffle otherwise — Catalyst decides).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    cnt = F.count(F.lit(1))
+    li_checks = li.agg(
+        F.sum(F.col("l_orderkey").isNull().cast("bigint")).alias(
+            "lineitem_null_orderkey"
+        ),
+        F.sum((F.col("l_quantity") <= 0).cast("bigint")).alias(
+            "lineitem_nonpositive_qty"
+        ),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("bigint")
+        ).alias("lineitem_discount_range"),
+    )
+    o_checks = orders.agg(
+        (cnt - F.count_distinct("o_orderkey")).alias("orders_dup_pk"),
+        F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias(
+            "orders_nonpositive_total"
+        ),
+    )
+    orphan_li = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(cnt.alias("v"))
+        .select(F.lit("lineitem_orphan_orderkey").alias("dq_check"), F.col("v"))
+    )
+    orphan_o = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(cnt.alias("v"))
+        .select(F.lit("orders_orphan_custkey").alias("dq_check"), F.col("v"))
+    )
+
+    def melt(df: DataFrame) -> DataFrame:
+        cols = df.columns
+        pairs = []
+        for c in cols:
+            pairs += [F.lit(c), F.col(c).cast("bigint")]
+        return df.select(
+            F.explode(F.create_map(*pairs)).alias("dq_check", "v")
+        )
+
+    return (
+        melt(li_checks)
+        .unionByName(melt(o_checks))
+        .unionByName(orphan_li)
+        .unionByName(orphan_o)
+        .select("dq_check", F.col("v").alias("violations"))
+        .orderBy("dq_check")
+    )
+
+
+X_DQ_SQL = """
+SELECT 'lineitem_null_orderkey' AS dq_check,
+       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS violations
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_nonpositive_qty',
+       CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_range',
+       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders_dup_pk',
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'orders_nonpositive_total',
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem_orphan_orderkey', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'orders_orphan_custkey', CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+ORDER BY dq_check
+"""
+
+
+# -- overlapping document chunking (RAG / context-window prep) ----------------
+
+def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into 40-char chunks with 10-char overlap
+    (stride 30) — the standard RAG / context-window prep. Chunk starts
+    are generated per row with sequence()/explode (1→N, no shuffle);
+    substring math runs on the pruned (doc_id, text) projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text"), F.lit(30))
+            ).alias("start"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / 30).cast("bigint").alias("chunk_id"),
+            F.substring(F.col("text"), F.col("start"), F.lit(40)).alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+X_CHUNK_SQL = """
+SELECT doc_id,
+       CAST((s.start - 1) / 30 AS BIGINT) AS chunk_id,
+       substr(text, s.start, 40) AS chunk_text,
+       length(substr(text, s.start, 40)) AS chunk_len
+FROM documents,
+     LATERAL (
+       SELECT unnest(generate_series(1, length(text), 30)) AS start
+     ) s
+WHERE length(text) > 0
+ORDER BY doc_id, chunk_id
+"""
+
+
+QUERIES = {
+    "x_retention_cohorts": x_retention_cohorts,
+    "x_anomaly_zscore": x_anomaly_zscore,
+    "x_scd2_history": x_scd2_history,
+    "x_dq_audit": x_dq_audit,
+    "x_chunk_documents": x_chunk_documents,
+}
+ORACLES = {
+    "x_retention_cohorts": X_RETENTION_SQL,
+    "x_anomaly_zscore": X_ANOMALY_SQL,
+    "x_scd2_history": X_SCD2_SQL,
+    "x_dq_audit": X_DQ_SQL,
+    "x_chunk_documents": X_CHUNK_SQL,
+}
