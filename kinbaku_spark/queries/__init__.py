@@ -14,6 +14,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     relational_ext,
     relational_ext3,
     reshape,
+    sketches_ext,
     sql_surface,
     temporal,
     timeseries,
@@ -32,6 +33,7 @@ for mod in (
     graph_queries,
     pipeline_ext,
     reshape,
+    sketches_ext,
     sql_surface,
     temporal,
     timeseries,

@@ -1058,3 +1058,75 @@ LIMIT 20
 
 QUERIES["g_triangles"] = g_triangles
 ORACLES["g_triangles"] = G_TRIANGLES_SQL
+
+
+# -- bounded weighted SSSP (Bellman-Ford rounds) ------------------------------
+
+SSSP_ROUNDS = 3
+SSSP_SOURCE = "S1"
+
+
+def g_sssp_bounded(spark, sf_dir):
+    """Weighted single-source shortest paths from S1 over the undirected
+    (symmetrized) graph, SSSP_ROUNDS Bellman-Ford rounds — (key, dist)
+    for every node reachable within that many hops. Fixed rounds keep the
+    oracle an exact replay (the SQL materializes the identical rounds) and
+    bound the lineage; to-convergence is the same loop with an early-stop
+    count, the standard distributed SSSP (Pregel) shape.
+
+    Each round is one join of the CURRENT distance table to the edge list
+    plus a min-aggregation — never a full-graph materialization. Distances
+    stay exact: every path sum is the same left-to-right double addition
+    chain in both engines, and MIN over a set is order-free.
+    """
+    g = _graph(spark, sf_dir)
+    und = g.edges_df.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), "weight"
+    ).unionAll(
+        g.edges_df.select(F.col("dst"), F.col("src"), "weight")
+    )
+    dist = spark.createDataFrame([(SSSP_SOURCE, 0.0)], "key string, dist double")
+    for _ in range(SSSP_ROUNDS):
+        cand = (
+            und.join(
+                dist.select(F.col("key").alias("u2"), F.col("dist").alias("du")),
+                und.u == F.col("u2"),
+            )
+            .select(F.col("v").alias("key"), (F.col("du") + F.col("weight")).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(cand)
+            .groupBy("key")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.orderBy("key")
+
+
+def _sssp_sql() -> str:
+    parts = [
+        "und AS (SELECT src AS u, dst AS v, weight FROM g_edges"
+        " UNION ALL SELECT dst, src, weight FROM g_edges)",
+        f"d0 AS (SELECT '{SSSP_SOURCE}' AS key, CAST(0.0 AS DOUBLE) AS dist)",
+    ]
+    for i in range(SSSP_ROUNDS):
+        parts.append(f"""
+c{i} AS (
+  SELECT und.v AS key, d.dist + und.weight AS dist
+  FROM und JOIN d{i} d ON und.u = d.key
+),
+d{i + 1} AS MATERIALIZED (
+  SELECT key, MIN(dist) AS dist FROM (
+    SELECT * FROM d{i} UNION ALL SELECT * FROM c{i}
+  ) GROUP BY key
+)""")
+    return (
+        GRAPH_CTE.rstrip()
+        + ", "
+        + ",".join(parts)
+        + f"\nSELECT key, dist FROM d{SSSP_ROUNDS} ORDER BY key\n"
+    )
+
+
+QUERIES["g_sssp_bounded"] = g_sssp_bounded
+ORACLES["g_sssp_bounded"] = _sssp_sql()

@@ -1,0 +1,265 @@
+"""Probabilistic-structure operators, round 2: HyperLogLog distinct
+estimation and Bloom-filter join pruning — both with EXACT DuckDB replay
+(every bit of sketch state is integer arithmetic on the shared 60-bit md5
+hash, functions/hashing.py), extending the KMV / count-min family in
+temporal.py.
+
+Why these matter at 100 TB:
+
+- HLL is THE mergeable distinct sketch: 256 registers (2 KB) per group
+  replace a count-distinct shuffle of the full key set. Here registers are
+  built with one groupBy (map-side partial max per register), merged with
+  an integer-exact power sum — the same algebra `approx_count_distinct`
+  runs inside the JVM; this version is engine-portable and replayable.
+- The Bloom build side is one scan of the dim + a 128-row bit_or
+  aggregate; probing the fact side is a broadcast of 512 bytes of filter
+  state. This is exactly what Spark's runtime row-level filtering
+  (spark.sql.optimizer.runtime.bloomFilter.enabled) injects into big
+  shuffle joins — materialized here as an explicit, oracle-checkable
+  operator, reporting the confusion matrix + measured false-positive rate.
+
+Determinism: register/bit state is pure integer math (shifts ≤ 52 bits,
+no int64 overflow on either engine); doubles appear only in the final
+estimate expression, written as the identical expression tree on both
+sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kinbaku_spark.functions.hashing import md5_long, sql_md5_long
+from kinbaku_spark.sources.tables import load_table
+
+# -- HyperLogLog: 256 registers over the 60-bit md5 hash ----------------------
+
+HLL_M = 256  # registers (b=8 index bits); 52 bits of rank material remain
+# rho ranges 1..53; sum of 2^(53-rho) over 256 registers < 2^61: exact BIGINT
+# numerator alpha_256 * m^2 * 2^53 folded to ONE double literal in Python and
+# embedded in e-notation on both sides (a bare decimal literal is DECIMAL in
+# DuckDB, and cross-engine constant folding would differ by an ulp)
+_HLL_NUM = 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * float(1 << 53)
+
+
+def x_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l_orderkey per l_returnflag: exact count vs a 256-register
+    HyperLogLog built from the shared md5 hash. Returns the exact count,
+    the integer register power-sum (the full sketch state, checked
+    exactly), and the raw HLL estimate with its relative error.
+
+    One groupBy (flag, register) with map-side partial MAX — the sketch
+    build never shuffles raw keys, only (group, 256) register rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    h = md5_long(F.col("l_orderkey").cast("string"))
+    hashed = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        h.alias("h"),
+    ).select(
+        "l_returnflag",
+        "l_orderkey",
+        F.pmod(F.col("h"), F.lit(HLL_M)).cast("int").alias("idx"),
+        F.expr("h div 256").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(F.col("w")))
+    )
+    regs = (
+        hashed.select("l_returnflag", "idx", rho.alias("rho"))
+        .groupBy("l_returnflag", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    sums = regs.groupBy("l_returnflag").agg(
+        F.expr(
+            "sum(shiftleft(CAST(1 AS BIGINT), 53 - rho))"
+            " + (256 - count(1)) * shiftleft(CAST(1 AS BIGINT), 53)"
+        ).alias("hll_sum"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_distinct")
+    )
+    est = F.expr(f"{_HLL_NUM!r} / CAST(hll_sum AS DOUBLE)")
+    return (
+        exact.join(sums, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_distinct",
+            "hll_sum",
+            est.alias("hll_est"),
+            (
+                (est - F.col("exact_distinct")) / F.col("exact_distinct")
+            ).alias("rel_err"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_H_ORD = sql_md5_long("CAST(l_orderkey AS VARCHAR)")
+
+X_HLL_SQL = f"""
+WITH hashed AS (
+  SELECT l_returnflag, l_orderkey,
+         CAST({_H_ORD} % 256 AS INTEGER) AS idx,
+         {_H_ORD} // 256 AS w
+  FROM lineitem
+),
+regs AS (
+  SELECT l_returnflag, idx,
+         MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
+  FROM hashed GROUP BY 1, 2
+),
+sums AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(1 AS BIGINT) << (53 - rho))
+              + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT)
+           AS hll_sum
+  FROM regs GROUP BY 1
+),
+exact AS (
+  SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_distinct
+  FROM lineitem GROUP BY 1
+)
+SELECT e.l_returnflag, e.exact_distinct, s.hll_sum,
+       {_HLL_NUM!r} / CAST(s.hll_sum AS DOUBLE) AS hll_est,
+       ({_HLL_NUM!r} / CAST(s.hll_sum AS DOUBLE)
+        - e.exact_distinct) / e.exact_distinct AS rel_err
+FROM exact e JOIN sums s ON s.l_returnflag = e.l_returnflag
+ORDER BY e.l_returnflag
+"""
+
+
+# -- Bloom-filter join pruning ------------------------------------------------
+
+BLOOM_BITS = 4096  # m: 128 words x 32 bits = 512 bytes of filter state
+BLOOM_K = 3
+BLOOM_SEGMENT = "BUILDING"
+
+
+def x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a 4096-bit / 3-hash Bloom filter over BUILDING-segment
+    custkeys, probe every order through it, and report the confusion
+    matrix (predicted membership x actual membership) with the measured
+    false-positive rate among true negatives.
+
+    The filter is a 128-row (word, bits) table — at scale this is the
+    512-byte runtime filter a 1000-executor join would broadcast to prune
+    fact rows before the shuffle; rows 'predicted=false' are the rows the
+    shuffle never sees. 32-bit words keep every shift in safe int64 range
+    on both engines.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def positions(key_col):
+        return [
+            F.pmod(
+                md5_long(F.concat(F.lit(f"{i}:"), key_col.cast("string"))),
+                F.lit(BLOOM_BITS),
+            ).cast("int")
+            for i in range(BLOOM_K)
+        ]
+
+    members = cust.filter(F.col("c_mktsegment") == BLOOM_SEGMENT).select(
+        F.col("c_custkey")
+    )
+    words = (
+        members.select(
+            F.explode(F.array(*positions(F.col("c_custkey")))).alias("pos")
+        )
+        .select(
+            F.expr("pos div 32").cast("int").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), pos % 32)").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+    probes = orders.select("o_orderkey", "o_custkey")
+    for i, pos in enumerate(positions(F.col("o_custkey"))):
+        probes = probes.withColumn(f"p{i}", pos)
+    for i in range(BLOOM_K):
+        wi = words.select(
+            F.col("word").alias(f"word{i}"), F.col("bits").alias(f"bits{i}")
+        )
+        probes = probes.join(
+            F.broadcast(wi),
+            F.expr(f"p{i} div 32") == F.col(f"word{i}"),
+            "left",
+        ).withColumn(
+            f"hit{i}",
+            F.expr(
+                f"coalesce((shiftright(bits{i}, p{i} % 32) & 1) = 1, false)"
+            ),
+        )
+    predicted = F.col("hit0") & F.col("hit1") & F.col("hit2")
+    actual_flag = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            F.broadcast(members.withColumn("is_member", F.lit(True))),
+            orders.o_custkey == members.c_custkey,
+            "left",
+        )
+        .select("o_orderkey", F.coalesce("is_member", F.lit(False)).alias("actual"))
+    )
+    return (
+        probes.select("o_orderkey", predicted.alias("predicted"))
+        .join(actual_flag, "o_orderkey")
+        .groupBy("predicted", "actual")
+        .agg(F.count(F.lit(1)).alias("orders"))
+        .orderBy("predicted", "actual")
+    )
+
+
+def _bloom_pos_sql(i: int, expr: str) -> str:
+    hashed = sql_md5_long(f"'{i}:' || CAST({expr} AS VARCHAR)")
+    return f"CAST({hashed} % {BLOOM_BITS} AS INTEGER)"
+
+
+X_BLOOM_SQL = f"""
+WITH members AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{BLOOM_SEGMENT}'
+),
+pos AS (
+  SELECT {_bloom_pos_sql(0, 'c_custkey')} AS pos FROM members
+  UNION ALL
+  SELECT {_bloom_pos_sql(1, 'c_custkey')} FROM members
+  UNION ALL
+  SELECT {_bloom_pos_sql(2, 'c_custkey')} FROM members
+),
+words AS (
+  SELECT CAST(pos // 32 AS INTEGER) AS word,
+         bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS bits
+  FROM pos GROUP BY 1
+),
+probes AS (
+  SELECT o_orderkey, o_custkey,
+         {_bloom_pos_sql(0, 'o_custkey')} AS p0,
+         {_bloom_pos_sql(1, 'o_custkey')} AS p1,
+         {_bloom_pos_sql(2, 'o_custkey')} AS p2
+  FROM orders
+),
+decided AS (
+  SELECT p.o_orderkey,
+         COALESCE(((w0.bits >> (p.p0 % 32)) & 1) = 1, FALSE)
+         AND COALESCE(((w1.bits >> (p.p1 % 32)) & 1) = 1, FALSE)
+         AND COALESCE(((w2.bits >> (p.p2 % 32)) & 1) = 1, FALSE) AS predicted,
+         p.o_custkey IN (SELECT c_custkey FROM members) AS actual
+  FROM probes p
+  LEFT JOIN words w0 ON w0.word = p.p0 // 32
+  LEFT JOIN words w1 ON w1.word = p.p1 // 32
+  LEFT JOIN words w2 ON w2.word = p.p2 // 32
+)
+SELECT predicted, actual, COUNT(*) AS orders
+FROM decided GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES = {
+    "x_hll_distinct": x_hll_distinct,
+    "x_bloom_prune": x_bloom_prune,
+}
+ORACLES = {
+    "x_hll_distinct": X_HLL_SQL,
+    "x_bloom_prune": X_BLOOM_SQL,
+}
