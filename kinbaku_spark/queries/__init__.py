@@ -9,6 +9,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     analytics,
     analytics_ext,
     graph_queries,
+    mining_ext,
     pipeline_ext,
     relational,
     relational_ext,
@@ -31,6 +32,7 @@ for mod in (
     analytics,
     analytics_ext,
     graph_queries,
+    mining_ext,
     pipeline_ext,
     reshape,
     sketches_ext,

@@ -1130,3 +1130,82 @@ d{i + 1} AS MATERIALIZED (
 
 QUERIES["g_sssp_bounded"] = g_sssp_bounded
 ORACLES["g_sssp_bounded"] = _sssp_sql()
+
+
+# -- deterministic random walks (node2vec-style sampling primitive) -----------
+
+WALK_STEPS = 3
+
+
+def g_random_walks(spark, sf_dir):
+    """One walk per supplier node over the undirected graph, WALK_STEPS
+    steps, next hop chosen as argmin of the shared md5 hash over
+    (walk, step, candidate) — a deterministic stand-in for uniform
+    sampling that both engines replay bit-identically. This is the
+    sampling primitive under DeepWalk/node2vec embedding pipelines.
+
+    Each step is one join of the |walks|-sized frontier to the edge list
+    plus a per-walk argmin (min_by) — frontier-sized state, never the
+    full graph; at 100 TB walks batch by the thousands per executor and
+    the edge list is the only big table touched.
+    """
+    from kinbaku_spark.functions.hashing import md5_long
+
+    g = _graph(spark, sf_dir)
+    und = g.edges_df.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(g.edges_df.select(F.col("dst"), F.col("src")))
+    cur = (
+        g.nodes_df.filter(F.col("key").startswith("S"))
+        .select(F.col("key").alias("walk_id"), F.col("key").alias("node"))
+    )
+    out = cur.select("walk_id", F.lit(0).alias("step"), "node")
+    for i in range(1, WALK_STEPS + 1):
+        h = md5_long(
+            F.concat_ws(":", F.col("walk_id"), F.lit(str(i)), F.col("v"))
+        )
+        cur = (
+            cur.join(und, und.u == cur.node)
+            .select("walk_id", "v", h.alias("h"))
+            .groupBy("walk_id")
+            .agg(F.min_by("v", "h").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionAll(cur.select("walk_id", F.lit(i).alias("step"), "node"))
+    return out.orderBy("walk_id", "step")
+
+
+def _walks_sql() -> str:
+    from kinbaku_spark.functions.hashing import sql_md5_long
+
+    h = sql_md5_long("w.walk_id || ':' || '{i}' || ':' || und.v")
+    parts = [
+        "und AS (SELECT src AS u, dst AS v FROM g_edges"
+        " UNION ALL SELECT dst, src FROM g_edges)",
+        "w0 AS (SELECT key AS walk_id, key AS node FROM g_nodes"
+        " WHERE key LIKE 'S%')",
+    ]
+    for i in range(1, WALK_STEPS + 1):
+        hi = h.replace("{i}", str(i))
+        parts.append(f"""
+w{i} AS MATERIALIZED (
+  SELECT w.walk_id, arg_min(und.v, {hi}) AS node
+  FROM w{i - 1} w JOIN und ON und.u = w.node
+  GROUP BY w.walk_id
+)""")
+    selects = [
+        f"SELECT walk_id, {i} AS step, node FROM w{i}"
+        for i in range(0, WALK_STEPS + 1)
+    ]
+    return (
+        GRAPH_CTE.rstrip()
+        + ", "
+        + ",".join(parts)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY walk_id, step\n"
+    )
+
+
+QUERIES["g_random_walks"] = g_random_walks
+ORACLES["g_random_walks"] = _walks_sql()

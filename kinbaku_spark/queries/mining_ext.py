@@ -1,0 +1,170 @@
+"""Pattern-mining operators: market-basket association rules and an
+inverted-index build — batch-analytics surface the reference cannot
+express at all (SURVEY.md §2.4: no joins, no aggregation).
+
+Shuffle shapes (the 100 TB story):
+
+- market basket: the item-pair self-join is the classic quadratic risk.
+  Baskets first collapse to DISTINCT (order, part) — one shuffle keyed on
+  the same order key the pair join needs, so the join itself is
+  co-partitioned (no second exchange of the big side). Per-basket item
+  counts are small (TPC-H ~4/order) and bounded, so pair fan-out is
+  O(orders * k^2); item-support maps are item-dimension-sized and
+  broadcast back for confidence/lift.
+- inverted index: tokenize → explode is map-side 1→N; the only shuffle
+  is the groupBy token (heavily combinable: per-partition postings merge
+  before the exchange). Posting lists are rendered as canonical sorted
+  strings so the oracle hash-compares them byte-for-byte.
+
+Determinism: association metrics are integer-count ratios evaluated with
+the identical double expression tree on both engines; posting lists are
+numerically sorted before rendering; ties in rule ranking break on the
+item-id pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kinbaku_spark.sources.tables import load_table
+
+BASKET_MIN_SUPPORT = 2  # absolute pair count; scale-adaptive mining would
+# derive it from n_orders — kept fixed so every SF exercises the same plan
+BASKET_TOP = 50
+
+
+def x_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over orders-as-baskets: for part pairs (a < b)
+    co-occurring in >= BASKET_MIN_SUPPORT orders, emit support,
+    confidence a→b, and lift; top BASKET_TOP by lift (ties on the pair).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_orders = items.select("okey").distinct().count()
+    item_cnt = items.groupBy("part").agg(F.count(F.lit(1)).alias("cnt"))
+    a = items.select("okey", F.col("part").alias("part_a"))
+    b = items.select("okey", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= BASKET_MIN_SUPPORT)
+    )
+    ca = item_cnt.select(F.col("part").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    cb = item_cnt.select(F.col("part").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    n = F.lit(n_orders).cast("double")
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "cnt_ab",
+            (F.col("cnt_ab") / n).alias("support"),
+            (F.col("cnt_ab") / F.col("cnt_a")).alias("confidence"),
+            (
+                F.col("cnt_ab") * n / (F.col("cnt_a") * F.col("cnt_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(BASKET_TOP)
+    )
+
+
+X_BASKET_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+),
+n AS (SELECT CAST(COUNT(DISTINCT okey) AS DOUBLE) AS n_orders FROM items),
+item_cnt AS (SELECT part, COUNT(*) AS cnt FROM items GROUP BY part),
+pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS cnt_ab
+  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT p.part_a, p.part_b, p.cnt_ab,
+       p.cnt_ab / n.n_orders AS support,
+       p.cnt_ab / ca.cnt AS confidence,
+       p.cnt_ab * n.n_orders / (ca.cnt * cb.cnt) AS lift
+FROM pairs p
+JOIN item_cnt ca ON ca.part = p.part_a
+JOIN item_cnt cb ON cb.part = p.part_b
+CROSS JOIN n
+ORDER BY lift DESC, p.part_a, p.part_b
+LIMIT {BASKET_TOP}
+"""
+
+
+# -- inverted index build -----------------------------------------------------
+
+INDEX_MIN_DF = 5
+
+
+def x_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a token → postings inverted index over documents: document
+    frequency, total term frequency, and the canonical (numerically
+    sorted, comma-joined) posting list of doc ids; tokens with
+    df >= INDEX_MIN_DF, ordered by token.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf_total"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= INDEX_MIN_DF)
+        .orderBy("tok")
+    )
+
+
+X_INDEX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents,
+       LATERAL (
+         SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+       ) t
+  WHERE t.tok <> ''
+),
+grouped AS (
+  SELECT tok,
+         COUNT(DISTINCT doc_id) AS df,
+         COUNT(*) AS tf_total
+  FROM toks GROUP BY tok
+),
+posting AS (
+  SELECT tok,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+  FROM (SELECT DISTINCT tok, doc_id FROM toks) GROUP BY tok
+)
+SELECT g.tok, g.df, g.tf_total, p.postings
+FROM grouped g JOIN posting p ON p.tok = g.tok
+WHERE g.df >= {INDEX_MIN_DF}
+ORDER BY g.tok
+"""
+
+
+QUERIES = {
+    "x_market_basket": x_market_basket,
+    "x_inverted_index": x_inverted_index,
+}
+ORACLES = {
+    "x_market_basket": X_BASKET_SQL,
+    "x_inverted_index": X_INDEX_SQL,
+}
