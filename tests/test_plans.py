@@ -221,3 +221,64 @@ def test_pii_scrub_is_codegen_projection(spark, sf_dir):
         assert whole_stage_codegen_spans(df) >= 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_retention_single_fact_shuffle_and_broadcast(spark, sf_dir):
+    """Cohort retention: the cohort map must broadcast back onto the
+    distinct-day activity table — a shuffle join here would re-exchange
+    the full activity stream a second time at 100 TB."""
+    df = QUERIES["x_retention_cohorts"](spark, sf_dir)
+    assert has_broadcast_join(df), "cohort map must broadcast"
+
+
+def test_bloom_probe_broadcasts_filter_state(spark, sf_dir):
+    """Bloom probing must broadcast the 128-word filter table — the whole
+    point is that the fact side never shuffles to meet the filter."""
+    df = QUERIES["x_bloom_prune"](spark, sf_dir)
+    assert has_broadcast_join(df), "bloom words must broadcast"
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan, "probe must not sort-merge"
+
+
+def test_hll_register_build_is_partial(spark, sf_dir):
+    """HLL register build must partial-aggregate map-side: the shuffle
+    carries (group, 256) register rows, never raw keys."""
+    df = QUERIES["x_hll_distinct"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "partial_max" in plan or "partial_count" in plan or (
+        "HashAggregate" in plan and "Exchange" in plan
+    ), plan[:500]
+
+
+def test_market_basket_pair_join_copartitioned(spark, sf_dir):
+    """The basket pair self-join must reuse the (okey)-hashed exchange of
+    the distinct item table on both sides — exactly one exchange of the
+    big side feeding the join, with support maps broadcast back."""
+    df = QUERIES["x_market_basket"](spark, sf_dir)
+    assert has_broadcast_join(df), "item-support maps must broadcast"
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_chunking_has_no_shuffle_before_sort(spark, sf_dir):
+    """Document chunking is 1→N rowwise — the only exchange allowed in the
+    plan is the final presentation sort."""
+    plan = _physical_plan(QUERIES["x_chunk_documents"](spark, sf_dir))
+    exchanges = [
+        line for line in plan.splitlines()
+        if "Exchange" in line and "rangepartitioning" not in line
+    ]
+    assert not exchanges, exchanges
+
+
+def test_scd2_windows_share_one_exchange(spark, sf_dir):
+    """Both SCD2 window passes run over the same (o_custkey) partitioning:
+    the plan must contain exactly one hash exchange."""
+    plan = _physical_plan(QUERIES["x_scd2_history"](spark, sf_dir))
+    hash_exchanges = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
