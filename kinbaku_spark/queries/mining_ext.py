@@ -39,26 +39,52 @@ def x_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     confidence a→b, and lift; top BASKET_TOP by lift (ties on the pair).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct()
-    n_orders = items.select("okey").distinct().count()
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+        # two consumers (baskets, item supports) with incompatible key
+        # requirements: materialize the distinct once instead of running
+        # the fact-table dedup shuffle twice
+        .localCheckpoint(eager=False)
+    )
+    # ONE shuffle on okey builds per-basket item arrays; pairs are then
+    # generated map-side from each (small, bounded) array — no self-join,
+    # so the item table is never exchanged twice. The SQL oracle keeps the
+    # equivalent join formulation; sorted arrays make a<b pair sets equal.
+    baskets = items.groupBy("okey").agg(
+        F.array_sort(F.collect_list("part")).alias("parts")
+    )
+    # basket count enters the plan as a broadcast 1-row aggregate (the SQL
+    # CTE n) — a driver-side .count() here would cost a whole extra job
+    totals = baskets.agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders")
+    )
     item_cnt = items.groupBy("part").agg(F.count(F.lit(1)).alias("cnt"))
-    a = items.select("okey", F.col("part").alias("part_a"))
-    b = items.select("okey", F.col("part").alias("part_b"))
+    pair = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(parts, (x, i) ->"
+                " transform(slice(parts, i + 2, size(parts)),"
+                " y -> struct(x AS part_a, y AS part_b)))"
+            )
+        )
+    )
     pairs = (
-        a.join(b, "okey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(pair.alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("cnt_ab"))
         .filter(F.col("cnt_ab") >= BASKET_MIN_SUPPORT)
     )
     ca = item_cnt.select(F.col("part").alias("part_a"), F.col("cnt").alias("cnt_a"))
     cb = item_cnt.select(F.col("part").alias("part_b"), F.col("cnt").alias("cnt_b"))
-    n = F.lit(n_orders).cast("double")
+    n = F.col("n_orders")
     return (
         pairs.join(F.broadcast(ca), "part_a")
         .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(totals))
         .select(
             "part_a",
             "part_b",
