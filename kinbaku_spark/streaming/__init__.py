@@ -1,5 +1,6 @@
 from kinbaku_spark.streaming.windows import (
     dedup_events,
+    enrich_with_dim,
     read_events_stream,
     sessionized_stats,
     sliding_event_rates,
@@ -9,6 +10,7 @@ from kinbaku_spark.streaming.windows import (
 
 __all__ = [
     "dedup_events",
+    "enrich_with_dim",
     "read_events_stream",
     "sessionized_stats",
     "sliding_event_rates",

@@ -230,3 +230,17 @@ def stream_edges_into_graph(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch broadcast-joins the
+    static dimension snapshot. No streaming state is involved — the dim is
+    re-resolved per batch (so a Delta/parquet-backed dimension picks up
+    updates between batches). This is the standard feature-enrichment stage
+    of a training-data ingest: events + user/document metadata.
+
+    At 100 TB/day the stream side stays partition-local (broadcast hash
+    join), which is why the dim must be the broadcast side: a shuffle here
+    would repartition every micro-batch.
+    """
+    return events.join(F.broadcast(dim), "user_id", "left")

@@ -246,3 +246,45 @@ def test_watermark_drops_late_data(spark):
     }
 
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_static_enrichment_parity(spark, event_files):
+    """Stream-static broadcast join: enriching each micro-batch with a
+    static user dimension must agree with the batch join, and rows with
+    no dim match must survive (left join semantics)."""
+    from pyspark.sql import functions as F
+
+    from kinbaku_spark.streaming import enrich_with_dim
+
+    batch = spark.read.parquet(event_files)
+    # static dim derived from the batch snapshot: per-user tier; drop some
+    # users so the left-join NULL path is exercised
+    dim = (
+        batch.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 3 != 0)
+        .withColumn("tier", (F.col("user_id") % 5).cast("int"))
+    )
+    stream = read_events_stream(spark, event_files)
+
+    def agg(df):
+        return (
+            enrich_with_dim(df, dim)
+            .groupBy("tier")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+        )
+
+    expected = agg(batch)
+    got = _run_stream(spark, agg(stream), "t_enrich")
+
+    def rows(df):  # tier is NULL for dim-missing users: sort None-safely
+        return sorted(
+            ((-1 if r["tier"] is None else r["tier"]), r["n"], r["sum_value"])
+            for r in df.collect()
+        )
+
+    assert rows(got) == rows(expected)
+    assert any(t == -1 for t, _, _ in rows(got)), "left-join NULL path unused"
