@@ -1209,3 +1209,189 @@ w{i} AS MATERIALIZED (
 
 QUERIES["g_random_walks"] = g_random_walks
 ORACLES["g_random_walks"] = _walks_sql()
+
+
+# -- HITS hubs & authorities (bounded rounds) ---------------------------------
+
+HITS_ROUNDS = 2
+HITS_TOP = 20
+
+
+def g_hits(spark, sf_dir):
+    """HITS on the bipartite supplier→part graph — suppliers are the hubs,
+    parts the authorities (the natural HITS shape: a(p) = Σ h(s) over
+    s→p, h(s) = Σ a(p)). HITS_ROUNDS fixed rounds, max-normalized each
+    half-step (max is order-free, unlike an L2 norm whose summation order
+    would drift across engines); the SQL oracle replays the identical
+    recurrence. Top HITS_TOP per role, ties on key.
+
+    Scale: each half-step is one join of the |V|-sized score vector
+    (broadcast) to the edge table plus a groupBy — the edge table never
+    shuffles; scores stay in [0,1] so cross-engine double drift is far
+    below the 6dp compare.
+    """
+    g = _graph(spark, sf_dir)
+    edges = g.edges_df.select("src", "dst")
+
+    def normalize(df, col):
+        mx = df.agg(F.max(col).alias("mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            "key", (F.col(col) / F.col("mx")).alias(col)
+        )
+
+    # h0 = 1 for every supplier: a1(p) = in-degree of p
+    auth = edges.groupBy("dst").agg(F.count(F.lit(1)).cast("double").alias("a"))
+    auth = normalize(auth.select(F.col("dst").alias("key"), "a"), "a")
+    for _ in range(HITS_ROUNDS):
+        hub = (
+            edges.join(F.broadcast(auth), edges.dst == auth.key)
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = normalize(hub.select(F.col("src").alias("key"), "h"), "h")
+        auth = (
+            edges.join(F.broadcast(hub), edges.src == hub.key)
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = normalize(auth.select(F.col("dst").alias("key"), "a"), "a")
+    # rank on the 6dp-rounded score: raw doubles carry engine-order drift
+    # in the last bits, and near-max scores tie at 6dp — rounding first
+    # makes the top-k cut (ties broken on key) identical across engines
+    top_h = (
+        hub.select(
+            F.lit("hub").alias("role"), "key", F.round("h", 6).alias("score")
+        )
+        .orderBy(F.desc("score"), "key")
+        .limit(HITS_TOP)
+    )
+    top_a = (
+        auth.select(
+            F.lit("authority").alias("role"), "key", F.round("a", 6).alias("score")
+        )
+        .orderBy(F.desc("score"), "key")
+        .limit(HITS_TOP)
+    )
+    return top_h.unionAll(top_a).orderBy("role", F.desc("score"), "key")
+
+
+def _hits_sql() -> str:
+    parts = [
+        "a0 AS (SELECT dst AS key, CAST(COUNT(*) AS DOUBLE) AS a"
+        " FROM g_edges GROUP BY dst)",
+        "a0n AS (SELECT key, a / (SELECT MAX(a) FROM a0) AS a FROM a0)",
+    ]
+    prev = "a0n"
+    for i in range(1, HITS_ROUNDS + 1):
+        parts.append(f"""
+h{i} AS (
+  SELECT e.src AS key, SUM(v.a) AS h
+  FROM g_edges e JOIN {prev} v ON v.key = e.dst GROUP BY e.src
+),
+h{i}n AS MATERIALIZED (
+  SELECT key, h / (SELECT MAX(h) FROM h{i}) AS h FROM h{i}
+),
+a{i} AS (
+  SELECT e.dst AS key, SUM(v.h) AS a
+  FROM g_edges e JOIN h{i}n v ON v.key = e.src GROUP BY e.dst
+),
+a{i}n AS MATERIALIZED (
+  SELECT key, a / (SELECT MAX(a) FROM a{i}) AS a FROM a{i}
+)""")
+        prev = f"a{i}n"
+    n = HITS_ROUNDS
+    return (
+        GRAPH_CTE.rstrip()
+        + ", "
+        + ",".join(parts)
+        + f"""
+SELECT * FROM (
+  SELECT 'hub' AS role, key, ROUND(h, 6) AS score FROM h{n}n
+  ORDER BY score DESC, key LIMIT {HITS_TOP}
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'authority' AS role, key, ROUND(a, 6) AS score FROM a{n}n
+  ORDER BY score DESC, key LIMIT {HITS_TOP}
+)
+ORDER BY role, score DESC, key
+"""
+    )
+
+
+QUERIES["g_hits"] = g_hits
+ORACLES["g_hits"] = _hits_sql()
+
+
+# -- label-propagation components (bounded min-label rounds) ------------------
+
+LABEL_ROUNDS = 3
+
+
+def g_label_propagation(spark, sf_dir):
+    """Min-label propagation over the undirected graph, LABEL_ROUNDS
+    rounds: every node takes the minimum of its own and its neighbors'
+    labels (labels start as the node key). After enough rounds this is
+    connected components; fixed rounds keep the oracle an exact replay and
+    the lineage bounded. Returns (key, label) for every node.
+
+    Each round is one join of the label vector to the edge list plus a
+    min-aggregation — MIN over strings is order-free, so the replay is
+    exact at any scale. The per-round label table is |V|-sized and
+    broadcast; the edge table never shuffles.
+    """
+    g = _graph(spark, sf_dir)
+    und = g.edges_df.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(g.edges_df.select(F.col("dst"), F.col("src")))
+    lab = g.nodes_df.select("key", F.col("key").alias("label"))
+    for _ in range(LABEL_ROUNDS):
+        neigh = (
+            und.join(
+                F.broadcast(lab.select(F.col("key").alias("u2"), "label")),
+                und.u == F.col("u2"),
+            )
+            .groupBy("v")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        lab = (
+            lab.join(
+                F.broadcast(neigh), lab.key == neigh.v, "left"
+            )
+            .select(
+                "key",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return lab.orderBy("key")
+
+
+def _label_prop_sql() -> str:
+    parts = [
+        "und AS (SELECT src AS u, dst AS v FROM g_edges"
+        " UNION ALL SELECT dst, src FROM g_edges)",
+        "l0 AS (SELECT key, key AS label FROM g_nodes)",
+    ]
+    for i in range(LABEL_ROUNDS):
+        parts.append(f"""
+n{i} AS (
+  SELECT und.v, MIN(l.label) AS nlabel
+  FROM und JOIN l{i} l ON l.key = und.u GROUP BY und.v
+),
+l{i + 1} AS MATERIALIZED (
+  SELECT l.key, LEAST(l.label, COALESCE(n.nlabel, l.label)) AS label
+  FROM l{i} l LEFT JOIN n{i} n ON n.v = l.key
+)""")
+    return (
+        GRAPH_CTE.rstrip()
+        + ", "
+        + ",".join(parts)
+        + f"\nSELECT key, label FROM l{LABEL_ROUNDS} ORDER BY key\n"
+    )
+
+
+QUERIES["g_label_propagation"] = g_label_propagation
+ORACLES["g_label_propagation"] = _label_prop_sql()

@@ -194,3 +194,80 @@ ORACLES = {
     "x_market_basket": X_BASKET_SQL,
     "x_inverted_index": X_INDEX_SQL,
 }
+
+
+# -- keyword extraction (tf * N/df, log-free idf) -----------------------------
+
+KEYWORDS_PER_DOC = 3
+
+
+def x_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top KEYWORDS_PER_DOC keywords per document scored tf * (N/df) — a
+    linear-idf variant of tf-idf, chosen because ln() is not required to
+    be correctly rounded by IEEE and differs between the JVM and C libm
+    in the last ulp; every factor here is an integer ratio, so the score
+    replays exactly. Ties break on the token.
+
+    Shuffle shape: one groupBy (doc, token) for tf (map-side combinable),
+    one token groupBy for df (broadcast back — vocabulary-sized), and a
+    per-doc window for the top-k. The raw text is scanned once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.col("tok")
+    )
+    return (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.col("n_docs") / F.col("df")).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KEYWORDS_PER_DOC)
+        .select("doc_id", "rank", "tok", "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
+X_KEYWORD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents,
+       LATERAL (
+         SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+       ) t
+  WHERE t.tok <> ''
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf * n.n_docs / df.df AS score
+  FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, tok, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, tok
+         ) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, tok, score
+FROM ranked WHERE rank <= {KEYWORDS_PER_DOC}
+ORDER BY doc_id, rank
+"""
+
+
+QUERIES["x_keyword_extract"] = x_keyword_extract
+ORACLES["x_keyword_extract"] = X_KEYWORD_SQL
