@@ -394,3 +394,140 @@ ORACLES = {
     "x_dq_audit": X_DQ_SQL,
     "x_chunk_documents": X_CHUNK_SQL,
 }
+
+
+# -- last-touch attribution ---------------------------------------------------
+
+def x_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: for every purchase, credit the user's most
+    recent PRIOR non-purchase event (the touchpoint); report credited
+    conversions and revenue per touchpoint type. The canonical marketing
+    attribution query.
+
+    One shuffle on user_id; the purchase/touch interleave is a single
+    window pass (last_value over the preceding frame), never a self-join
+    of the event stream — at 100 TB the stream is touched once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch", touch)
+        .filter((F.col("event_type") == "purchase") & F.col("touch").isNotNull())
+        .groupBy("touch")
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("revenue"),
+        )
+        .orderBy("touch")
+    )
+
+
+X_ATTRIBUTION_SQL = """
+WITH marked AS (
+  SELECT event_type, value,
+         LAST_VALUE(
+           CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS
+         ) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS touch
+  FROM events
+)
+SELECT touch, COUNT(*) AS conversions,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM marked
+WHERE event_type = 'purchase' AND touch IS NOT NULL
+GROUP BY touch ORDER BY touch
+"""
+
+
+# -- bigram language-model statistics -----------------------------------------
+
+BIGRAM_MIN_COUNT = 10
+
+
+def x_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram statistics over the document corpus: count and conditional
+    probability P(w2 | w1) = c(w1,w2)/c(w1·) for bigrams seen >=
+    BIGRAM_MIN_COUNT times — the n-gram counting pass under classical LM
+    training and data-quality heuristics (repetition detection).
+
+    Bigrams come from one window (lead over doc-local token positions) —
+    tokenize once, shuffle once on doc to order tokens, then one count
+    shuffle; probabilities are integer-count ratios (exact replay).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+            "pos", "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("tok").alias("w1"), F.col("nxt").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    c1 = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return (
+        bi.filter(F.col("c12") >= BIGRAM_MIN_COUNT)
+        .join(F.broadcast(c1), "w1")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            (F.col("c12") / F.col("c1")).alias("p_cond"),
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+X_BIGRAM_SQL = f"""
+WITH lists AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS l
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+  FROM lists
+),
+toks_clean AS (SELECT * FROM toks WHERE tok <> ''),
+seq AS (
+  SELECT doc_id, tok,
+         LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM toks_clean
+),
+bi AS (
+  SELECT tok AS w1, nxt AS w2, COUNT(*) AS c12
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM bi GROUP BY w1)
+SELECT bi.w1, bi.w2, bi.c12, bi.c12 / c1.c1 AS p_cond
+FROM bi JOIN c1 ON c1.w1 = bi.w1
+WHERE bi.c12 >= {BIGRAM_MIN_COUNT}
+ORDER BY bi.w1, bi.w2
+"""
+
+
+QUERIES.update(
+    {
+        "x_attribution_last_touch": x_attribution_last_touch,
+        "x_bigram_stats": x_bigram_stats,
+    }
+)
+ORACLES.update(
+    {
+        "x_attribution_last_touch": X_ATTRIBUTION_SQL,
+        "x_bigram_stats": X_BIGRAM_SQL,
+    }
+)
