@@ -531,3 +531,142 @@ ORACLES.update(
         "x_bigram_stats": X_BIGRAM_SQL,
     }
 )
+
+
+# -- RFM customer segmentation ------------------------------------------------
+
+def x_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, recency (days since last order,
+    against the corpus max date), frequency (order count), monetary
+    (exact-decimal total spend); each dimension scored into quartiles
+    (ntile with unique-key tiebreak), combined into the classic
+    'RFM' cell label. Returns the per-cell census.
+
+    One shuffle on custkey for the per-customer rollup; the three ntile
+    windows run over the customer-dimension aggregate (never raw orders),
+    then one tiny groupBy cells.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.date_trunc("day", F.max("o_orderdate")).alias("maxd")
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.date_trunc("day", F.max("o_orderdate")).alias("lastd"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("money_dec"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("maxd"), F.col("lastd")).alias("recency_days"),
+            "freq",
+            F.col("money_dec").cast("double").alias("monetary"),
+        )
+    )
+    # quartile scores: recency ascending (1 = most recent), freq/monetary
+    # descending (1 = best); o_custkey breaks every tie deterministically
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.desc("freq"), "o_custkey")
+    wm = Window.orderBy(F.desc("monetary"), "o_custkey")
+    scored = per_cust.select(
+        F.ntile(4).over(wr).alias("r"),
+        F.ntile(4).over(wf).alias("f"),
+        F.ntile(4).over(wm).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("customers"))
+        .select(
+            F.concat_ws("-", "r", "f", "m").alias("cell"),
+            "r",
+            "f",
+            "m",
+            "customers",
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+X_RFM_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('day', MAX(o_orderdate)) AS maxd FROM orders
+),
+per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', date_trunc('day', MAX(o_orderdate)),
+                   (SELECT maxd FROM bounds)) AS recency_days,
+         COUNT(*) AS freq,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r,
+         NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+         NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+  FROM per_cust
+)
+SELECT CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR) || '-'
+         || CAST(m AS VARCHAR) AS cell,
+       r, f, m, COUNT(*) AS customers
+FROM scored GROUP BY r, f, m ORDER BY r, f, m
+"""
+
+
+# -- fulfillment lag distribution ---------------------------------------------
+
+def x_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship lag distribution per order priority: exact quantiles of
+    datediff(l_shipdate, o_orderdate) across each priority's line items,
+    plus mean lag from exact integer sums. The fact join shuffles on
+    orderkey (orders broadcasts at every SF below ~1B orders); the
+    quantile aggregation is one pass over integer lags.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    joined = li.join(
+        F.broadcast(orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("o_orderpriority", lag.alias("lag_days"))
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.percentile("lag_days", 0.5).alias("p50"),
+            F.percentile("lag_days", 0.9).alias("p90"),
+            F.round(
+                F.sum("lag_days") / F.count(F.lit(1)), 6
+            ).alias("avg_lag"),
+            F.max("lag_days").alias("max_lag"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+X_FULFILLMENT_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.5) AS p50,
+       quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.9) AS p90,
+       ROUND(SUM(date_diff('day', o_orderdate, l_shipdate)) * 1.0
+             / COUNT(*), 6) AS avg_lag,
+       MAX(date_diff('day', o_orderdate, l_shipdate)) AS max_lag
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+QUERIES.update(
+    {
+        "x_rfm_segmentation": x_rfm_segmentation,
+        "x_fulfillment_lag": x_fulfillment_lag,
+    }
+)
+ORACLES.update(
+    {
+        "x_rfm_segmentation": X_RFM_SQL,
+        "x_fulfillment_lag": X_FULFILLMENT_SQL,
+    }
+)
