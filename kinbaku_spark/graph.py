@@ -306,6 +306,66 @@ class Graph:
         self.register_views()
         return self.spark.sql(query)
 
+    def find(self, pattern: str) -> DataFrame:
+        """GraphFrames-style motif finding (extension — the reference has
+        no multi-hop query surface, SURVEY.md §2.4). The pattern is a
+        ';'-separated list of edge terms ``(a)-[]->(b)``; a leading ``!``
+        negates a term (the edge must NOT exist). Vertex names are free
+        identifiers; the result has one string column per named vertex,
+        one row per binding, duplicates removed.
+
+            g.find("(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+
+        Compiles to a chain of joins over the edge table (one aliased
+        self-join per positive term, a left-anti join per negated term) —
+        Catalyst plans/reorders them like any relational query, so the
+        same pattern scales to a cluster-sized edge table; every join is
+        keyed on vertex columns (hash-shuffle or broadcast as sizes
+        dictate).
+        """
+        import re as _re
+
+        term_re = _re.compile(
+            r"^\s*(!?)\s*\((\w+)\)\s*-\s*\[\s*\]\s*->\s*\((\w+)\)\s*$"
+        )
+        terms = []
+        for raw in pattern.split(";"):
+            if not raw.strip():
+                continue
+            m = term_re.match(raw)
+            if m is None:
+                raise BadArgument(f"unparseable motif term: {raw!r}")
+            terms.append((m.group(1) == "!", m.group(2), m.group(3)))
+        if not terms or terms[0][0]:
+            raise BadArgument("pattern needs a positive first term")
+
+        edges = self.edges_df.select("src", "dst")
+        result: DataFrame | None = None
+        bound: set[str] = set()
+        # positive terms first (negation is a filter, not a generator)
+        for neg, a, b in sorted(terms, key=lambda t: t[0]):
+            e = edges.select(F.col("src").alias(a), F.col("dst").alias(b))
+            if result is None:
+                result = e
+                bound |= {a, b}
+                continue
+            on = [c for c in (a, b) if c in bound]
+            if neg:
+                if len(on) != 2:
+                    raise BadArgument(
+                        f"negated term !({a})->({b}) must use bound vertices"
+                    )
+                result = result.join(e, on=on, how="left_anti")
+            else:
+                if not on:
+                    raise BadArgument(
+                        f"term ({a})->({b}) is disconnected from the pattern"
+                    )
+                result = result.join(e, on=on)
+                bound |= {a, b}
+        cols = sorted(bound)
+        return result.select(*cols).distinct()
+
     # -- iteration (reference graph.py:152-171; order is canonicalized to key
     #    order — the reference's DFS/file order is a storage artifact,
     #    FIXTURES.md §5) ------------------------------------------------------

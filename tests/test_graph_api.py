@@ -256,3 +256,95 @@ def test_compact_rewrites_sorted_and_equal(spark, tmp_path):
     from kinbaku_spark.plans import has_pushed_filter
 
     assert has_pushed_filter(g2.nodes_df.filter(F.col("key") == "n7"), "key")
+
+
+# -- motif finding (Graph.find) ----------------------------------------------
+
+
+def _motif_graph(spark):
+    from kinbaku_spark.graph import Graph
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 0), ("b", "c", 0), ("a", "c", 0),
+            ("c", "d", 0), ("d", "e", 0), ("e", "c", 0),
+        ],
+        "src string, dst string, type int",
+    )
+    return Graph.from_edges(edges)
+
+
+def test_motif_two_hop(spark):
+    g = _motif_graph(spark)
+    got = sorted(
+        tuple(r) for r in g.find("(x)-[]->(y); (y)-[]->(z)")
+        .select("x", "y", "z").collect()
+    )
+    # manual two-hop enumeration over the 6 edges
+    E = {("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"), ("e", "c")}
+    want = sorted(
+        (x, y, z) for (x, y) in E for (y2, z) in E if y2 == y
+    )
+    assert got == sorted(set(want))
+
+
+def test_motif_open_triad_negation(spark):
+    g = _motif_graph(spark)
+    got = sorted(
+        tuple(r)
+        for r in g.find("(x)-[]->(y); (y)-[]->(z); !(x)-[]->(z)")
+        .select("x", "y", "z")
+        .collect()
+    )
+    E = {("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"), ("e", "c")}
+    want = sorted(
+        set(
+            (x, y, z)
+            for (x, y) in E
+            for (y2, z) in E
+            if y2 == y and (x, z) not in E
+        )
+    )
+    assert got == want
+    # (a,b,c) is closed by a->c, so it must NOT appear
+    assert ("a", "b", "c") not in got
+
+
+def test_motif_triangle_matches_networkx(spark):
+    import networkx as nx
+
+    g = _motif_graph(spark)
+    tri = g.find("(x)-[]->(y); (y)-[]->(z); (z)-[]->(x)")
+    got = sorted(tuple(r) for r in tri.select("x", "y", "z").collect())
+    G = nx.DiGraph()
+    G.add_edges_from(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"), ("e", "c")]
+    )
+    want = sorted(
+        set(
+            (x, y, z)
+            for x in G
+            for y in G.successors(x)
+            for z in G.successors(y)
+            if G.has_edge(z, x)
+        )
+    )
+    assert got == want
+    assert len(got) == 3  # the c→d→e cycle in its 3 rotations
+
+
+def test_motif_bad_patterns(spark):
+    from kinbaku_spark.exceptions import BadArgument
+
+    g = _motif_graph(spark)
+    for bad in [
+        "(x)->(y)",                        # malformed term
+        "!(x)-[]->(y)",                    # negated first term
+        "(x)-[]->(y); (p)-[]->(q)",        # disconnected
+        "(x)-[]->(y); !(x)-[]->(z)",       # negation with unbound vertex
+    ]:
+        try:
+            g.find(bad)
+        except BadArgument:
+            continue
+        raise AssertionError(f"pattern {bad!r} should raise BadArgument")
