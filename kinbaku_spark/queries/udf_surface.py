@@ -73,3 +73,67 @@ ORACLES = {
     "x_udf_token_count": X_UDF_TOKEN_COUNT_SQL,
     "x_udtf_sentences": X_UDTF_SENTENCES_SQL,
 }
+
+
+def x_ann_pandas_topk(spark, sf_dir):
+    """Brute-force cosine top-k with the arithmetic inside a vectorized
+    Arrow kernel (mapInPandas + numpy) instead of JVM expressions — the
+    Pandas-UDF scale path for vector math the built-ins can't express
+    (learned kernels, quantized dot products, re-rankers).
+
+    Bit-for-bit identical to the SQL fold: the kernel accumulates the dot
+    product and norms SEQUENTIALLY over dimensions (vectorized across
+    ROWS), i.e. the same left-to-right double additions as F.aggregate /
+    list_reduce — so the shared oracle of x_ann_cosine_topk verifies this
+    kernel exactly, proving the Arrow path preserves numerics. Rounding
+    and the top-k cut stay JVM-side (round + TakeOrderedAndProject).
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kinbaku_spark.queries.extensions import ANN_K, _query_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(v) for v in _query_vec(spark, sf_dir)]
+    nq = 0.0
+    for v in q:
+        nq += v * v
+    nq = math.sqrt(nq)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy())  # (n, d) float32
+            n = mat.shape[0]
+            acc = np.zeros(n, dtype=np.float64)
+            na = np.zeros(n, dtype=np.float64)
+            for d in range(mat.shape[1]):  # sequential over dims,
+                x = mat[:, d].astype(np.float64)  # vectorized over rows
+                acc = acc + x * q[d]
+                na = na + x * x
+            sim = acc / (np.sqrt(na) * nq)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "sim": sim})
+
+    scored = emb.filter(F.col("vec_id") != 0).mapInPandas(
+        kernel, "vec_id bigint, sim double"
+    )
+    return (
+        scored.select("vec_id", F.round("sim", 6).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(ANN_K)
+    )
+
+
+def _ann_pandas_sql() -> str:
+    from kinbaku_spark.queries.extensions import X_ANN_COSINE_SQL
+
+    return X_ANN_COSINE_SQL  # the SAME oracle as the JVM-expression path
+
+
+QUERIES["x_ann_pandas_topk"] = x_ann_pandas_topk
+ORACLES["x_ann_pandas_topk"] = _ann_pandas_sql()
