@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 IMAGE_FEATURE_SCHEMA = (
-    "doc_id bigint, n_bytes int, width int, height int, aspect double, checksum bigint"
+    "doc_id bigint, n_bytes int, width int, height int, aspect_ppm bigint, checksum bigint"
 )
 AUDIO_FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes int, sample_rate int, n_frames int, duration_s double"
@@ -84,7 +84,11 @@ def image_features(
                     "height": dims.map(lambda d: d[1]).astype("int32"),
                 }
             )
-            out["aspect"] = (out["width"] / out["height"]).round(6)
+            # integer ppm (floor) instead of a rounded double: exact in any
+            # engine, so the oracle check is a value hash, not rows-only
+            out["aspect_ppm"] = (
+                out["width"].astype("int64") * 1_000_000 // out["height"].astype("int64")
+            )
             out["checksum"] = payloads.map(lambda p: int(sum(p))).astype("int64")
             yield out
 

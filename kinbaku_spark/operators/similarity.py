@@ -279,3 +279,56 @@ def ivf_topk(
         .orderBy(F.desc("sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def embedding_gram(
+    df: DataFrame, vec_col: str = "embedding", scale: int = 1_000_000
+) -> DataFrame:
+    """Upper-triangular Gram matrix Σ q_i·q_j over quantized embeddings —
+    the shared kernel of covariance/PCA/whitening over an embedding corpus.
+
+    Components are quantized to integer micro-units (floor(x·1e6) — exact
+    in IEEE double, so any engine replays it bit-for-bit) and each Arrow
+    batch is reduced to a d·(d+1)/2-sized partial Gram with one numpy
+    int64 matmul. The shuffle therefore moves O(partitions · d²) rows —
+    independent of corpus size — and the final groupBy is a toy. This is
+    the canonical map-side-reduction shape for distributed second-moment
+    statistics at 100 TB; the reference has no linear-algebra surface at
+    all beyond its boolean adjacency export (SURVEY.md §2.1 R19).
+
+    Output: (i, j, dot_q) with 1-based i ≤ j, dot_q = Σ q_i·q_j as a
+    64-bit integer (exact: |q| ≤ 1e6·|x|, so d=64-dim float corpora stay
+    far below 2^63 until ~1e6 rows·unit-scale — cast partials to
+    decimal(38,0) beyond that).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["v"].to_numpy())
+            q = np.floor(m.astype(np.float64) * scale).astype(np.int64)
+            g = q.T @ q
+            iu = np.triu_indices(g.shape[0])
+            yield _pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype(np.int32),
+                    "j": (iu[1] + 1).astype(np.int32),
+                    "dot_q": g[iu],
+                }
+            )
+
+    partials = df.select(F.col(vec_col).alias("v")).mapInPandas(
+        partial, "i int, j int, dot_q long"
+    )
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("dot_q").cast("long").alias("dot_q"))
+        .orderBy("i", "j")
+    )

@@ -726,3 +726,67 @@ ORDER BY o_totalprice, o_orderkey
 
 QUERIES["x_skyline_orders"] = x_skyline_orders
 ORACLES["x_skyline_orders"] = X_SKYLINE_SQL
+
+
+# -- full-outer reconciliation: purchases vs signups per user-day -------------
+
+def x_reconcile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independently aggregated daily series — purchase revenue and
+    signup counts per (user, day) — reconciled with a FULL OUTER join, the
+    standard two-ledger comparison shape (billing vs usage, shipped vs
+    invoiced). Each side collapses to per-user-day aggregates BEFORE the
+    join, so the outer join runs on dimension-sized inputs; at 100 TB both
+    sides shuffle once on the same (user_id, day) key and co-partition.
+
+    The reference has no join surface at all (SURVEY.md §2.4); this covers
+    the one join type (FullOuter) the rest of the suite doesn't.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            F.sum(F.col("value").cast(DEC)).alias("rev_dec"),
+        )
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("signups"))
+    )
+    return (
+        p.join(s, ["user_id", "day"], "full_outer")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("purchases", F.lit(0)).alias("purchases"),
+            F.coalesce(F.col("rev_dec").cast("double"), F.lit(0.0)).alias("purchase_rev"),
+            F.coalesce("signups", F.lit(0)).alias("signups"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+X_RECONCILE_SQL = """
+WITH p AS (
+  SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS purchases,
+         SUM(CAST(value AS DECIMAL(18,6))) AS rev_dec
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+s AS (
+  SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS signups
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+)
+SELECT COALESCE(p.user_id, s.user_id) AS user_id,
+       COALESCE(p.day, s.day) AS day,
+       CAST(COALESCE(p.purchases, 0) AS BIGINT) AS purchases,
+       COALESCE(CAST(p.rev_dec AS DOUBLE), 0.0) AS purchase_rev,
+       CAST(COALESCE(s.signups, 0) AS BIGINT) AS signups
+FROM p FULL OUTER JOIN s ON p.user_id = s.user_id AND p.day = s.day
+ORDER BY 1, 2
+"""
+
+
+QUERIES["x_reconcile_daily"] = x_reconcile_daily
+ORACLES["x_reconcile_daily"] = X_RECONCILE_SQL

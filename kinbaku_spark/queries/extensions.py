@@ -306,8 +306,10 @@ LIMIT {ANN_K}
 
 # ---------------------------------------------------------------------------
 # x_multimodal_image — binary-column decode plumbing (mapInPandas). The
-# decode itself is a deterministic stub (no media libs in the container), so
-# this is declared WITHOUT an oracle: the driver records a rows-only check.
+# fake decoder is a pure function of the payload bytes, so DuckDB replays it
+# exactly (hex() + per-byte arithmetic, like the audio/video twins); the
+# aspect ratio is an integer ppm (floor division) so no float rounding can
+# tie — full value-hash check, not rows-only.
 # ---------------------------------------------------------------------------
 
 def x_multimodal_image(spark, sf_dir):
@@ -315,6 +317,24 @@ def x_multimodal_image(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return image_features(with_binary_payload(docs), fake=True)
+
+
+X_MULTIMODAL_IMAGE_SQL = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n AS INT) AS n_bytes,
+  CAST(n % 512 + 16 AS INT) AS width,
+  CAST((n // 7) % 512 + 16 AS INT) AS height,
+  CAST((n % 512 + 16) * 1000000 // ((n // 7) % 512 + 16) AS BIGINT) AS aspect_ppm,
+  CAST(list_aggregate(list_transform(
+      generate_series(CAST(1 AS BIGINT), CAST(n AS BIGINT)),
+      i -> CAST(('0x' || substr(hx, CAST(2 * i - 1 AS INT), 2)) AS BIGINT)),
+    'sum') AS BIGINT) AS checksum
+FROM b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -442,7 +462,7 @@ ORACLES = {
     "x_dedup_embedding": X_DEDUP_EMBEDDING_SQL,
     "x_ann_cosine_topk": X_ANN_COSINE_SQL,
     "x_ann_lsh_topk": _ann_lsh_sql(),
-    "x_multimodal_image": None,  # mapInPandas binary decode: rows-only check
+    "x_multimodal_image": X_MULTIMODAL_IMAGE_SQL,
     "x_text_quality": X_TEXT_QUALITY_SQL,
     "x_lang_id": _lang_id_sql(),
     "x_token_count": X_TOKEN_COUNT_SQL,
@@ -937,3 +957,40 @@ ORDER BY vec_id
 
 QUERIES["x_embed_quantize"] = x_embed_quantize
 ORACLES["x_embed_quantize"] = X_EMBED_QUANTIZE_SQL
+
+
+# ---------------------------------------------------------------------------
+# x_embed_covariance — distributed second-moment (Gram) matrix over the
+# embedding corpus: each Arrow batch collapses to a d(d+1)/2 partial via one
+# numpy int64 matmul, so the shuffle is O(partitions x d^2) regardless of
+# corpus size — the covariance/PCA/whitening kernel for 100 TB embedding
+# tables. Quantization (floor(x*1e6) in double) is engine-exact, so the
+# oracle replays the full pairwise sum with integer arithmetic.
+# ---------------------------------------------------------------------------
+
+def x_embed_covariance(spark, sf_dir):
+    from kinbaku_spark.operators.similarity import embedding_gram
+
+    return embedding_gram(load_table(spark, sf_dir, "embeddings"))
+
+
+X_EMBED_COVARIANCE_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS v FROM q
+)
+SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+       CAST(SUM(a.v * b.v) AS BIGINT) AS dot_q
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES["x_embed_covariance"] = x_embed_covariance
+ORACLES["x_embed_covariance"] = X_EMBED_COVARIANCE_SQL

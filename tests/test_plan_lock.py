@@ -32,6 +32,23 @@ with open(LOCK_PATH) as _f:
     reason="lock is pinned to sf0.001 (plan shapes may legally differ by SF)",
 )
 def test_plan_signatures_match_lock(spark, sf_dir):
+    # Hermetic steady state: earlier tests in the same session materialize,
+    # unpersist, or re-register the shared derived-graph cache in arbitrary
+    # order, which flips InMemoryTableScan/exchange-reuse markers in plan
+    # STRINGS without changing any plan. Rebuild that state from scratch so
+    # signatures are computed exactly as scripts/update_plan_lock.py does
+    # in a fresh session.
+    from kinbaku_spark.queries import graph_queries
+
+    for nodes, edges, extra in graph_queries._CACHE.values():
+        for df in [nodes, edges, *[v for v in extra.values() if hasattr(v, "unpersist")]]:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    graph_queries._CACHE.clear()
+    spark.catalog.clearCache()
+
     missing = sorted(set(QUERIES) - set(LOCK))
     assert not missing, (
         f"queries missing from PLAN_LOCK.json (run scripts/update_plan_lock.py): {missing}"

@@ -282,3 +282,31 @@ def test_scd2_windows_share_one_exchange(spark, sf_dir):
         if "Exchange hashpartitioning" in line
     ]
     assert len(hash_exchanges) == 1, hash_exchanges
+
+
+def test_gram_shuffle_is_partial_and_d2_sized(spark, sf_dir):
+    """The Gram matrix must reduce map-side: each Arrow batch emits d(d+1)/2
+    partial rows, then ONE hash exchange on (i, j) merges them. A second
+    exchange (or none) would mean the corpus itself is shuffling."""
+    plan = _physical_plan(QUERIES["x_embed_covariance"](spark, sf_dir))
+    hash_exchanges = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
+    assert "HashAggregate" in plan and "partial_sum" in plan.lower() or (
+        plan.count("HashAggregate") >= 2
+    ), "expected a partial (map-side) aggregate before the exchange"
+
+
+def test_reconcile_full_outer_copartitions_once(spark, sf_dir):
+    """Both pre-aggregated ledgers hash-partition on the SAME (user_id, day)
+    key, so the full-outer join reuses that partitioning — two fact-side
+    exchanges (one per ledger), none after."""
+    plan = _physical_plan(QUERIES["x_reconcile_daily"](spark, sf_dir))
+    assert "FullOuter" in plan, "join type must be full outer"
+    hash_exchanges = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert len(hash_exchanges) == 2, hash_exchanges
+    df = QUERIES["x_reconcile_daily"](spark, sf_dir)
+    assert has_pushed_filter(df, "event_type"), "type filter must reach the scan"
