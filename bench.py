@@ -78,6 +78,8 @@ EXTENSION_HEADLINE = [
     "x_inverted_index",
     "x_chunk_documents",
     "g_sssp_bounded",
+    "x_embed_covariance",
+    "x_reconcile_daily",
 ]
 
 

@@ -1403,3 +1403,26 @@ l{i + 1} AS MATERIALIZED (
 
 QUERIES["g_label_propagation"] = g_label_propagation
 ORACLES["g_label_propagation"] = _label_prop_sql()
+
+
+# -- salted two-phase degree count (skew mitigation, identical result) --------
+
+def g_in_degrees_salted(spark, sf_dir):
+    """In-degrees via operators/skew.salted_count: phase 1 groups on
+    (dst, salt) so a hub key (the reference's 200k-degree node,
+    examples/one_node_many_neighbors.py) spreads over 16 reducers; phase 2
+    re-aggregates the partials. Counts are associative, so the result is
+    IDENTICAL to the direct groupBy — the oracle is the same plain GROUP BY
+    as g_in_degrees, which is exactly the point: salting changes the
+    shuffle shape, never the answer.
+    """
+    from kinbaku_spark.operators.skew import salted_count
+
+    _, edges, _ = _cached(spark, sf_dir)
+    return salted_count(edges.select("dst"), ["dst"], salt=16).select(
+        F.col("dst").alias("key"), F.col("count").alias("in_degree")
+    )
+
+
+QUERIES["g_in_degrees_salted"] = g_in_degrees_salted
+ORACLES["g_in_degrees_salted"] = G_IN_DEGREES_SQL

@@ -310,3 +310,21 @@ def test_reconcile_full_outer_copartitions_once(spark, sf_dir):
     assert len(hash_exchanges) == 2, hash_exchanges
     df = QUERIES["x_reconcile_daily"](spark, sf_dir)
     assert has_pushed_filter(df, "event_type"), "type filter must reach the scan"
+
+
+def test_salted_degrees_two_phase_shuffle(spark, sf_dir):
+    """Salted counting must show BOTH phases — a (key, salt) exchange and a
+    (key) exchange — plus map-side partial aggregates in each."""
+    plan = _physical_plan(QUERIES["g_in_degrees_salted"](spark, sf_dir))
+    hash_exchanges = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    # the stored-graph derivation lineage contributes its own exchanges;
+    # assert the two salted phases specifically
+    salted_phase = [line for line in hash_exchanges if "__salt" in line]
+    final_phase = [
+        line for line in hash_exchanges
+        if "__salt" not in line and "hashpartitioning(dst#" in line
+    ]
+    assert len(salted_phase) == 1, hash_exchanges
+    assert len(final_phase) == 1, hash_exchanges
