@@ -31,6 +31,7 @@ for name in [
     "g_counts",                # graph ETL cache path
     "x_multimodal_image",      # mapInPandas closure from foreign cwd
     "x_dedup_minhash",         # full LSH pipeline
+    "x_embed_covariance",      # mapInPandas + numpy matmul from foreign cwd
 ]:
     out[name] = qs[name](spark, sf).count()
 entry_rows = e.entry(spark).count()
@@ -57,3 +58,4 @@ def test_plain_driver_session_runs_everything():
     assert got["g_counts"] == 1
     assert got["x_multimodal_image"] == 500
     assert got["x_dedup_minhash"] > 0
+    assert got["x_embed_covariance"] == 64 * 65 // 2  # upper-tri of d=64
