@@ -80,6 +80,7 @@ EXTENSION_HEADLINE = [
     "g_sssp_bounded",
     "x_embed_covariance",
     "x_reconcile_daily",
+    "x_doc_lm_score",
 ]
 
 

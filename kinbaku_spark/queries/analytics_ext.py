@@ -790,3 +790,105 @@ ORDER BY 1, 2
 
 QUERIES["x_reconcile_daily"] = x_reconcile_daily
 ORACLES["x_reconcile_daily"] = X_RECONCILE_SQL
+
+
+# -- n-gram LM fluency score per document -------------------------------------
+
+def x_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fluency under the corpus bigram model — the classical
+    LM-based quality filter (KenM-style perplexity ranking, linearized):
+    each document's bigrams are scored with the corpus-wide conditional
+    probability P(w2|w1), and the document gets the mean. Log-probabilities
+    are deliberately avoided (ln differs between JVM and libm in the last
+    ulp); probabilities are integer ppm via floor(c12*1e6 / c1), so every
+    value replays exactly in any engine.
+
+    Shuffle story: tokenize once; ONE shuffle on doc_id orders tokens for
+    the bigram window; the bigram-count aggregation feeds a model that
+    BROADCASTS back onto the already-doc_id-partitioned bigram stream, and
+    the final per-doc aggregation reuses that partitioning — the fact
+    stream shuffles exactly once. At 100 TB the model gets a min-count
+    prune before broadcast (here the corpus vocabulary is small).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), F.col("nxt").alias("w2"))
+        # two consumers (model build + scoring): materialize the tokenized
+        # bigram stream once instead of re-tokenizing the corpus
+        .localCheckpoint(eager=False)
+    )
+    bi = seq.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    model = bi.join(F.broadcast(c1), "w1").select(
+        "w1", "w2", F.expr("(c12 * 1000000) div c1").alias("p_ppm")
+    )
+    per_doc = (
+        seq.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("p_ppm").alias("total_ppm"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("total_ppm", F.lit(0)).alias("total_ppm"),
+            F.coalesce(
+                F.expr("total_ppm div n_bigrams"), F.lit(0)
+            ).alias("mean_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+X_DOC_LM_SQL = """
+WITH lists AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS l
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+  FROM lists
+),
+toks_clean AS (SELECT * FROM toks WHERE tok <> ''),
+seq AS (
+  SELECT doc_id, tok AS w1,
+         LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks_clean
+),
+seq_clean AS (SELECT * FROM seq WHERE w2 IS NOT NULL),
+bi AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM seq_clean GROUP BY 1, 2
+),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM bi GROUP BY w1),
+model AS (
+  SELECT bi.w1, bi.w2, (bi.c12 * 1000000) // c1.c1 AS p_ppm
+  FROM bi JOIN c1 ON c1.w1 = bi.w1
+),
+per_doc AS (
+  SELECT s.doc_id, COUNT(*) AS n_bigrams, SUM(m.p_ppm) AS total_ppm
+  FROM seq_clean s JOIN model m ON m.w1 = s.w1 AND m.w2 = s.w2
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(p.total_ppm, 0) AS BIGINT) AS total_ppm,
+       CAST(COALESCE(p.total_ppm // p.n_bigrams, 0) AS BIGINT) AS mean_ppm
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+QUERIES["x_doc_lm_score"] = x_doc_lm_score
+ORACLES["x_doc_lm_score"] = X_DOC_LM_SQL
