@@ -994,3 +994,53 @@ ORDER BY 1, 2
 
 QUERIES["x_embed_covariance"] = x_embed_covariance
 ORACLES["x_embed_covariance"] = X_EMBED_COVARIANCE_SQL
+
+
+# ---------------------------------------------------------------------------
+# x_repetition_ratio — duplicate 3-gram ratio per document (the Gopher-rule
+# repetition filter): documents whose n-grams repeat heavily are boilerplate
+# or degenerate generations. Pure per-row projection — no shuffle anywhere
+# except the presentation sort — so at 100 TB it rides the scan. The ratio
+# is integer ppm (floor), exact in any engine.
+# ---------------------------------------------------------------------------
+
+def x_repetition_ratio(spark, sf_dir):
+    from kinbaku_spark.functions.textfns import shingle_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    total = F.greatest(F.size(words) - 2, F.lit(0)).cast("long")
+    distinct = F.size(shingle_array(F.col("text"), 3)).cast("long")
+    return (
+        docs.select("doc_id", total.alias("n_grams"), distinct.alias("n_distinct"))
+        .withColumn(
+            "rep_ppm",
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr("((n_grams - n_distinct) * 1000000) div n_grams"),
+            ).otherwise(F.lit(0)),
+        )
+        .orderBy("doc_id")
+    )
+
+
+X_REPETITION_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {SQL_WORDS.format(expr='text')} AS words FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CAST(GREATEST(len(words) - 2, 0) AS BIGINT) AS n_grams,
+         CAST(len({sql_shingle_array('words', 3)}) AS BIGINT) AS n_distinct
+  FROM w
+)
+SELECT doc_id, n_grams, n_distinct,
+       CASE WHEN n_grams > 0
+            THEN ((n_grams - n_distinct) * 1000000) // n_grams
+            ELSE 0 END AS rep_ppm
+FROM g ORDER BY doc_id
+"""
+
+
+QUERIES["x_repetition_ratio"] = x_repetition_ratio
+ORACLES["x_repetition_ratio"] = X_REPETITION_SQL

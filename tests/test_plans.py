@@ -328,3 +328,10 @@ def test_salted_degrees_two_phase_shuffle(spark, sf_dir):
     ]
     assert len(salted_phase) == 1, hash_exchanges
     assert len(final_phase) == 1, hash_exchanges
+
+
+def test_repetition_ratio_rides_the_scan(spark, sf_dir):
+    """The repetition filter is a per-row projection: no hash exchange may
+    appear — the only allowed shuffle is the presentation sort."""
+    plan = _physical_plan(QUERIES["x_repetition_ratio"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan, plan
