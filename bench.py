@@ -81,6 +81,8 @@ EXTENSION_HEADLINE = [
     "x_embed_covariance",
     "x_reconcile_daily",
     "x_doc_lm_score",
+    "x_bpe_pair_merges",
+    "x_ewma_daily",
 ]
 
 

@@ -11,6 +11,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     graph_queries,
     mining_ext,
     pipeline_ext,
+    pipeline_ext2,
     relational,
     relational_ext,
     relational_ext3,
@@ -34,6 +35,7 @@ for mod in (
     graph_queries,
     mining_ext,
     pipeline_ext,
+    pipeline_ext2,
     reshape,
     sketches_ext,
     sql_surface,
