@@ -332,3 +332,70 @@ def embedding_gram(
         .agg(F.sum("dot_q").cast("long").alias("dot_q"))
         .orderBy("i", "j")
     )
+
+
+def kmeans_clusters(
+    corpus: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding corpus (cosine assignment,
+    deterministic seeding: the first ``k`` ids are the initial centroids).
+    Returns per-cluster membership counts and mean similarity after
+    ``rounds`` assignment passes — the topic-clustering / corpus-mixing
+    primitive (the reference has no vector surface at all, SURVEY.md §2.4).
+
+    Scale shape: centroids are k·d doubles — they ride to every executor as
+    LITERAL expressions (collected once per round, like broadcast vars but
+    plan-visible), so each assignment pass is a map-only projection with an
+    argmax over k struct comparisons — ZERO shuffle of the corpus. The only
+    shuffles are the per-round centroid recomputes: a d×k-sized partial
+    aggregate (map-side combine collapses each partition to ≤ k·d rows).
+    At 100 TB with large k, swap seeding for k-means|| and keep the same
+    two-step round.
+
+    Determinism: sims rounded to 6dp before argmax (ties break on lowest
+    cluster id via struct max over (sim, -cluster)); centroid means use
+    exact DECIMAL(28,12) sums (label_centroids); mean_sim uses exact
+    DECIMAL(18,6) sums of the rounded sims.
+    """
+    def assign(centroids: list[tuple[int, list[float]]]) -> DataFrame:
+        sims = F.array(
+            *[
+                F.struct(
+                    F.round(cosine_vs_literal(vec_col, vec), 6).alias("sim"),
+                    F.lit(-cl).alias("negc"),
+                )
+                for cl, vec in centroids
+            ]
+        )
+        best = F.array_max(sims)
+        return corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            (-best["negc"]).cast("int").alias("cluster"),
+            best["sim"].alias("sim"),
+        )
+
+    seeds = sorted(
+        (int(r[id_col]), [float(v) for v in r[vec_col]])
+        for r in corpus.filter(F.col(id_col) < k).select(id_col, vec_col).collect()
+    )
+    assigned = assign(seeds)
+    for _ in range(rounds - 1):
+        cen = label_centroids(assigned, "cluster", vec_col)
+        cents = sorted(
+            (int(r["cluster"]), [float(v) for v in r["centroid"]])
+            for r in cen.collect()
+        )
+        assigned = assign(cents)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(
+            F.sum(F.col("sim").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_sim"),
+    )

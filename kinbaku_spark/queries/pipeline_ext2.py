@@ -187,3 +187,72 @@ ORACLES = {
     "x_ewma_daily": X_EWMA_SQL,
     "x_domain_quota": X_DOMAIN_QUOTA_SQL,
 }
+
+
+# -- x_kmeans_clusters: Lloyd's k-means over the embedding corpus ------------
+# (operator in operators/similarity.py — see its docstring for the
+# zero-shuffle assignment / d×k-aggregate recompute scale shape)
+
+KMEANS_K = 8
+KMEANS_ROUNDS = 2
+
+
+def x_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinbaku_spark.operators.similarity import kmeans_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_clusters(emb, k=KMEANS_K, rounds=KMEANS_ROUNDS)
+
+
+def _kmeans_sql() -> str:
+    from kinbaku_spark.queries.extensions import _sql_cosine
+
+    return f"""
+WITH seeds AS (
+  SELECT CAST(vec_id AS INTEGER) AS cluster, embedding AS centroid
+  FROM embeddings WHERE vec_id < {KMEANS_K}
+),
+a1p AS (
+  SELECT e.vec_id, s.cluster,
+         ROUND({_sql_cosine('e.embedding', 's.centroid')}, 6) AS sim
+  FROM embeddings e CROSS JOIN seeds s
+),
+a1 AS (
+  SELECT vec_id, cluster, sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cluster) AS rn
+    FROM a1p
+  ) WHERE rn = 1
+),
+ex AS (
+  SELECT a1.cluster, generate_subscripts(e.embedding, 1) AS pos,
+         unnest(e.embedding) AS val
+  FROM embeddings e JOIN a1 ON e.vec_id = a1.vec_id
+),
+cen AS (
+  SELECT cluster, list(avg ORDER BY pos) AS centroid FROM (
+    SELECT cluster, pos,
+           CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg
+    FROM ex GROUP BY cluster, pos
+  ) GROUP BY cluster
+),
+a2p AS (
+  SELECT e.vec_id, c.cluster,
+         ROUND({_sql_cosine('e.embedding', 'c.centroid')}, 6) AS sim
+  FROM embeddings e CROSS JOIN cen c
+),
+a2 AS (
+  SELECT vec_id, cluster, sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cluster) AS rn
+    FROM a2p
+  ) WHERE rn = 1
+)
+SELECT cluster, COUNT(*) AS n_members,
+       ROUND(CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_sim
+FROM a2 GROUP BY cluster
+"""
+
+
+QUERIES["x_kmeans_clusters"] = x_kmeans_clusters
+ORACLES["x_kmeans_clusters"] = _kmeans_sql()
