@@ -129,6 +129,110 @@ ORDER BY e.l_returnflag
 """
 
 
+# -- HLL merge across sources: the mergeability property, materialized --------
+
+def x_hll_merge_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-`source` HLL sketches over distinct document texts, PLUS the
+    union sketch obtained by max-merging the per-source registers — no
+    rescan of the base data. Shared texts across sources make the merged
+    exact-distinct strictly less than the per-source sum; the merged HLL
+    tracks the union correctly because register max is the sketch's union
+    operator. This is the property that lets 1000 executors (or 1000
+    days of partial sketches) aggregate distincts without ever
+    re-shuffling raw keys.
+
+    Same register algebra as x_hll_distinct; the merge adds ONE extra
+    256-row aggregation on sketch state only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long(F.col("text"))
+    hashed = docs.select(
+        "source",
+        "text",
+        F.pmod(h, F.lit(HLL_M)).cast("int").alias("idx"),
+        (h.alias("h")).alias("h"),
+    ).select(
+        "source",
+        "text",
+        "idx",
+        F.expr("h div 256").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(F.col("w")))
+    )
+    regs_src = (
+        hashed.select("source", "idx", rho.alias("rho"))
+        .groupBy("source", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    regs_all = regs_src.groupBy("idx").agg(F.max("rho").alias("rho")).select(
+        F.lit("__ALL__").alias("source"), "idx", "rho"
+    )
+    regs = regs_src.unionByName(regs_all)
+    sums = regs.groupBy("source").agg(
+        F.expr(
+            "sum(shiftleft(CAST(1 AS BIGINT), 53 - rho))"
+            " + (256 - count(1)) * shiftleft(CAST(1 AS BIGINT), 53)"
+        ).alias("hll_sum"),
+    )
+    exact_src = docs.groupBy("source").agg(
+        F.count_distinct("text").alias("exact_distinct")
+    )
+    exact_all = docs.agg(
+        F.count_distinct("text").alias("exact_distinct")
+    ).select(F.lit("__ALL__").alias("source"), "exact_distinct")
+    exact = exact_src.unionByName(exact_all)
+    est = F.expr(f"{_HLL_NUM!r} / CAST(hll_sum AS DOUBLE)")
+    return exact.join(sums, "source").select(
+        "source",
+        "exact_distinct",
+        "hll_sum",
+        est.alias("hll_est"),
+        ((est - F.col("exact_distinct")) / F.col("exact_distinct")).alias(
+            "rel_err"
+        ),
+    )
+
+
+_H_TXT = sql_md5_long("text")
+
+X_HLL_MERGE_SQL = f"""
+WITH hashed AS (
+  SELECT source, text,
+         CAST({_H_TXT} % 256 AS INTEGER) AS idx,
+         {_H_TXT} // 256 AS w
+  FROM documents
+),
+regs_src AS (
+  SELECT source, idx,
+         MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
+  FROM hashed GROUP BY 1, 2
+),
+regs AS (
+  SELECT source, idx, rho FROM regs_src
+  UNION ALL
+  SELECT '__ALL__' AS source, idx, MAX(rho) AS rho FROM regs_src GROUP BY idx
+),
+sums AS (
+  SELECT source,
+         CAST(SUM(CAST(1 AS BIGINT) << (53 - rho))
+              + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT)
+           AS hll_sum
+  FROM regs GROUP BY 1
+),
+exact AS (
+  SELECT source, COUNT(DISTINCT text) AS exact_distinct FROM documents GROUP BY 1
+  UNION ALL
+  SELECT '__ALL__', COUNT(DISTINCT text) FROM documents
+)
+SELECT e.source, e.exact_distinct, s.hll_sum,
+       {_HLL_NUM!r} / CAST(s.hll_sum AS DOUBLE) AS hll_est,
+       ({_HLL_NUM!r} / CAST(s.hll_sum AS DOUBLE)
+        - e.exact_distinct) / e.exact_distinct AS rel_err
+FROM exact e JOIN sums s ON s.source = e.source
+"""
+
+
 # -- Bloom-filter join pruning ------------------------------------------------
 
 BLOOM_BITS = 4096  # m: 128 words x 32 bits = 512 bytes of filter state
@@ -256,10 +360,12 @@ FROM decided GROUP BY 1, 2 ORDER BY 1, 2
 
 
 QUERIES = {
+    "x_hll_merge_sources": x_hll_merge_sources,
     "x_hll_distinct": x_hll_distinct,
     "x_bloom_prune": x_bloom_prune,
 }
 ORACLES = {
+    "x_hll_merge_sources": X_HLL_MERGE_SQL,
     "x_hll_distinct": X_HLL_SQL,
     "x_bloom_prune": X_BLOOM_SQL,
 }
