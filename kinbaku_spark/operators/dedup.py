@@ -125,7 +125,6 @@ def minhash_near_duplicates(
     Deterministic end-to-end: same shingles, same universal-hash coefficients,
     same verification arithmetic in Spark and the SQL oracle.
     """
-    rows = n_hashes // bands
     # NOTE: no .persist() on the shingle table — its three consumers
     # (signatures, set sizes, pair intersection) share identical shuffle
     # subplans that Spark's ReusedExchange already dedups; a cache barrier
@@ -133,6 +132,17 @@ def minhash_near_duplicates(
     # materialized table instead.
     sh = shingle_hashes(docs, id_col, text_col, shingle_n)
     sig = minhash_signatures(sh, id_col, n_hashes, seed)
+    candidates = minhash_band_candidates(sig, id_col, n_hashes, bands)
+    return _jaccard_verify(candidates, sh, id_col, threshold)
+
+
+def minhash_band_candidates(
+    sig: DataFrame, id_col: str, n_hashes: int, bands: int
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b, distinct) from a signature
+    table — the pruning half of the MinHash contract, exposed separately so
+    recall/precision evaluation can inspect PRE-verification candidates."""
+    rows = n_hashes // bands
     band_cols = [
         F.struct(
             F.lit(k).alias("band"),
@@ -149,13 +159,12 @@ def minhash_near_duplicates(
         F.col(id_col).alias(f"{id_col}_a"), "band", "key"
     )
     right = banded.select(F.col(id_col).alias(f"{id_col}_b"), "band", "key")
-    candidates = (
+    return (
         left.join(right, ["band", "key"])
         .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
         .select(f"{id_col}_a", f"{id_col}_b")
         .distinct()
     )
-    return _jaccard_verify(candidates, sh, id_col, threshold)
 
 
 def jaccard_near_duplicates(

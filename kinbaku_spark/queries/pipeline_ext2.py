@@ -256,3 +256,248 @@ FROM a2 GROUP BY cluster
 
 QUERIES["x_kmeans_clusters"] = x_kmeans_clusters
 ORACLES["x_kmeans_clusters"] = _kmeans_sql()
+
+
+# -- x_dedup_recall_eval: MinHash banding quality vs exact ground truth ------
+
+DEDUP_EVAL_N = 150  # fixed-size subcorpus: the exact all-pairs truth stays
+# O(DEDUP_EVAL_N^2) at every scale factor — the evaluation harness is
+# constant-cost; the PIPELINE under test is the production banding path.
+
+
+def x_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash banding stage against exact all-pairs
+    Jaccard ground truth on a fixed subcorpus (doc_id < DEDUP_EVAL_N).
+
+    Candidates are PRE-verification band pairs (the set the verify join
+    would touch); truth is every pair with exact Jaccard >= the production
+    threshold. This is the measurement that justifies banding at 100 TB:
+    recall says what the pigeonhole misses, precision says how much work
+    verification must absorb. Ratios in integer ppm (exact replay).
+    """
+    from kinbaku_spark.operators.dedup import (
+        minhash_band_candidates,
+        minhash_signatures,
+        shingle_hashes,
+    )
+    from kinbaku_spark.queries.extensions import (
+        MINHASH_THRESHOLD,
+        N_BANDS,
+        N_HASHES,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < DEDUP_EVAL_N
+    )
+    sh = shingle_hashes(docs, "doc_id", "text", 3)
+    sig = minhash_signatures(sh, "doc_id", N_HASHES, 42)
+    cand = minhash_band_candidates(sig, "doc_id", N_HASHES, N_BANDS).select(
+        F.col("doc_id_a").alias("da"), F.col("doc_id_b").alias("db")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.select(F.col("doc_id").alias("da"), "h")
+        .join(sh.select(F.col("doc_id").alias("db"), "h"), "h")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
+        .filter(
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6)
+            >= MINHASH_THRESHOLD
+        )
+        .select("da", "db")
+    )
+    j = truth.withColumn("t", F.lit(1)).join(
+        cand.withColumn("c", F.lit(1)), ["da", "db"], "full_outer"
+    )
+    agg = j.agg(
+        F.count("t").alias("n_truth"),
+        F.count("c").alias("n_cand"),
+        F.count(F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)).alias("tp"),
+        F.count(F.when(F.col("c").isNotNull() & F.col("t").isNull(), 1)).alias("fp"),
+        F.count(F.when(F.col("t").isNotNull() & F.col("c").isNull(), 1)).alias("fn"),
+    )
+    return agg.select(
+        "n_truth",
+        "n_cand",
+        "tp",
+        "fp",
+        "fn",
+        F.expr("tp * 1000000 div greatest(n_cand, 1)").alias("precision_ppm"),
+        F.expr("tp * 1000000 div greatest(n_truth, 1)").alias("recall_ppm"),
+    )
+
+
+def _dedup_eval_sql() -> str:
+    from kinbaku_spark.functions.hashing import HASH_PRIME, minhash_coeffs
+    from kinbaku_spark.queries.extensions import (
+        BAND_ROWS,
+        MINHASH_THRESHOLD,
+        N_BANDS,
+        N_HASHES,
+        _sql_shingle_cte,
+    )
+
+    coeffs = minhash_coeffs(N_HASHES, 42)
+    mins = ",\n    ".join(
+        f"MIN(({a} * (h % {HASH_PRIME}) + {b}) % {HASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    band_selects = []
+    for k in range(N_BANDS):
+        key = " || '|' || ".join(
+            f"CAST(mh{k * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+        )
+        band_selects.append(f"SELECT doc_id, {k} AS band, {key} AS key FROM sig")
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    src = f"(SELECT * FROM documents WHERE doc_id < {DEDUP_EVAL_N})"
+    return f"""
+WITH {_sql_shingle_cte(3, src)},
+sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),
+bands AS (
+  {bands_sql}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+  FROM hx a JOIN hx b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.da, i.db
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.da
+  JOIN sizes sb ON sb.doc_id = i.db
+  WHERE ROUND(i.i / (sa.n + sb.n - i.i), 6) >= {MINHASH_THRESHOLD}
+),
+j AS (
+  SELECT t.da IS NOT NULL AS has_t, c.da IS NOT NULL AS has_c
+  FROM truth t FULL OUTER JOIN cand c ON t.da = c.da AND t.db = c.db
+),
+agg AS (
+  SELECT COUNT(*) FILTER (WHERE has_t) AS n_truth,
+         COUNT(*) FILTER (WHERE has_c) AS n_cand,
+         COUNT(*) FILTER (WHERE has_t AND has_c) AS tp,
+         COUNT(*) FILTER (WHERE has_c AND NOT has_t) AS fp,
+         COUNT(*) FILTER (WHERE has_t AND NOT has_c) AS fn
+  FROM j
+)
+SELECT n_truth, n_cand, tp, fp, fn,
+       tp * 1000000 // greatest(n_cand, 1) AS precision_ppm,
+       tp * 1000000 // greatest(n_truth, 1) AS recall_ppm
+FROM agg
+"""
+
+
+QUERIES["x_dedup_recall_eval"] = x_dedup_recall_eval
+ORACLES["x_dedup_recall_eval"] = _dedup_eval_sql()
+
+
+# -- x_langid_eval: confusion matrix of the language-ID heuristic ------------
+
+def x_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword language classifier against the
+    corpus's labeled `lang` column: (true lang, predicted lang, n). The
+    model-evaluation shape: prediction is per-row map-side work; the ONE
+    shuffle is the tiny (langs x langs) count."""
+    from kinbaku_spark.operators.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = lang_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _langid_eval_sql() -> str:
+    from kinbaku_spark.queries.extensions import _lang_id_sql
+
+    return f"""
+SELECT d.lang, p.pred_lang, COUNT(*) AS n
+FROM documents d JOIN ({_lang_id_sql()}) p ON p.doc_id = d.doc_id
+GROUP BY 1, 2
+"""
+
+
+QUERIES["x_langid_eval"] = x_langid_eval
+ORACLES["x_langid_eval"] = _langid_eval_sql()
+
+
+# -- x_entity_blocking: blocked entity-resolution candidate pairs ------------
+
+BLOCK_LEV_MAX = 15
+
+
+def x_entity_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking over part names: block on (first word,
+    second word, p_size), generate within-block pairs, keep pairs with
+    Levenshtein distance <= BLOCK_LEV_MAX.
+
+    The scale pattern behind every record-linkage pipeline: blocking turns
+    the O(n^2) cross join into one equi-join shuffle on the block key, and
+    total work becomes sum-of-block^2 (bounded by the key design; skewed
+    blocks split by AQE). Complements x_fuzzy_match, which is the
+    broadcast-probe variant for a small query side.
+    """
+    part = load_table(spark, sf_dir, "part")
+    w = F.split(F.col("p_name"), " ")
+    keyed = part.select(
+        "p_partkey",
+        "p_name",
+        w.getItem(0).alias("w1"),
+        w.getItem(1).alias("w2"),
+        "p_size",
+    )
+    a = keyed.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+        "w1", "w2", "p_size",
+    )
+    b = keyed.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+        "w1", "w2", "p_size",
+    )
+    return (
+        a.join(b, ["w1", "w2", "p_size"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .select(
+            "part_a",
+            "part_b",
+            F.levenshtein("name_a", "name_b").alias("lev"),
+        )
+        .filter(F.col("lev") <= BLOCK_LEV_MAX)
+    )
+
+
+X_ENTITY_BLOCKING_SQL = f"""
+WITH k AS (
+  SELECT p_partkey, p_name,
+         string_split(p_name, ' ')[1] AS w1,
+         string_split(p_name, ' ')[2] AS w2,
+         p_size
+  FROM part
+)
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS lev
+FROM k a JOIN k b
+  ON a.w1 = b.w1 AND a.w2 = b.w2 AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {BLOCK_LEV_MAX}
+"""
+
+
+QUERIES["x_entity_blocking"] = x_entity_blocking
+ORACLES["x_entity_blocking"] = X_ENTITY_BLOCKING_SQL
