@@ -150,6 +150,26 @@ class Graph:
         return cls(spark, nodes=nodes, edges=edges, **kw)
 
     @classmethod
+    def from_kinbaku_file(
+        cls,
+        spark: SparkSession,
+        path: str,
+        node_attrs: list | None = None,
+        edge_attrs: list | None = None,
+        **kw: Any,
+    ) -> "Graph":
+        """Import a graph from the reference's native binary file format —
+        the migration path for existing kinbaku databases (decoder in
+        sources/kinbaku_file.py; custom attribute schemas are declared as
+        (name, kind) lists mirroring the reference's dataclass fields)."""
+        from kinbaku_spark.sources.kinbaku_file import read_kinbaku_file
+
+        nodes, edges = read_kinbaku_file(
+            spark, path, node_attrs=node_attrs, edge_attrs=edge_attrs
+        )
+        return cls(spark, nodes=nodes, edges=edges, **kw)
+
+    @classmethod
     def load(cls, spark: SparkSession, path: str, **kw: Any) -> "Graph":
         nodes = spark.read.parquet(f"{path}/nodes")
         edges = spark.read.parquet(f"{path}/edges")
