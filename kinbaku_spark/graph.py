@@ -169,6 +169,48 @@ class Graph:
         )
         return cls(spark, nodes=nodes, edges=edges, **kw)
 
+    def to_kinbaku_file(
+        self,
+        path: str,
+        node_attrs: list | None = None,
+        edge_attrs: list | None = None,
+        hash_func=None,
+        **kw: Any,
+    ) -> None:
+        """Export this graph INTO the reference's binary file format so the
+        reference library can open it directly (pass the same hash_func on
+        both sides; defaults to crc32). Collects to the driver by design —
+        the target is the reference's single-file model."""
+        from kinbaku_spark.sources.kinbaku_file import (
+            crc32_hash,
+            write_kinbaku_file,
+        )
+
+        self._flush()
+        attr_names = [n for n, _ in (node_attrs or [])]
+        node_rows = [
+            (r["key"], {a: r[a] for a in attr_names})
+            for r in self._nodes.select("key", *attr_names)
+            .orderBy("key")
+            .collect()
+        ]
+        eattr_names = [n for n, _ in (edge_attrs or [])]
+        edge_rows = [
+            (r["src"], r["dst"], r["type"], {a: r[a] for a in eattr_names})
+            for r in self._edges.select("src", "dst", "type", *eattr_names)
+            .orderBy("src", "dst", "type")
+            .collect()
+        ]
+        write_kinbaku_file(
+            path,
+            node_rows,
+            edge_rows,
+            node_attrs=node_attrs,
+            edge_attrs=edge_attrs,
+            hash_func=hash_func or crc32_hash,
+            **kw,
+        )
+
     @classmethod
     def load(cls, spark: SparkSession, path: str, **kw: Any) -> "Graph":
         nodes = spark.read.parquet(f"{path}/nodes")

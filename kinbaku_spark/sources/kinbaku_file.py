@@ -345,3 +345,249 @@ def read_kinbaku_file(
         .select("src", "dst", F.col("type").cast("int").alias("type"), *edge_attr_names)
     )
     return nodes.drop("position"), edges
+
+
+# ---------------------------------------------------------------------------
+# Writer: export a graph INTO the reference's binary format
+# ---------------------------------------------------------------------------
+
+def crc32_hash(key: str) -> int:
+    """Default export hash (uint32). The reference's own default needs
+    cityhash/mmh3 (graph.py:82-90); any uint32 hash works as long as the
+    SAME function is passed when the reference opens the file."""
+    import zlib
+
+    return zlib.crc32(key.encode()) & 0xFFFFFFFF
+
+
+def _compare_nodes(a_hash: int, a_key: str, b_hash: int, b_key: str) -> int:
+    """The reference's node comparator (utils.py:1-14): -1 if B sorts left
+    of A, +1 right, 0 equal — replicated decision-for-decision."""
+    if b_hash < a_hash:
+        return -1
+    if b_hash > a_hash:
+        return 1
+    if b_key < a_key:
+        return -1
+    if b_key > a_key:
+        return 1
+    return 0
+
+
+def _compare_edges(a: dict, b: dict) -> int:
+    """The reference's edge comparator (utils.py:17-62) — replicated with
+    its exact branch structure (including the asymmetric tie branches):
+    descent must take the same turns the reference takes."""
+    if b["hash"] < a["hash"]:
+        return -1
+    if b["hash"] > a["hash"]:
+        return 1
+    a_s, a_t, a_y = a["source_position"], a["target_position"], a["type"]
+    b_s, b_t, b_y = b["source_position"], b["target_position"], b["type"]
+    if a_s == b_s and a_t == b_t and a_y == b_y:
+        return 0
+    if a_s == b_s:
+        if b_t < a_t:
+            return -1
+        if b_t > a_t:
+            return 1
+        if b_y < a_y:
+            return -1
+        if b_y > a_y:
+            return 1
+        return 0
+    if b_t < a_t:
+        if b_s < a_s:
+            return -1
+        if b_s > a_s:
+            return 1
+        if b_y < a_y:
+            return -1
+        return 1
+    if b_y < a_y:
+        return -1
+    return 1
+
+
+def write_kinbaku_file(
+    path: str,
+    node_rows: list,
+    edge_rows: list,
+    node_attrs: Optional[list] = None,
+    edge_attrs: Optional[list] = None,
+    hash_func=crc32_hash,
+    table_increment: int = 100_000,
+    **layout_kwargs,
+) -> None:
+    """Write a graph as a reference-format binary file the reference can
+    open directly (pass the same ``hash_func`` on both sides).
+
+    ``node_rows``: (key, {attr: value}) tuples; ``edge_rows``:
+    (src, dst, type, {attr: value}). Tree pointers are produced by
+    SIMULATING the reference's own insertion descent (add_node
+    graph.py:1353-1431, add_edge graph.py:1433-1524) over the replicated
+    comparators, so the file's BSTs are exactly what the reference would
+    have built inserting in the same order. Export collects to the driver
+    by design: the target is the reference's single-file, single-process
+    model (a graph that doesn't fit one machine has no business in this
+    format).
+    """
+    layout = KinbakuLayout(node_attrs, edge_attrs, **layout_kwargs)
+    recs: dict[int, dict] = {}  # position -> record dict (+ "__kind")
+
+    def blank_node(**kw) -> dict:
+        r = {n: (False if k == "bool" else 0.0 if k == "float" else
+                 "" if k in ("str", "key") or (isinstance(k, tuple)) else 0)
+             for n, k in layout.node_fields}
+        r["is_node"], r["exists"] = True, True
+        r.update(kw)
+        r["__kind"] = "node"
+        return r
+
+    def blank_edge(**kw) -> dict:
+        r = {n: (False if k == "bool" else 0.0 if k == "float" else
+                 "" if k == "str" or (isinstance(k, tuple)) else 0)
+             for n, k in layout.edge_fields}
+        r["is_node"], r["exists"] = False, True
+        r.update(kw)
+        r["__kind"] = "edge"
+        return r
+
+    # root sentinel (graph.py:298-300)
+    recs[0] = blank_node(hash=2 ** 31, key="", position=0)
+    next_pos = layout.ratio
+    key_to_pos: dict[str, int] = {}
+    node_id = 1
+
+    def check_str(s: str, limit: int, what: str) -> None:
+        if len(s) > limit:
+            raise ValueError(f"{what} too long for this layout: {s!r}")
+        if any(ord(c) > 32767 for c in s):
+            raise ValueError(f"{what} has non-BMP/int16 chars: {s!r}")
+
+    for key, attrs in node_rows:
+        check_str(key, layout.max_key_len, "node key")
+        h = hash_func(key)
+        node = blank_node(hash=h, index=node_id, key=key)
+        for a, v in (attrs or {}).items():
+            if isinstance(v, str):
+                check_str(v, layout.max_str_len, f"attr {a}")
+            node[a] = v
+        # descend the node BST from the root sentinel
+        pos = 0
+        while True:
+            cur = recs[pos]
+            state = _compare_nodes(cur["hash"], cur["key"], h, key)
+            if state == -1:
+                if cur["left"]:
+                    pos = cur["left"]
+                    continue
+            elif state == 1:
+                if cur["right"]:
+                    pos = cur["right"]
+                    continue
+            else:
+                raise ValueError(f"duplicate node key: {key!r}")
+            break
+        node_pos, dummy_pos = next_pos, next_pos + layout.ratio
+        next_pos = dummy_pos + 1
+        node.update(position=node_pos, parent=pos, edge_start=dummy_pos)
+        recs[node_pos] = node
+        recs[dummy_pos] = blank_edge(
+            is_edge_start=True, source_position=node_pos,
+            hash=h, position=dummy_pos,
+        )
+        recs[pos]["left" if state == -1 else "right"] = node_pos
+        key_to_pos[key] = node_pos
+        node_id += 1
+
+    for src, dst, etype, attrs in edge_rows:
+        sp, tp = key_to_pos[src], key_to_pos[dst]
+        eh = hash_func(
+            f"{recs[sp]['hash']}_{etype}_{recs[tp]['hash']}"
+        )
+        edge = blank_edge(
+            source_position=sp, target_position=tp, hash=eh, type=etype
+        )
+        for a, v in (attrs or {}).items():
+            if isinstance(v, str):
+                check_str(v, layout.max_str_len, f"attr {a}")
+            edge[a] = v
+        # OUT tree descent from the source's dummy (graph.py:1466-1503)
+        pos = recs[sp]["edge_start"]
+        while True:
+            cur = recs[pos]
+            state = _compare_edges(cur, edge)
+            if state == -1 and cur["out_edge_left"]:
+                pos = cur["out_edge_left"]
+                continue
+            if state == 1 and cur["out_edge_right"]:
+                pos = cur["out_edge_right"]
+                continue
+            if state == 0:
+                raise ValueError(
+                    f"duplicate edge: {(src, dst, etype)!r}"
+                )
+            break
+        epos = next_pos
+        next_pos += 1
+        recs[pos]["out_edge_left" if state == -1 else "out_edge_right"] = epos
+        edge["out_edge_parent"] = pos
+        # IN tree descent from the target's dummy (graph.py:1507-1516)
+        pos = recs[tp]["edge_start"]
+        while True:
+            cur = recs[pos]
+            state = _compare_edges(cur, edge)
+            if state == -1 and cur["in_edge_left"]:
+                pos = cur["in_edge_left"]
+                continue
+            if state == 1 and cur["in_edge_right"]:
+                pos = cur["in_edge_right"]
+                continue
+            if state == 0:
+                raise ValueError("in-tree integrity error")
+            break
+        recs[pos]["in_edge_left" if state == -1 else "in_edge_right"] = epos
+        edge["in_edge_parent"] = pos
+        edge["position"] = epos
+        recs[epos] = edge
+
+    # serialize
+    table_size = next_pos + table_increment
+    buf = bytearray(layout.header_size + table_size * layout.edge_size)
+    header = (
+        len(node_rows),                    # n_nodes (root not counted)
+        len(node_rows) + len(edge_rows),   # n_edges incl. per-node dummies
+        node_id,                           # node_id auto-increment cursor
+        next_pos,                          # next_table_position
+        table_size,
+        0,                                 # class_length
+    )
+    struct.pack_into(layout.header_format, buf, 0, *header)
+
+    def values(rec: dict, fields: list) -> list:
+        out: list = []
+        for name, kind in fields:
+            v = rec[name]
+            if name == "key":
+                out += [ord(c) for c in v] + [0] * (layout.max_key_len - len(v))
+            elif isinstance(kind, tuple) and kind[0] == "text":
+                out += [ord(c) for c in v] + [0] * (kind[1] - len(v))
+            elif kind == "str":
+                out += [ord(c) for c in v] + [0] * (layout.max_str_len - len(v))
+            else:
+                out.append(v)
+        return out
+
+    for pos, rec in recs.items():
+        off = layout.header_size + pos * layout.edge_size
+        if rec["__kind"] == "node":
+            struct.pack_into(
+                layout.node_format, buf, off, *values(rec, layout.node_fields)
+            )
+        else:
+            struct.pack_into(
+                layout.edge_format, buf, off, *values(rec, layout.edge_fields)
+            )
+    with open(path, "wb") as f:
+        f.write(buf)

@@ -185,3 +185,90 @@ def test_imported_graph_queries_match_reference(spark, kn, tmp_path):
             assert g.out_degree(key) == g_ref.out_degree(key)
             assert g.in_degree(key) == g_ref.in_degree(key)
     g_ref.close()
+
+
+def test_export_opens_in_reference(spark, kn, tmp_path):
+    """Round trip OUT: our exporter writes a file the reference opens and
+    queries natively — including point lookups (BST descent over our
+    pointers), traversals (edge-tree DFS), counts, and WRITES (the
+    reference keeps inserting into our trees)."""
+    rng = random.Random(21)
+    edges = set()
+    while len(edges) < 250:
+        edges.add((f"u{rng.randrange(25)}", f"v{rng.randrange(25)}",
+                   rng.randrange(2)))
+    edf = spark.createDataFrame(
+        sorted(edges), "src string, dst string, type int"
+    )
+    g = Graph.from_edges(edf)
+    out = str(tmp_path / "export.db")
+    g.to_kinbaku_file(out)
+
+    g_ref = _ref_graph(kn, out)
+    assert g_ref.n_nodes == g.n_nodes
+    assert g_ref.n_edges == len(edges)
+    assert set(g_ref.nodes) == {r.key for r in g.nodes_df.collect()}
+    assert set(g_ref.edges) == {(u, v) for (u, v, _) in edges}
+    for key in ["u0", "u7", "v3", "v19"]:
+        if g_ref.has_node(key):
+            assert set(g_ref.neighbors(key)) == set(g.neighbors(key))
+            assert set(g_ref.predecessors(key)) == set(g.predecessors(key))
+            assert g_ref.out_degree(key) == g.out_degree(key)
+    # point lookups exercise the node BST we built
+    some = sorted({u for (u, _, _) in edges})[:5]
+    for key in some:
+        assert g_ref.node(key).key == key
+    # typed edge lookup exercises the out-tree descent
+    u, v, t = sorted(edges)[0]
+    assert g_ref.edge(u, v, t).type == t
+    # the reference can keep WRITING into our file
+    g_ref.add_edge("brandnew", "u0")
+    assert g_ref.has_edge("brandnew", "u0")
+    assert set(g_ref.neighbors("brandnew")) == {"u0"}
+    g_ref.close()
+
+
+def test_export_with_attrs_roundtrip(spark, kn, tmp_path):
+    from dataclasses import dataclass
+
+    from pyspark.sql import Row
+
+    nodes = spark.createDataFrame(
+        [Row(key="a", rank=3, score=1.25), Row(key="b", rank=7, score=0.5)]
+    )
+    edges = spark.createDataFrame(
+        [Row(src="a", dst="b", type=0, weight=2.5)]
+    )
+    g = Graph(spark, nodes=nodes, edges=edges)
+    out = str(tmp_path / "attrs_out.db")
+    g.to_kinbaku_file(
+        out,
+        node_attrs=[("rank", "int"), ("score", "float")],
+        edge_attrs=[("weight", "float")],
+    )
+
+    @dataclass
+    class ExpNode(kn.structure.Node):
+        rank: int = 0
+        score: float = 0.0
+
+    @dataclass
+    class ExpEdge(kn.structure.Edge):
+        weight: float = 0.0
+
+    g_ref = _ref_graph(kn, out, node_class=ExpNode, edge_class=ExpEdge)
+    assert g_ref.node("a").rank == 3
+    assert g_ref.node("a").score == 1.25
+    assert g_ref.node("b").rank == 7
+    assert g_ref.edge("a", "b").weight == 2.5
+    g_ref.close()
+
+    # round trip back through our reader
+    g2 = Graph.from_kinbaku_file(
+        spark, out,
+        node_attrs=[("rank", "int"), ("score", "float")],
+        edge_attrs=[("weight", "float")],
+    )
+    back = {r.key: r for r in g2.nodes_df.collect()}
+    assert back["a"].rank == 3 and back["b"].score == 0.5
+    assert [r.weight for r in g2.edges_df.collect()] == [2.5]
