@@ -271,3 +271,123 @@ ORDER BY doc_id, rank
 
 QUERIES["x_keyword_extract"] = x_keyword_extract
 ORACLES["x_keyword_extract"] = X_KEYWORD_SQL
+
+
+# ---------------------------------------------------------------------------
+# x_bm25_topk — BM25 ranked retrieval for a literal query (the RAG primitive)
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ["spark", "window", "join"]
+BM25_TOP_K = 10
+# constants rendered identically into both engines via string->double casts
+_K1, _K1P1, _B, _OMB, _HALF = "1.2", "2.2", "0.75", "0.25", "0.5"
+
+
+def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scores of a fixed query against the corpus, top-k docs.
+
+    ONE shuffle: a single per-doc aggregation carries doc length AND every
+    per-term tf; corpus stats (N, avg length, per-term df) reduce from that
+    same table into one broadcast row, so scoring is a map-side expression
+    and the top-k is TakeOrderedAndProject. The classic log(idf) is
+    replaced by the raw idf ratio (N - df + 0.5)/(df + 0.5) — monotone in
+    df, so rankings are BM25-faithful while staying log-free (the engine's
+    exact-replay rule; same trade as x_keyword_extract).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("len"),
+        *[
+            F.count(F.when(F.col("tok") == t, 1)).alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("len").alias("sum_len"),
+        *[
+            F.count(F.when(F.col(f"tf{i}") > 0, 1)).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    half = F.lit(_HALF).cast("double")
+    k1 = F.lit(_K1).cast("double")
+    k1p1 = F.lit(_K1P1).cast("double")
+    b = F.lit(_B).cast("double")
+    omb = F.lit(_OMB).cast("double")
+    avg = F.col("sum_len").cast("double") / F.col("n_docs").cast("double")
+    score = None
+    for i in range(len(BM25_TERMS)):
+        idf = ((F.col("n_docs") - F.col(f"df{i}")) + half) / (
+            F.col(f"df{i}") + half
+        )
+        term = (idf * (F.col(f"tf{i}") * k1p1)) / (
+            F.col(f"tf{i}") + k1 * (omb + b * (F.col("len") / avg))
+        )
+        score = term if score is None else score + term
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .filter(sum(F.col(f"tf{i}") for i in range(len(BM25_TERMS))) > 0)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n         ".join(
+        f"COUNT(*) FILTER (WHERE tok = '{t}') AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"COUNT(*) FILTER (WHERE tf{i} > 0) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    half = f"CAST('{_HALF}' AS DOUBLE)"
+    k1 = f"CAST('{_K1}' AS DOUBLE)"
+    k1p1 = f"CAST('{_K1P1}' AS DOUBLE)"
+    b = f"CAST('{_B}' AS DOUBLE)"
+    omb = f"CAST('{_OMB}' AS DOUBLE)"
+    avg = "(CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    terms = []
+    for i in range(len(BM25_TERMS)):
+        idf = f"(((n_docs - df{i}) + {half}) / (df{i} + {half}))"
+        terms.append(
+            f"(({idf} * (tf{i} * {k1p1})) / "
+            f"(tf{i} + {k1} * ({omb} + {b} * (len / {avg}))))"
+        )
+    score = " + ".join(terms)
+    any_tf = " + ".join(f"tf{i}" for i in range(len(BM25_TERMS)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents,
+       LATERAL (
+         SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+       ) t
+  WHERE t.tok <> ''
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS len,
+         {tf_cols}
+  FROM toks GROUP BY doc_id
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(len) AS sum_len,
+         {df_cols}
+  FROM per_doc
+)
+SELECT doc_id, ROUND({score}, 6) AS bm25
+FROM per_doc CROSS JOIN stats
+WHERE ({any_tf}) > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOP_K}
+"""
+
+
+QUERIES["x_bm25_topk"] = x_bm25_topk
+ORACLES["x_bm25_topk"] = _bm25_sql()

@@ -19,7 +19,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 EVENTS_SCHEMA = (
@@ -244,3 +244,63 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
     would repartition every micro-batch.
     """
     return events.join(F.broadcast(dim), "user_id", "left")
+
+
+def windowed_heavy_hitters(
+    events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-window per-user event counts — the aggregation half of a
+    streaming heavy-hitters pipeline. In streaming append mode a window's
+    rows are emitted ONCE, when the watermark closes it, so a downstream
+    per-batch rank sees complete windows only (rank_heavy_hitters).
+
+    State is bounded by (watermark horizon x active users per window);
+    the shuffle key (window, user_id) is the same one the batch GROUP BY
+    uses, so batch/stream plans agree.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "n",
+        )
+    )
+
+
+def rank_heavy_hitters(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k users per closed window (ties break on user_id). Batch-shaped:
+    applied per foreachBatch micro-batch on the streaming side, where each
+    batch carries only windows the watermark just closed — so the rank is
+    final, never a partial."""
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), "user_id")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "window_end", "user_id", "n", "rank")
+    )
+
+
+def heavy_hitters_to_parquet(
+    counts_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 3,
+):
+    """Wire the heavy-hitters stream to a parquet sink: append-mode windowed
+    counts -> per-batch final ranking -> append. Returns the started query."""
+
+    def rank_batch(bdf: DataFrame, _bid: int) -> None:
+        ranked = rank_heavy_hitters(bdf, k)
+        ranked.write.mode("append").parquet(out_dir)
+
+    return (
+        counts_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(rank_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -288,3 +288,57 @@ def test_stream_static_enrichment_parity(spark, event_files):
 
     assert rows(got) == rows(expected)
     assert any(t == -1 for t, _, _ in rows(got)), "left-join NULL path unused"
+
+
+def test_heavy_hitters_closed_window_parity(spark, event_files):
+    """Append-mode heavy hitters: every window the stream emitted must carry
+    the EXACT final top-k the batch run computes; emitted windows are the
+    watermark-closed ones, so each ranking is complete, never partial."""
+    import tempfile
+
+    from kinbaku_spark.streaming import (
+        heavy_hitters_to_parquet,
+        rank_heavy_hitters,
+        windowed_heavy_hitters,
+    )
+
+    d = tempfile.mkdtemp(prefix="kb_hh_")
+    # time-RANGE-partitioned files: the stream sees time in file order, so
+    # watermark closes are clean (the shared event_files fixture scatters a
+    # window across files, which correctly DROPS stragglers — real late
+    # data — but breaks exact parity with the batch run)
+    batch = spark.read.parquet(event_files)
+    batch.repartitionByRange(4, "ts").write.mode("overwrite").parquet(
+        f"{d}/events"
+    )
+    expected = rank_heavy_hitters(windowed_heavy_hitters(batch), k=3)
+
+    # maxFilesPerTrigger=1 forces multiple micro-batches so the watermark
+    # actually advances and closes windows mid-stream
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/events")
+    )
+    q = heavy_hitters_to_parquet(
+        windowed_heavy_hitters(stream), f"{d}/out", f"{d}/ckpt", k=3
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(f"{d}/out")
+    got_rows = _rows(got, ["window_start", "user_id", "n", "rank"])
+    assert len(got_rows) > 0, "no window was closed by the watermark"
+    # each emitted window appears exactly once with the batch-final ranking
+    got_windows = {r[0] for r in got_rows}
+    exp_rows = [
+        r
+        for r in _rows(expected, ["window_start", "user_id", "n", "rank"])
+        if r[0] in got_windows
+    ]
+    assert got_rows == exp_rows
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
