@@ -1426,3 +1426,98 @@ def g_in_degrees_salted(spark, sf_dir):
 
 QUERIES["g_in_degrees_salted"] = g_in_degrees_salted
 ORACLES["g_in_degrees_salted"] = G_IN_DEGREES_SQL
+
+
+# -- modularity of the label-propagation communities --------------------------
+
+def g_modularity(spark, sf_dir):
+    """Newman modularity contribution of every community found by
+    g_label_propagation: Q_c = e_c/m - (d_c/2m)^2 with e_c = intra-community
+    edges, d_c = community degree sum, m = |E| (undirected convention on
+    the symmetrized graph). The community-quality metric that turns the
+    LP/community surface into something measurable.
+
+    Shape: the label vector is |V|-sized and broadcast twice onto the edge
+    list (no edge shuffle); everything after is community-cardinality.
+    Counts stay integer end-to-end; the two divisions are written as one
+    fixed expression replayed verbatim by the oracle.
+    """
+    g = _graph(spark, sf_dir)
+    lab = g_label_propagation(spark, sf_dir)
+    edges = g.edges_df.select("src", "dst")
+    m_row = edges.agg(F.count(F.lit(1)).alias("m"))
+    lab_src = lab.select(F.col("key").alias("src"), F.col("label").alias("lsrc"))
+    lab_dst = lab.select(F.col("key").alias("dst"), F.col("label").alias("ldst"))
+    intra = (
+        edges.join(F.broadcast(lab_src), "src")
+        .join(F.broadcast(lab_dst), "dst")
+        .filter(F.col("lsrc") == F.col("ldst"))
+        .groupBy(F.col("lsrc").alias("label"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    und = edges.select(F.col("src").alias("u")).unionAll(
+        edges.select(F.col("dst"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    comm = (
+        lab.join(F.broadcast(deg), lab.key == deg.u, "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.coalesce("d", F.lit(0))).alias("degree_sum"),
+        )
+    )
+    e_c = F.coalesce("intra_edges", F.lit(0))
+    two_m = F.lit(2).cast("double") * F.col("m").cast("double")
+    frac = F.col("degree_sum").cast("double") / two_m
+    return (
+        comm.join(F.broadcast(intra), "label", "left")
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            "label",
+            "n_nodes",
+            e_c.alias("intra_edges"),
+            "degree_sum",
+            (
+                F.round(
+                    e_c.cast("double") / F.col("m").cast("double")
+                    - frac * frac,
+                    6,
+                )
+                + F.lit(0.0)  # normalize -0.0 from tiny negative contribs
+            ).alias("q_contrib"),
+        )
+    )
+
+
+def _modularity_sql() -> str:
+    q = (
+        "CAST(COALESCE(i.intra_edges, 0) AS DOUBLE) / CAST(m AS DOUBLE)"
+        " - (CAST(c.degree_sum AS DOUBLE) / (CAST(2 AS DOUBLE) * CAST(m AS DOUBLE)))"
+        " * (CAST(c.degree_sum AS DOUBLE) / (CAST(2 AS DOUBLE) * CAST(m AS DOUBLE)))"
+    )
+    return GRAPH_CTE.rstrip() + f""",
+lp AS (SELECT key, label FROM ({_label_prop_sql()})),
+mt AS (SELECT COUNT(*) AS m FROM g_edges),
+intra AS (
+  SELECT ls.label AS label, COUNT(*) AS intra_edges
+  FROM g_edges e JOIN lp ls ON ls.key = e.src JOIN lp ld ON ld.key = e.dst
+  WHERE ls.label = ld.label GROUP BY 1
+),
+und AS (SELECT src AS u FROM g_edges UNION ALL SELECT dst FROM g_edges),
+deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+comm AS (
+  SELECT lp.label, COUNT(*) AS n_nodes,
+         CAST(SUM(COALESCE(deg.d, 0)) AS BIGINT) AS degree_sum
+  FROM lp LEFT JOIN deg ON deg.u = lp.key GROUP BY lp.label
+)
+SELECT c.label, c.n_nodes,
+       CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+       c.degree_sum,
+       (ROUND({q}, 6) + CAST(0 AS DOUBLE)) AS q_contrib
+FROM comm c LEFT JOIN intra i ON i.label = c.label CROSS JOIN mt
+"""
+
+
+QUERIES["g_modularity"] = g_modularity
+ORACLES["g_modularity"] = _modularity_sql()
