@@ -83,6 +83,11 @@ EXTENSION_HEADLINE = [
     "x_doc_lm_score",
     "x_bpe_pair_merges",
     "x_ewma_daily",
+    "x_kmeans_clusters",
+    "x_bm25_topk",
+    "g_modularity",
+    "x_hll_merge_sources",
+    "x_entity_blocking",
 ]
 
 
