@@ -219,8 +219,13 @@ def embedding_near_duplicates(
 def label_centroids(
     corpus: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Per-label centroid vectors (IVF cells). Per-dimension means use exact
-    decimal sums so the SQL oracle reproduces centroids bit-for-bit.
+    """Per-label centroid vectors (IVF cells). Per-dimension means quantize
+    components to integer nano-units (floor(x*1e9 + 0.5) — a pure double
+    function of bit-identical parquet floats, so both engines produce the
+    SAME integers), sum exactly, and reconvert via int->double (IEEE-exact
+    on both engines). Fractional DECIMAL->DOUBLE casts are avoided: their
+    last-ulp rounding differs between engines (observed at sf0.1 flipping
+    a 6dp-boundary cosine).
 
     Scale: one explode + two aggregations; at 100 TB the centroids would be
     k-means-refined and stored, but assignment/probing below is identical.
@@ -228,10 +233,13 @@ def label_centroids(
     ex = corpus.select(
         F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
     )
+    vq = F.floor(
+        F.col("val").cast("double") * F.lit(1000000000.0) + F.lit(0.5)
+    ).cast("long")
     per_dim = ex.groupBy(label_col, "pos").agg(
         (
-            F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
-            / F.count(F.lit(1))
+            (F.sum(vq).cast("double") / F.lit(1000000000.0))
+            / F.count(F.lit(1)).cast("double")
         ).alias("avg")
     )
     return per_dim.groupBy(label_col).agg(

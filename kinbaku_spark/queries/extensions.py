@@ -536,7 +536,7 @@ WITH ex AS (
 cen AS (
   SELECT label, list(avg ORDER BY pos) AS centroid FROM (
     SELECT label, pos,
-           CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg
+           CAST(CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * CAST(1000000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(1000000000.0 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg
     FROM ex GROUP BY label, pos
   ) GROUP BY label
 ),

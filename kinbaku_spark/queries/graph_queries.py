@@ -1529,3 +1529,69 @@ FROM comm c LEFT JOIN intra i ON i.label = c.label CROSS JOIN mt
 
 QUERIES["g_modularity"] = g_modularity
 ORACLES["g_modularity"] = _modularity_sql()
+
+
+# -- degree assortativity (Pearson r over edge endpoint degrees) --------------
+
+def g_assortativity(spark, sf_dir):
+    """Directed out-in degree assortativity: Pearson correlation between
+    out-degree(src) and in-degree(dst) across all edges — do high-fanout
+    suppliers feed high-fanin parts? One number that characterizes the
+    graph's wiring (the reference has no metric surface at all).
+
+    Every moment (n, Σx, Σy, Σxy, Σx², Σy²) is an exact integer
+    (DECIMAL(38,0) sums), so the single final double expression replays
+    bit-for-bit. Shape: two |V|-sized degree tables broadcast onto the
+    edge list; ONE scalar aggregation; no edge shuffle.
+    """
+    g = _graph(spark, sf_dir)
+    edges = g.edges_df.select("src", "dst")
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("x"))
+    ind = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("y"))
+    joined = edges.join(F.broadcast(outd), "src").join(F.broadcast(ind), "dst")
+    d38 = "decimal(38,0)"
+    mom = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d38)).cast("long").alias("sx"),
+        F.sum(F.col("y").cast(d38)).cast("long").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).cast("long").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast("long").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).cast("long").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = F.sqrt((n * F.col("sxx") - sx * sx).cast("double")) * F.sqrt(
+        (n * F.col("syy") - sy * sy).cast("double")
+    )
+    return mom.select(
+        "n", "sx", "sy", "sxy", "sxx", "syy",
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+G_ASSORTATIVITY_SQL = GRAPH_CTE + """
+, outd AS (SELECT src, COUNT(*) AS x FROM g_edges GROUP BY src),
+ind AS (SELECT dst, COUNT(*) AS y FROM g_edges GROUP BY dst),
+j AS (
+  SELECT o.x, i.y FROM g_edges e
+  JOIN outd o ON o.src = e.src JOIN ind i ON i.dst = e.dst
+),
+mom AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS BIGINT) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS BIGINT) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS BIGINT) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS BIGINT) AS syy
+  FROM j
+)
+SELECT n, sx, sy, sxy, sxx, syy,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS assortativity
+FROM mom
+"""
+
+
+QUERIES["g_assortativity"] = g_assortativity
+ORACLES["g_assortativity"] = G_ASSORTATIVITY_SQL

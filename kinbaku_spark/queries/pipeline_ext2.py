@@ -232,7 +232,7 @@ ex AS (
 cen AS (
   SELECT cluster, list(avg ORDER BY pos) AS centroid FROM (
     SELECT cluster, pos,
-           CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg
+           CAST(CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * CAST(1000000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(1000000000.0 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg
     FROM ex GROUP BY cluster, pos
   ) GROUP BY cluster
 ),
@@ -501,3 +501,101 @@ WHERE levenshtein(a.p_name, b.p_name) <= {BLOCK_LEV_MAX}
 
 QUERIES["x_entity_blocking"] = x_entity_blocking
 ORACLES["x_entity_blocking"] = X_ENTITY_BLOCKING_SQL
+
+
+# -- x_embed_outliers: centroid-similarity z-score outliers per label -------
+
+OUTLIER_Z = "2.0"
+
+
+def x_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality gate: flag vectors whose cosine similarity to
+    their OWN label centroid is a >=2-sigma low outlier within the label —
+    mislabeled or corrupted vectors sit far from their cluster center.
+    (Norm-based screens are useless here: the corpus is unit-normalized.)
+
+    Determinism: cosines round to 6dp, bridge to INTEGER micro-units via a
+    decimal cast (double->decimal is correctly rounded on both engines),
+    and every statistic is then an exact integer sum. Doubles reappear
+    only through int->double conversions (IEEE-exact everywhere) — NOT
+    fractional decimal->double casts, whose last-ulp rounding differs
+    between engines (found at sf0.1). z is computed in micro-unit space,
+    where it is scale-invariant. Shape: k x d centroid table broadcast;
+    ONE groupBy(label).
+    """
+    from kinbaku_spark.operators.similarity import cosine, label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cen = label_centroids(emb, "label", "embedding")
+    sim = F.round(cosine(F.col("embedding"), F.col("centroid")), 6)
+    su = (sim.cast("decimal(18,6)") * 1000000).cast("long")
+    sims = emb.join(F.broadcast(cen), "label").select(
+        "vec_id", "label", sim.alias("sim"), su.alias("su")
+    )
+    d38 = "decimal(38,0)"
+    stats = sims.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("su")).cast("long").alias("s1i"),
+        F.sum(F.col("su").cast(d38) * F.col("su").cast(d38)).alias("s2i"),
+    )
+    j = sims.join(F.broadcast(stats), "label")
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1i").cast("double")
+    mean_u = s1d / nd
+    var_u = (F.col("s2i").cast("double") - s1d * s1d / nd) / (
+        nd - F.lit("1.0").cast("double")
+    )
+    z = (F.col("su").cast("double") - mean_u) / F.sqrt(var_u)
+    zt = F.lit(OUTLIER_Z).cast("double")
+    return j.select(
+        "vec_id",
+        "label",
+        "sim",
+        F.round(z, 6).alias("z"),
+    ).filter(F.col("z") <= -zt)
+
+
+def _embed_outliers_sql() -> str:
+    from kinbaku_spark.queries.extensions import _sql_cosine
+
+    mean_u = "(CAST(s1i AS DOUBLE) / CAST(n AS DOUBLE))"
+    var_u = (
+        "((CAST(s2i AS DOUBLE) - CAST(s1i AS DOUBLE) * CAST(s1i AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)))"
+    )
+    z = f"((CAST(su AS DOUBLE) - {mean_u}) / sqrt({var_u}))"
+    return f"""
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+cen AS (
+  SELECT label, list(avg ORDER BY pos) AS centroid FROM (
+    SELECT label, pos,
+           CAST(CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * CAST(1000000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(1000000000.0 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg
+    FROM ex GROUP BY label, pos
+  ) GROUP BY label
+),
+sims AS (
+  SELECT e.vec_id, e.label,
+         ROUND({_sql_cosine('e.embedding', 'c.centroid')}, 6) AS sim,
+         CAST(CAST(ROUND({_sql_cosine('e.embedding', 'c.centroid')}, 6)
+                   AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS su
+  FROM embeddings e JOIN cen c ON c.label = e.label
+),
+stats AS (
+  SELECT label, COUNT(*) AS n,
+         CAST(SUM(su) AS BIGINT) AS s1i,
+         SUM(CAST(su AS DECIMAL(38,0)) * CAST(su AS DECIMAL(38,0))) AS s2i
+  FROM sims GROUP BY label
+)
+SELECT vec_id, r.label, sim,
+       ROUND({z}, 6) AS z
+FROM sims r JOIN stats s ON s.label = r.label
+WHERE ROUND({z}, 6) <= -CAST('{OUTLIER_Z}' AS DOUBLE)
+"""
+
+
+QUERIES["x_embed_outliers"] = x_embed_outliers
+ORACLES["x_embed_outliers"] = _embed_outliers_sql()

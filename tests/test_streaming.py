@@ -311,6 +311,14 @@ def test_heavy_hitters_closed_window_parity(spark, event_files):
     batch.repartitionByRange(4, "ts").write.mode("overwrite").parquet(
         f"{d}/events"
     )
+    # the file source orders by modification time, but concurrent writer
+    # tasks finish in arbitrary order — pin mtimes to path order so the
+    # stream consumes the time ranges in sequence (deterministic test)
+    import glob
+    import os as _os
+
+    for i, p in enumerate(sorted(glob.glob(f"{d}/events/part-*"))):
+        _os.utime(p, (1_000_000 + i, 1_000_000 + i))
     expected = rank_heavy_hitters(windowed_heavy_hitters(batch), k=3)
 
     # maxFilesPerTrigger=1 forces multiple micro-batches so the watermark
