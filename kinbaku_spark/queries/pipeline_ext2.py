@@ -599,3 +599,65 @@ WHERE ROUND({z}, 6) <= -CAST('{OUTLIER_Z}' AS DOUBLE)
 
 QUERIES["x_embed_outliers"] = x_embed_outliers
 ORACLES["x_embed_outliers"] = _embed_outliers_sql()
+
+
+# -- x_zorder_layout: Morton-code clustering stats over orders ---------------
+
+ZORDER_BUCKETS_SHIFT = 12  # top 4 of 16 z-bits -> 16 buckets
+
+
+def x_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-z-bucket bounding boxes for orders clustered by the Morton code
+    of (customer key, order day): each bucket's (x, y) ranges stay tight in
+    BOTH dimensions — the property that makes parquet min/max stats prune
+    scans for either predicate after a z-ordered rewrite
+    (sources/layout.py, the OPTIMIZE ZORDER pattern). Pure bit arithmetic,
+    exact replay; one groupBy over bucket ids computed map-side.
+    """
+    from kinbaku_spark.sources.layout import ZBITS, morton2
+
+    orders = load_table(spark, sf_dir, "orders")
+    mask = (1 << ZBITS) - 1
+    x = F.col("o_custkey").bitwiseAND(F.lit(mask)).cast("long")
+    y = (
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .bitwiseAND(F.lit(mask))
+        .cast("long")
+    )
+    z = morton2(x, y, ZBITS)
+    rows = orders.select(
+        x.alias("x"), y.alias("y"),
+        F.shiftright(z, ZORDER_BUCKETS_SHIFT).alias("bucket"),
+    )
+    return rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+    )
+
+
+def _zorder_sql() -> str:
+    from kinbaku_spark.sources.layout import ZBITS, sql_morton2
+
+    mask = (1 << ZBITS) - 1
+    z = sql_morton2("x", "y", ZBITS)
+    return f"""
+WITH base AS (
+  SELECT (o_custkey & {mask}) AS x,
+         (datediff('day', DATE '1992-01-01', o_orderdate) & {mask}) AS y
+  FROM orders
+),
+rows_z AS (
+  SELECT x, y, ({z} >> {ZORDER_BUCKETS_SHIFT}) AS bucket FROM base
+)
+SELECT bucket, COUNT(*) AS n,
+       MIN(x) AS x_min, MAX(x) AS x_max,
+       MIN(y) AS y_min, MAX(y) AS y_max
+FROM rows_z GROUP BY bucket
+"""
+
+
+QUERIES["x_zorder_layout"] = x_zorder_layout
+ORACLES["x_zorder_layout"] = _zorder_sql()
