@@ -183,3 +183,90 @@ def video_frame_samples(
             )
 
     return df.select(id_col, payload_col).mapInPandas(sample, VIDEO_FRAME_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id long, phash long"
+PHASH_SAMPLES = 61  # 61 sampled bytes -> 60 gradient bits
+PHASH_BANDS = 4     # 4 x 15-bit bands: hamming <= 3 pairs share a band
+
+
+def image_phash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """dHash-style 60-bit perceptual hash over the binary payload via
+    Arrow-batched mapInPandas: sample 61 bytes at evenly spaced offsets
+    (the fake 'decode' — a real decoder would sample downscaled pixel
+    luminance), set bit i when the gradient rises. Deterministic in the
+    payload bytes, so the SQL oracle replays it exactly."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def phash(b: bytes) -> int:
+            n = len(b)
+            s = [b[i * n // 61] for i in range(61)]
+            h = 0
+            for i in range(60):
+                if s[i + 1] > s[i]:
+                    h += 1 << i
+            return h
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "phash": pdf[payload_col].map(phash).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(hash_batch, PHASH_SCHEMA)
+
+
+def phash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs: band the 60-bit phash into 4
+    15-bit keys (pigeonhole: any pair within hamming <= 3 collides on at
+    least one band), equi-join candidates, verify exact hamming via
+    bit_count(xor). The image-dedup shape at 100 TB: the pair space is
+    pruned to band collisions; payload bytes never shuffle — only the
+    8-byte hash does."""
+    sig = image_phash(df, id_col, payload_col)
+    bands = sig.select(
+        F.col("doc_id"),
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright(F.col("phash"), 15 * k)
+                        .bitwiseAND(F.lit(32767))
+                        .alias("key"),
+                    )
+                    for k in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "phash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = bands.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("phash").alias("ha"),
+        "band", "key",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("phash").alias("hb"),
+        "band", "key",
+    )
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select(
+        "doc_id_a", "doc_id_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

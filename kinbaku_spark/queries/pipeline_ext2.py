@@ -661,3 +661,76 @@ FROM rows_z GROUP BY bucket
 
 QUERIES["x_zorder_layout"] = x_zorder_layout
 ORACLES["x_zorder_layout"] = _zorder_sql()
+
+
+# -- x_image_phash_dedup: perceptual-hash near-dup pairs (multimodal) --------
+
+PHASH_MAX_HAMMING = 3
+
+
+def x_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over the binary payload column
+    (operators/multimodal.py): Arrow-batched 60-bit dHash, 15-bit banding,
+    exact bit_count(xor) verification. The payload here is the document
+    bytes (this container has no image decoder — the sampling 'decode' is
+    the deterministic stand-in), but the plumbing IS the production shape:
+    bytes stay put, only 8-byte hashes shuffle."""
+    from kinbaku_spark.operators.multimodal import (
+        phash_near_duplicates,
+        with_binary_payload,
+    )
+
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    # report EVERY band-colliding candidate with its verified distance
+    # (non-trivial at every scale; true dups exist only where the corpus
+    # has near-identical payloads) and flag the <=PHASH_MAX_HAMMING dups
+    pairs = phash_near_duplicates(docs, max_hamming=60)
+    return pairs.withColumn(
+        "is_dup", F.col("hamming") <= PHASH_MAX_HAMMING
+    )
+
+
+def _phash_sql() -> str:
+    # byte at 0-based offset p of the (ASCII) payload = unicode(substr(text, p+1, 1))
+    samples = (
+        "list_transform(generate_series(0, 60), "
+        "i -> unicode(substr(text, CAST(i * n // 61 AS INT) + 1, 1)))"
+    )
+    bits = (
+        "list_transform(generate_series(1, 60), "
+        "i -> CASE WHEN ls[i + 1] > ls[i] "
+        "THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END)"
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, phash, {k} AS band, (phash >> {15 * k}) & 32767 AS key FROM ph"
+        for k in range(4)
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+),
+sampled AS (SELECT doc_id, {samples} AS ls FROM s),
+ph AS (
+  SELECT doc_id,
+         CAST(list_aggregate({bits}, 'sum') AS BIGINT) AS phash
+  FROM sampled
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                  a.phash AS ha, b.phash AS hb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b,
+       CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming,
+       bit_count(xor(ha, hb)) <= {PHASH_MAX_HAMMING} AS is_dup
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 60
+"""
+
+
+QUERIES["x_image_phash_dedup"] = x_image_phash_dedup
+ORACLES["x_image_phash_dedup"] = _phash_sql()
