@@ -734,3 +734,206 @@ WHERE bit_count(xor(ha, hb)) <= 60
 
 QUERIES["x_image_phash_dedup"] = x_image_phash_dedup
 ORACLES["x_image_phash_dedup"] = _phash_sql()
+
+
+# -- x_vocab_coverage: OOV rate per source vs the top-K corpus vocab ---------
+
+VOCAB_K = 200
+
+
+def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-readiness stat: build the top-`VOCAB_K` token vocabulary
+    from the corpus itself (count desc, token asc — deterministic), then
+    per source report total tokens, in-vocab tokens, and OOV rate in ppm.
+
+    Two shuffles total: the vocab count (vocab-bounded after map-side
+    partials) and the per-source rollup; the vocab table broadcasts for
+    the membership probe.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    probed = toks.join(F.broadcast(vocab), "tok", "left")
+    return probed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.count(F.col("in_vocab")).alias("in_vocab_tokens"),
+        F.expr(
+            "(count(1) - count(in_vocab)) * 1000000 div count(1)"
+        ).alias("oov_ppm"),
+    )
+
+
+X_VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT source, t.tok
+  FROM documents,
+       LATERAL (
+         SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+       ) t
+  WHERE t.tok <> ''
+),
+vocab AS (
+  SELECT tok, 1 AS in_vocab FROM (
+    SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ORDER BY cnt DESC, tok LIMIT {VOCAB_K}
+  )
+)
+SELECT source,
+       COUNT(*) AS total_tokens,
+       COUNT(v.in_vocab) AS in_vocab_tokens,
+       (COUNT(*) - COUNT(v.in_vocab)) * 1000000 // COUNT(*) AS oov_ppm
+FROM toks LEFT JOIN vocab v ON v.tok = toks.tok
+GROUP BY source
+"""
+
+
+QUERIES["x_vocab_coverage"] = x_vocab_coverage
+ORACLES["x_vocab_coverage"] = X_VOCAB_COVERAGE_SQL
+
+
+# -- x_minhash_estimate_eval: signature-estimated vs exact Jaccard -----------
+
+def x_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash accuracy eval: for every banding candidate pair, compare the
+    signature-estimated Jaccard (fraction of agreeing minima, in exact
+    1/32nds -> ppm) against the true shingle Jaccard, reporting the error.
+    The companion to x_dedup_recall_eval: that one grades candidate
+    RECALL, this one grades the ESTIMATOR the candidates are ranked by.
+    Everything is integer arithmetic (agreement counts, ppm floors).
+    """
+    from kinbaku_spark.operators.dedup import (
+        minhash_band_candidates,
+        minhash_signatures,
+        shingle_hashes,
+    )
+    from kinbaku_spark.queries.extensions import N_BANDS, N_HASHES
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < DEDUP_EVAL_N
+    )
+    sh = shingle_hashes(docs, "doc_id", "text", 3)
+    sig = minhash_signatures(sh, "doc_id", N_HASHES, 42)
+    cand = minhash_band_candidates(sig, "doc_id", N_HASHES, N_BANDS)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_id_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_id_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(N_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(N_HASHES)
+    )
+    est = cand.join(sa, "doc_id_a").join(sb, "doc_id_b").select(
+        "doc_id_a", "doc_id_b", agree.alias("n_agree")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_id_a"), "h")
+        .join(sh.select(F.col("doc_id").alias("doc_id_b"), "h"), "h")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    exact = (
+        est.join(inter, ["doc_id_a", "doc_id_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na")),
+            "doc_id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("nb")),
+            "doc_id_b",
+        )
+    )
+    i = F.coalesce("i", F.lit(0))
+    est_ppm = F.expr(f"n_agree * 1000000 div {N_HASHES}")
+    true_ppm = (i * 1000000).cast("long") / (F.col("na") + F.col("nb") - i)
+    true_ppm_i = F.floor(true_ppm).cast("long")
+    return exact.select(
+        "doc_id_a",
+        "doc_id_b",
+        "n_agree",
+        est_ppm.alias("est_ppm"),
+        true_ppm_i.alias("true_ppm"),
+        F.abs(est_ppm - true_ppm_i).alias("abs_err_ppm"),
+    )
+
+
+def _minhash_est_sql() -> str:
+    from kinbaku_spark.functions.hashing import HASH_PRIME, minhash_coeffs
+    from kinbaku_spark.queries.extensions import (
+        BAND_ROWS,
+        N_BANDS,
+        N_HASHES,
+        _sql_shingle_cte,
+    )
+
+    coeffs = minhash_coeffs(N_HASHES, 42)
+    mins = ",\n    ".join(
+        f"MIN(({a} * (h % {HASH_PRIME}) + {b}) % {HASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    band_selects = []
+    for k in range(N_BANDS):
+        key = " || '|' || ".join(
+            f"CAST(mh{k * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+        )
+        band_selects.append(f"SELECT doc_id, {k} AS band, {key} AS key FROM sig")
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END"
+        for j in range(N_HASHES)
+    )
+    src = f"(SELECT * FROM documents WHERE doc_id < {DEDUP_EVAL_N})"
+    return f"""
+WITH {_sql_shingle_cte(3, src)},
+sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),
+bands AS (
+  {bands_sql}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_id_a, c.doc_id_b, ({agree}) AS n_agree
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_id_a
+  JOIN sig sb ON sb.doc_id = c.doc_id_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
+  FROM hx a JOIN hx b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT e.doc_id_a, e.doc_id_b, e.n_agree,
+       e.n_agree * 1000000 // {N_HASHES} AS est_ppm,
+       CAST(floor(COALESCE(i.i, 0) * 1000000
+                  / (sa.n + sb.n - COALESCE(i.i, 0))) AS BIGINT) AS true_ppm,
+       abs(e.n_agree * 1000000 // {N_HASHES}
+           - CAST(floor(COALESCE(i.i, 0) * 1000000
+                        / (sa.n + sb.n - COALESCE(i.i, 0))) AS BIGINT))
+         AS abs_err_ppm
+FROM est e
+LEFT JOIN inter i ON i.doc_id_a = e.doc_id_a AND i.doc_id_b = e.doc_id_b
+JOIN sizes sa ON sa.doc_id = e.doc_id_a
+JOIN sizes sb ON sb.doc_id = e.doc_id_b
+"""
+
+
+QUERIES["x_minhash_estimate_eval"] = x_minhash_estimate_eval
+ORACLES["x_minhash_estimate_eval"] = _minhash_est_sql()

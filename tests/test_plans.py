@@ -335,3 +335,35 @@ def test_repetition_ratio_rides_the_scan(spark, sf_dir):
     appear — the only allowed shuffle is the presentation sort."""
     plan = _physical_plan(QUERIES["x_repetition_ratio"](spark, sf_dir))
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned writes + predicate => PartitionFilters in the scan:
+    the query must only list matching directories (at 100 TB, a date/tenant
+    partition predicate must never touch the other partitions' files)."""
+    from pyspark.sql import functions as F
+
+    from kinbaku_spark.plans.inspect import explain_str
+    from kinbaku_spark.sources.tables import load_table
+
+    out = str(tmp_path / "orders_part")
+    load_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderpriority"
+    ).mode("overwrite").parquet(out)
+    df = (
+        spark.read.parquet(out)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    plan = explain_str(df)
+    assert "PartitionFilters" in plan and "1-URGENT" in plan, plan
+    # the partition column predicate must NOT appear as a data filter
+    n = spark.read.parquet(out).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).count()
+    expected = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .count()
+    )
+    assert n == expected
