@@ -1,5 +1,7 @@
 from kinbaku_spark.streaming.windows import (
     dedup_events,
+    dedup_ingest_batch,
+    dedup_ingest_to_parquet,
     enrich_with_dim,
     heavy_hitters_to_parquet,
     rank_heavy_hitters,
@@ -13,6 +15,8 @@ from kinbaku_spark.streaming.windows import (
 
 __all__ = [
     "dedup_events",
+    "dedup_ingest_batch",
+    "dedup_ingest_to_parquet",
     "enrich_with_dim",
     "heavy_hitters_to_parquet",
     "rank_heavy_hitters",

@@ -304,3 +304,115 @@ def heavy_hitters_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# -- streaming corpus dedup ingest (MinHash band index in parquet) ----------
+
+def dedup_ingest_batch(
+    batch_df: DataFrame,
+    index_dir: str,
+    flags_dir: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+) -> None:
+    """One ingest step of streaming corpus dedup: band the batch's MinHash
+    signatures, probe them against the persistent band-key index, flag
+    near-duplicate candidates (first-wins: a doc is a dup if any band key
+    was seen in the index OR on a lower-id doc in the same batch), append
+    flags, and add only the NEW docs' keys to the index.
+
+    This is the training-ingest dedup loop at 100 TB: the index is a
+    parquet (in production: Delta, bucketed by key) table that grows only
+    with novel content; each batch pays one broadcast/shuffle probe join,
+    and payload text never reaches the index — only band keys.
+    """
+    import os
+
+    from kinbaku_spark.operators.dedup import (
+        minhash_band_candidates,  # noqa: F401 (same banding constants)
+        minhash_signatures,
+        shingle_hashes,
+    )
+
+    spark = batch_df.sparkSession
+    if batch_df.isEmpty():
+        return
+    sh = shingle_hashes(batch_df, "doc_id", "text", 3)
+    sig = minhash_signatures(sh, "doc_id", n_hashes, 42)
+    rows = n_hashes // bands
+    cols = [
+        F.struct(
+            F.lit(k).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{k * rows + r}") for r in range(rows)]
+            ).alias("key"),
+        )
+        for k in range(bands)
+    ]
+    keys = sig.select(
+        "doc_id", F.explode(F.array(*cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    keys = keys.localCheckpoint(eager=True)
+
+    if os.path.isdir(index_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(index_dir)
+    ):
+        index = spark.read.parquet(index_dir)
+        hit = (
+            keys.join(index.withColumnRenamed("doc_id", "first_doc"),
+                      ["band", "key"])
+            .select("doc_id")
+            .distinct()
+            .withColumn("index_hit", F.lit(True))
+        )
+    else:
+        hit = keys.select("doc_id").distinct().filter(F.lit(False)).withColumn(
+            "index_hit", F.lit(True)
+        )
+    w_min = Window.partitionBy("band", "key")
+    batch_hit = (
+        keys.withColumn("first_in_batch", F.min("doc_id").over(w_min))
+        .filter(F.col("first_in_batch") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("batch_hit", F.lit(True))
+    )
+    flags = (
+        batch_df.select("doc_id")
+        .join(hit, "doc_id", "left")
+        .join(batch_hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.coalesce("index_hit", F.lit(False))
+                | F.coalesce("batch_hit", F.lit(False))
+            ).alias("is_dup"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    flags.write.mode("append").parquet(flags_dir)
+    new_keys = keys.join(
+        flags.filter(~F.col("is_dup")).select("doc_id"), "doc_id"
+    )
+    new_keys.write.mode("append").parquet(index_dir)
+
+
+def dedup_ingest_to_parquet(
+    docs_stream: DataFrame,
+    index_dir: str,
+    flags_dir: str,
+    checkpoint_dir: str,
+):
+    """Wire a document stream through the dedup ingest loop; returns the
+    started availableNow query."""
+
+    def step(bdf: DataFrame, _bid: int) -> None:
+        dedup_ingest_batch(bdf, index_dir, flags_dir)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(step)
+        .trigger(availableNow=True)
+        .start()
+    )

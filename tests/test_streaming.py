@@ -350,3 +350,60 @@ def test_heavy_hitters_closed_window_parity(spark, event_files):
     import shutil
 
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_dedup_ingest_matches_sequential_replay(spark, sf_dir):
+    """The streaming dedup-ingest loop (foreachBatch probing a persistent
+    MinHash band index) must produce exactly the flags a direct sequential
+    replay of the same batches produces — and must actually flag dups."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kinbaku_spark.sources.tables import load_table
+    from kinbaku_spark.streaming import dedup_ingest_batch, dedup_ingest_to_parquet
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="kb_ingest_")
+    try:
+        docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(
+            f"{d}/docs"
+        )
+        for i, p in enumerate(sorted(glob.glob(f"{d}/docs/part-*"))):
+            os.utime(p, (2_000_000 + i, 2_000_000 + i))
+
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/docs")
+        )
+        q = dedup_ingest_to_parquet(
+            stream, f"{d}/index", f"{d}/flags", f"{d}/ckpt"
+        )
+        q.awaitTermination(180)
+        got = sorted(
+            (r.doc_id, r.is_dup)
+            for r in spark.read.parquet(f"{d}/flags").collect()
+        )
+
+        # sequential replay: same files, same order, direct calls
+        for i, p in enumerate(sorted(glob.glob(f"{d}/docs/part-*"))):
+            dedup_ingest_batch(
+                spark.read.parquet(p), f"{d}/index2", f"{d}/flags2"
+            )
+        want = sorted(
+            (r.doc_id, r.is_dup)
+            for r in spark.read.parquet(f"{d}/flags2").collect()
+        )
+        assert got == want
+        assert len(got) == docs.count()
+        assert any(flag for _, flag in got), "expected some near-dup flags"
+        # the index holds band keys ONLY for non-dup docs
+        idx_docs = {r.doc_id for r in spark.read.parquet(f"{d}/index").collect()}
+        dup_docs = {i for i, flag in got if flag}
+        assert not (idx_docs & dup_docs)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
