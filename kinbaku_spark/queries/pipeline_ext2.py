@@ -937,3 +937,59 @@ JOIN sizes sb ON sb.doc_id = e.doc_id_b
 
 QUERIES["x_minhash_estimate_eval"] = x_minhash_estimate_eval
 ORACLES["x_minhash_estimate_eval"] = _minhash_est_sql()
+
+
+# -- x_dataset_card: one-row corpus summary (the dataset-card numbers) -------
+
+def x_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The numbers every dataset card leads with, in one pass + one
+    distinct: doc/source/lang counts, token and char totals, exact-dup doc
+    count (docs minus distinct texts), and English share in ppm. Fused
+    conditional aggregates over a single scan; the only extra shuffle is
+    the distinct-text count (128-bit-hash distinct at scale).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(ntok.cast("long")).alias("total_tokens"),
+        F.count_distinct("text").alias("distinct_texts"),
+        F.expr(
+            "count(CASE WHEN lang = 'en' THEN 1 END) * 1000000 div count(1)"
+        ).alias("en_ppm"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_chars",
+        "total_tokens",
+        "distinct_texts",
+        (F.col("n_docs") - F.col("distinct_texts")).alias("dup_docs"),
+        "en_ppm",
+    )
+
+
+X_DATASET_CARD_SQL = r"""
+SELECT n_docs, n_sources, n_langs, total_chars, total_tokens,
+       distinct_texts, n_docs - distinct_texts AS dup_docs, en_ppm
+FROM (
+  SELECT COUNT(*) AS n_docs,
+         COUNT(DISTINCT source) AS n_sources,
+         COUNT(DISTINCT lang) AS n_langs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+           AS total_tokens,
+         COUNT(DISTINCT text) AS distinct_texts,
+         COUNT(CASE WHEN lang = 'en' THEN 1 END) * 1000000 // COUNT(*)
+           AS en_ppm
+  FROM documents
+)
+"""
+
+
+QUERIES["x_dataset_card"] = x_dataset_card
+ORACLES["x_dataset_card"] = X_DATASET_CARD_SQL

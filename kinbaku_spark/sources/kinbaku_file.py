@@ -238,7 +238,7 @@ def read_kinbaku_file(
     path: str,
     node_attrs: Optional[list] = None,
     edge_attrs: Optional[list] = None,
-    slots_per_task: int = 2_000_000,
+    slots_per_task: int = 100_000,
     **layout_kwargs,
 ) -> tuple[DataFrame, DataFrame]:
     """Decode a reference-format graph file into (nodes_df, edges_df).
