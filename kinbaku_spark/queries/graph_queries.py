@@ -1595,3 +1595,101 @@ FROM mom
 
 QUERIES["g_assortativity"] = g_assortativity
 ORACLES["g_assortativity"] = G_ASSORTATIVITY_SQL
+
+
+# -- deterministic negative edge sampling (link-prediction training data) -----
+
+NEG_PER_NODE = 5
+NEG_OVERSAMPLE = 12  # candidates drawn per node before filtering
+
+
+def g_negative_samples(spark, sf_dir):
+    """Per-node negative edge samples: for every source node, NEG_PER_NODE
+    (src, dst) pairs that are NOT edges — the negative half of a
+    link-prediction training set. Candidates come from the shared md5 hash
+    of (src, slot) mapped into the dense node-index space, so the sample
+    is deterministic (no engine RNG), then real edges and self-loops are
+    removed by one anti-join and the first NEG_PER_NODE surviving slots
+    are kept per node.
+
+    Shape: the (key, index) map broadcasts twice (|V|-sized); the only
+    big-table touch is the anti-join against edges on (src, dst) — the
+    same shuffle a positive-sample join needs anyway.
+    """
+    from kinbaku_spark.functions.hashing import md5_long
+
+    g = _graph(spark, sf_dir)
+    nodes = g.nodes_df.select("key", "index")
+    n_row = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    cand = (
+        nodes.select(F.col("key").alias("src"))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "src",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(NEG_OVERSAMPLE)])
+            ).alias("slot"),
+            "n_nodes",
+        )
+        .select(
+            "src",
+            "slot",
+            F.pmod(
+                md5_long(F.concat(F.col("src"), F.lit(":"), F.col("slot"))),
+                F.col("n_nodes"),
+            ).alias("cand_idx"),
+        )
+    )
+    cand = cand.join(
+        F.broadcast(nodes.select(F.col("index").alias("cand_idx"),
+                                 F.col("key").alias("dst"))),
+        "cand_idx",
+    ).filter(F.col("dst") != F.col("src"))
+    neg = cand.join(
+        g.edges_df.select("src", "dst").distinct(), ["src", "dst"], "left_anti"
+    )
+    w = Window.partitionBy("src").orderBy("slot")
+    return (
+        neg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NEG_PER_NODE)
+        .select("src", "dst", F.col("slot").cast("int").alias("slot"))
+    )
+
+
+def _negative_samples_sql() -> str:
+    from kinbaku_spark.functions.hashing import sql_md5_long
+
+    h = sql_md5_long("src || ':' || CAST(slot AS VARCHAR)")
+    return GRAPH_CTE + f"""
+, idx AS (
+  SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS index FROM g_nodes
+),
+nctr AS (SELECT COUNT(*) AS n_nodes FROM g_nodes),
+cand AS (
+  SELECT i.key AS src, s.slot,
+         {h} % n.n_nodes AS cand_idx
+  FROM idx i
+  CROSS JOIN (SELECT unnest(generate_series(0, {NEG_OVERSAMPLE - 1})) AS slot) s
+  CROSS JOIN nctr n
+),
+resolved AS (
+  SELECT c.src, c.slot, d.key AS dst
+  FROM cand c JOIN idx d ON d.index = c.cand_idx
+  WHERE d.key <> c.src
+),
+neg AS (
+  SELECT r.* FROM resolved r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM g_edges e WHERE e.src = r.src AND e.dst = r.dst
+  )
+)
+SELECT src, dst, CAST(slot AS INTEGER) AS slot FROM (
+  SELECT src, dst, slot,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY slot) AS rk
+  FROM neg
+) WHERE rk <= {NEG_PER_NODE}
+"""
+
+
+QUERIES["g_negative_samples"] = g_negative_samples
+ORACLES["g_negative_samples"] = _negative_samples_sql()

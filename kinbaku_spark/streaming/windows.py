@@ -314,6 +314,7 @@ def dedup_ingest_batch(
     flags_dir: str,
     n_hashes: int = 32,
     bands: int = 8,
+    batch_id: int | None = None,
 ) -> None:
     """One ingest step of streaming corpus dedup: band the batch's MinHash
     signatures, probe them against the persistent band-key index, flag
@@ -354,9 +355,12 @@ def dedup_ingest_batch(
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     keys = keys.localCheckpoint(eager=True)
 
-    if os.path.isdir(index_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(index_dir)
-    ):
+    index_has_data = os.path.isdir(index_dir) and any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(index_dir)
+        for f in files
+    )
+    if index_has_data:
         index = spark.read.parquet(index_dir)
         hit = (
             keys.join(index.withColumnRenamed("doc_id", "first_doc"),
@@ -390,11 +394,24 @@ def dedup_ingest_batch(
         )
         .localCheckpoint(eager=True)
     )
-    flags.write.mode("append").parquet(flags_dir)
+    # idempotent retry: when foreachBatch replays a batch after a failure,
+    # overwriting the SAME batch_id partition keeps flags/index exactly-once
+    # (the checkpoint guarantees at-least-once invocation, not execution)
+    if batch_id is not None:
+        flags.write.mode("overwrite").parquet(
+            f"{flags_dir}/batch_id={batch_id}"
+        )
+    else:
+        flags.write.mode("append").parquet(flags_dir)
     new_keys = keys.join(
         flags.filter(~F.col("is_dup")).select("doc_id"), "doc_id"
     )
-    new_keys.write.mode("append").parquet(index_dir)
+    if batch_id is not None:
+        new_keys.write.mode("overwrite").parquet(
+            f"{index_dir}/batch_id={batch_id}"
+        )
+    else:
+        new_keys.write.mode("append").parquet(index_dir)
 
 
 def dedup_ingest_to_parquet(
@@ -406,8 +423,8 @@ def dedup_ingest_to_parquet(
     """Wire a document stream through the dedup ingest loop; returns the
     started availableNow query."""
 
-    def step(bdf: DataFrame, _bid: int) -> None:
-        dedup_ingest_batch(bdf, index_dir, flags_dir)
+    def step(bdf: DataFrame, bid: int) -> None:
+        dedup_ingest_batch(bdf, index_dir, flags_dir, batch_id=bid)
 
     return (
         docs_stream.writeStream.outputMode("append")
