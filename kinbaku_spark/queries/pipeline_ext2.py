@@ -993,3 +993,81 @@ FROM (
 
 QUERIES["x_dataset_card"] = x_dataset_card
 ORACLES["x_dataset_card"] = X_DATASET_CARD_SQL
+
+
+# -- x_repeated_ngram_rate: cross-doc exact-substring duplication signal -----
+
+REP_NGRAM_N = 8
+
+
+def x_repeated_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rate of 8-gram positions whose 8-gram also appears in
+    ANOTHER document — the exact-substring duplication signal behind
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al.): a high rate means the doc is largely boilerplate shared across
+    the corpus, even when no single near-duplicate partner exists.
+
+    Two shuffles: gram -> set of docs (bounded by gram vocabulary after
+    map-side partials), then the per-doc rollup; the gram table carries
+    60-bit hashes, never text. Rates in integer ppm (exact replay).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    # NOTE: guard short docs explicitly — Spark's sequence(1, 0) DESCENDS
+    # ([1, 0]) instead of being empty like DuckDB's generate_series(1, 0)
+    grams = F.expr(
+        f"CASE WHEN size(words) >= {REP_NGRAM_N} THEN "
+        f"transform(sequence(1, size(words) - {REP_NGRAM_N - 1}),"
+        f" i -> concat_ws(' ', slice(words, i, {REP_NGRAM_N})))"
+        f" ELSE array() END"
+    )
+    pos = (
+        docs.select("doc_id", words.alias("words"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", md5_long(F.col("gram")).alias("h"))
+    )
+    # a gram position is "repeated" when its gram occurs in >= 2 DISTINCT docs
+    gram_docs = pos.distinct().groupBy("h").agg(
+        F.count(F.lit(1)).alias("docs_with")
+    )
+    j = pos.join(gram_docs, "h")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count(F.when(F.col("docs_with") >= 2, 1)).alias("repeated"),
+        F.expr(
+            "count(CASE WHEN docs_with >= 2 THEN 1 END) * 1000000 div count(1)"
+        ).alias("repeated_ppm"),
+    )
+
+
+def _repeated_ngram_sql() -> str:
+    return rf"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
+),
+pos AS (
+  SELECT doc_id, {sql_md5_long('gram')} AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(words) - {REP_NGRAM_N - 1}, 0)),
+             i -> array_to_string(list_slice(words, i, i + {REP_NGRAM_N - 1}), ' ')
+           )) AS gram
+    FROM w
+  )
+),
+gram_docs AS (
+  SELECT h, COUNT(*) AS docs_with FROM (SELECT DISTINCT doc_id, h FROM pos)
+  GROUP BY h
+)
+SELECT p.doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(CASE WHEN g.docs_with >= 2 THEN 1 END) AS repeated,
+       COUNT(CASE WHEN g.docs_with >= 2 THEN 1 END) * 1000000 // COUNT(*)
+         AS repeated_ppm
+FROM pos p JOIN gram_docs g ON g.h = p.h
+GROUP BY p.doc_id
+"""
+
+
+QUERIES["x_repeated_ngram_rate"] = x_repeated_ngram_rate
+ORACLES["x_repeated_ngram_rate"] = _repeated_ngram_sql()
