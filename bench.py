@@ -88,6 +88,10 @@ EXTENSION_HEADLINE = [
     "g_modularity",
     "x_hll_merge_sources",
     "x_entity_blocking",
+    "x_image_phash_dedup",
+    "x_dataset_card",
+    "g_negative_samples",
+    "x_repeated_ngram_rate",
 ]
 
 
