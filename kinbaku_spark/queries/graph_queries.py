@@ -1428,6 +1428,18 @@ QUERIES["g_in_degrees_salted"] = g_in_degrees_salted
 ORACLES["g_in_degrees_salted"] = G_IN_DEGREES_SQL
 
 
+def _lp_labels(spark, sf_dir):
+    """Cached label-propagation vector: call-invariant for the stored graph,
+    computed once per sf_dir and persisted (at 100 TB community labels are
+    a materialized table, not per-query work — same policy as pagerank's
+    degree table)."""
+    extra = _cached(spark, sf_dir)[2]
+    if "lp_labels" not in extra:
+        extra["lp_labels"] = g_label_propagation(spark, sf_dir).persist()
+        extra["lp_labels"].count()
+    return extra["lp_labels"]
+
+
 # -- modularity of the label-propagation communities --------------------------
 
 def g_modularity(spark, sf_dir):
@@ -1443,15 +1455,7 @@ def g_modularity(spark, sf_dir):
     fixed expression replayed verbatim by the oracle.
     """
     g = _graph(spark, sf_dir)
-    # the label vector is call-invariant for the stored graph: compute the
-    # LP rounds once per sf_dir and persist (at 100 TB community labels are
-    # a materialized table, not per-query work — same policy as pagerank's
-    # degree table above)
-    extra = _cached(spark, sf_dir)[2]
-    if "lp_labels" not in extra:
-        extra["lp_labels"] = g_label_propagation(spark, sf_dir).persist()
-        extra["lp_labels"].count()
-    lab = extra["lp_labels"]
+    lab = _lp_labels(spark, sf_dir)
     edges = g.edges_df.select("src", "dst")
     m_row = edges.agg(F.count(F.lit(1)).alias("m"))
     lab_src = lab.select(F.col("key").alias("src"), F.col("label").alias("lsrc"))
@@ -1693,3 +1697,157 @@ SELECT src, dst, CAST(slot AS INTEGER) AS slot FROM (
 
 QUERIES["g_negative_samples"] = g_negative_samples
 ORACLES["g_negative_samples"] = _negative_samples_sql()
+
+
+# -- personalized PageRank, exact integer arithmetic --------------------------
+
+PPR_SEED = "S1"
+PPR_ROUNDS = 4
+PPR_UNIT = 1_000_000_000  # rank mass in nano-units
+
+
+def g_ppr_seeded(spark, sf_dir):
+    """Personalized PageRank from PPR_SEED with damping 0.85, PPR_ROUNDS
+    rounds, in EXACT integer nano-units: per-edge contribution is
+    pr_u div out_degree, damping is (85 * m) div 100 — every operation is
+    integer, so the replay is bit-exact REGARDLESS of aggregation order
+    (no double-summation order hazard at all; the deterministic mass
+    truncation is part of the declared semantics).
+
+    The rank vector stays SPARSE (seed + reached nodes only); each round
+    is one join of the vector to the degree-annotated edge table plus an
+    integer aggregation. Rank surface for "related nodes from here" —
+    recommendations, local graph exploration.
+    """
+    g = _graph(spark, sf_dir)
+    edges = g.edges_df.select("src", "dst")
+    extra = _cached(spark, sf_dir)[2]
+    if "edges_deg" not in extra:
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+        extra["edges_deg"] = edges.join(F.broadcast(deg), "src").persist()
+    edges_deg = extra["edges_deg"]
+    seed = spark.createDataFrame(
+        [(PPR_SEED, PPR_UNIT)], "key string, pr_u long"
+    )
+    base_u = (15 * PPR_UNIT) // 100
+    pr = seed
+    for _ in range(PPR_ROUNDS):
+        contrib = (
+            edges_deg.join(
+                F.broadcast(pr.withColumnRenamed("key", "src")), "src"
+            )
+            .select(
+                F.col("dst").alias("key"),
+                F.expr("pr_u div outd").alias("c"),
+            )
+            .groupBy("key")
+            .agg(F.sum("c").alias("m"))
+            .select("key", F.expr("(85 * m) div 100").alias("part"))
+        )
+        pr = (
+            contrib.unionByName(
+                spark.createDataFrame(
+                    [(PPR_SEED, base_u)], "key string, part long"
+                )
+            )
+            .groupBy("key")
+            .agg(F.sum("part").cast("long").alias("pr_u"))
+            .localCheckpoint(eager=False)
+        )
+    return pr.select(
+        "key",
+        "pr_u",
+        F.round(F.col("pr_u").cast("double") / F.lit(1000000000.0), 6).alias(
+            "pr"
+        ),
+    )
+
+
+def _ppr_sql() -> str:
+    base_u = (15 * PPR_UNIT) // 100
+    parts = [
+        "outd AS (SELECT src, COUNT(*) AS outd FROM g_edges GROUP BY src)",
+        "ed AS (SELECT e.src, e.dst, o.outd FROM g_edges e JOIN outd o ON o.src = e.src)",
+        f"p0 AS (SELECT '{PPR_SEED}' AS key, CAST({PPR_UNIT} AS BIGINT) AS pr_u)",
+    ]
+    for i in range(PPR_ROUNDS):
+        parts.append(f"""
+c{i} AS (
+  SELECT ed.dst AS key, CAST(SUM(p.pr_u // ed.outd) AS BIGINT) AS m
+  FROM ed JOIN p{i} p ON p.key = ed.src GROUP BY ed.dst
+),
+p{i + 1} AS (
+  SELECT key, CAST(SUM(part) AS BIGINT) AS pr_u FROM (
+    SELECT key, (85 * m) // 100 AS part FROM c{i}
+    UNION ALL
+    SELECT '{PPR_SEED}', CAST({base_u} AS BIGINT)
+  ) GROUP BY key
+)""")
+    return (
+        GRAPH_CTE.rstrip()
+        + ", "
+        + ",".join(parts)
+        + f"""
+SELECT key, pr_u,
+       ROUND(CAST(pr_u AS DOUBLE) / CAST(1000000000.0 AS DOUBLE), 6) AS pr
+FROM p{PPR_ROUNDS}
+"""
+    )
+
+
+QUERIES["g_ppr_seeded"] = g_ppr_seeded
+ORACLES["g_ppr_seeded"] = _ppr_sql()
+
+
+# -- per-node structural feature table (graph features for ML) ----------------
+
+def g_node_features(spark, sf_dir):
+    """One feature row per node: out/in degree, community label
+    (label propagation), and personalized-PageRank mass from PPR_SEED —
+    the graph-side feature extraction step of an ML pipeline, composed
+    from the engine's own cached operators (labels and degree tables are
+    shared materializations; joins are |V|-sized broadcasts).
+    """
+    g = _graph(spark, sf_dir)
+    edges = g.edges_df.select("src", "dst")
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    ind = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_degree"))
+    lab = _lp_labels(spark, sf_dir)
+    ppr = g_ppr_seeded(spark, sf_dir).select("key", "pr_u")
+    return (
+        g.nodes_df.select("key")
+        .join(F.broadcast(outd.withColumnRenamed("src", "key")), "key", "left")
+        .join(F.broadcast(ind.withColumnRenamed("dst", "key")), "key", "left")
+        .join(F.broadcast(lab.withColumnRenamed("label", "community")), "key")
+        .join(F.broadcast(ppr), "key", "left")
+        .select(
+            "key",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            "community",
+            F.coalesce("pr_u", F.lit(0)).cast("long").alias("ppr_u"),
+        )
+    )
+
+
+def _node_features_sql() -> str:
+    return GRAPH_CTE + f"""
+, outd AS (SELECT src, COUNT(*) AS out_degree FROM g_edges GROUP BY src),
+ind AS (SELECT dst, COUNT(*) AS in_degree FROM g_edges GROUP BY dst),
+lp AS (SELECT key, label AS community FROM ({_label_prop_sql()})),
+ppr AS (SELECT key, pr_u FROM ({_ppr_sql()}))
+SELECT n.key,
+       COALESCE(o.out_degree, 0) AS out_degree,
+       COALESCE(i.in_degree, 0) AS in_degree,
+       lp.community,
+       CAST(COALESCE(p.pr_u, 0) AS BIGINT) AS ppr_u
+FROM g_nodes n
+LEFT JOIN outd o ON o.src = n.key
+LEFT JOIN ind i ON i.dst = n.key
+JOIN lp ON lp.key = n.key
+LEFT JOIN ppr p ON p.key = n.key
+"""
+
+
+QUERIES["g_node_features"] = g_node_features
+ORACLES["g_node_features"] = _node_features_sql()
