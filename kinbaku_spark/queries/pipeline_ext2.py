@@ -1071,3 +1071,70 @@ GROUP BY p.doc_id
 
 QUERIES["x_repeated_ngram_rate"] = x_repeated_ngram_rate
 ORACLES["x_repeated_ngram_rate"] = _repeated_ngram_sql()
+
+
+# -- x_hashing_trick_vectors: text -> fixed-dim count vectors ----------------
+
+HT_DIM = 64
+
+
+def x_hashing_trick_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing ('hashing trick') document vectors: every token maps
+    to dimension md5(token) % HT_DIM and the doc's vector is the count per
+    dimension — the classic way to featurize unbounded vocabularies into
+    fixed-width vectors with no dictionary to build, broadcast, or keep
+    consistent across 1000 executors. Output is the canonical
+    comma-joined vector plus nnz/l1 stats; all integers, exact replay.
+
+    ONE shuffle (doc_id, dim) after map-side combine; the dense vector is
+    assembled per doc with a sort inside the aggregate, never a second
+    shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    dims = toks.select(
+        "doc_id", F.pmod(md5_long(F.col("tok")), F.lit(HT_DIM)).alias("dim")
+    )
+    per_dim = dims.groupBy("doc_id", "dim").agg(F.count(F.lit(1)).alias("c"))
+    return per_dim.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: F.concat(
+                    s["dim"].cast("string"), F.lit(":"), s["c"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("vec_sparse"),
+        F.count(F.lit(1)).alias("nnz"),
+        F.sum("c").cast("long").alias("l1"),
+    )
+
+
+X_HASHING_TRICK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents,
+       LATERAL (
+         SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+       ) t
+  WHERE t.tok <> ''
+),
+per_dim AS (
+  SELECT doc_id, {sql_md5_long('tok')} % {HT_DIM} AS dim, COUNT(*) AS c
+  FROM toks GROUP BY 1, 2
+)
+SELECT doc_id,
+       string_agg(CAST(dim AS VARCHAR) || ':' || CAST(c AS VARCHAR), ','
+                  ORDER BY dim) AS vec_sparse,
+       COUNT(*) AS nnz,
+       CAST(SUM(c) AS BIGINT) AS l1
+FROM per_dim GROUP BY doc_id
+"""
+
+
+QUERIES["x_hashing_trick_vectors"] = x_hashing_trick_vectors
+ORACLES["x_hashing_trick_vectors"] = X_HASHING_TRICK_SQL

@@ -272,3 +272,41 @@ def test_export_with_attrs_roundtrip(spark, kn, tmp_path):
     back = {r.key: r for r in g2.nodes_df.collect()}
     assert back["a"].rank == 3 and back["b"].score == 0.5
     assert [r.weight for r in g2.edges_df.collect()] == [2.5]
+
+
+def test_property_roundtrip_random_graphs(spark, kn, tmp_path):
+    """Property-style sweep: several random graph shapes (different sizes,
+    densities, type multiplicity, attr values) must survive
+    our-export -> reference-read -> our-import unchanged."""
+    for seed in (3, 11, 29):
+        rng = random.Random(seed)
+        n_nodes = rng.randrange(5, 40)
+        edges = set()
+        for _ in range(rng.randrange(10, 120)):
+            edges.add(
+                (
+                    f"n{rng.randrange(n_nodes)}",
+                    f"n{rng.randrange(n_nodes)}",
+                    rng.randrange(3),
+                )
+            )
+        edf = spark.createDataFrame(
+            sorted(edges), "src string, dst string, type int"
+        )
+        g = Graph.from_edges(edf)
+        out = str(tmp_path / f"prop_{seed}.db")
+        g.to_kinbaku_file(out)
+
+        g_ref = _ref_graph(kn, out)
+        assert g_ref.n_edges == len(edges), seed
+        assert set(g_ref.nodes) == {r.key for r in g.nodes_df.collect()}, seed
+        # every single node's neighborhood, via the reference's own BSTs
+        for key in sorted(g_ref.nodes):
+            assert set(g_ref.neighbors(key)) == set(g.neighbors(key)), (
+                seed, key,
+            )
+        g_ref.close()
+
+        g2 = Graph.from_kinbaku_file(spark, out)
+        back = {(r.src, r.dst, r.type) for r in g2.edges_df.collect()}
+        assert back == edges, seed
