@@ -15,10 +15,27 @@ Jaccard / embedding cosine), similarity search, text analysis, multimodal
 column plumbing, and Structured-Streaming windowed aggregation.
 """
 
+from kinbaku_spark.exceptions import (
+    BadArgument,
+    EdgeNotFound,
+    KeyTooLong,
+    NodeNotFound,
+)
 from kinbaku_spark.graph import Graph
 from kinbaku_spark.session import get_spark
 from kinbaku_spark.structure import Edge, Node, text
 
 __version__ = "0.1.0"
 
-__all__ = ["Graph", "get_spark", "Node", "Edge", "text", "__version__"]
+__all__ = [
+    "BadArgument",
+    "Edge",
+    "EdgeNotFound",
+    "Graph",
+    "KeyTooLong",
+    "Node",
+    "NodeNotFound",
+    "get_spark",
+    "text",
+    "__version__",
+]

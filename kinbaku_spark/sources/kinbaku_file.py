@@ -460,10 +460,12 @@ def write_kinbaku_file(
     node_id = 1
 
     def check_str(s: str, limit: int, what: str) -> None:
+        from kinbaku_spark.exceptions import KeyTooLong
+
         if len(s) > limit:
-            raise ValueError(f"{what} too long for this layout: {s!r}")
+            raise KeyTooLong(f"{what} too long for this layout: {s!r}")
         if any(ord(c) > 32767 for c in s):
-            raise ValueError(f"{what} has non-BMP/int16 chars: {s!r}")
+            raise KeyTooLong(f"{what} has non-BMP/int16 chars: {s!r}")
 
     for key, attrs in node_rows:
         check_str(key, layout.max_key_len, "node key")

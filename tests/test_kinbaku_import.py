@@ -310,3 +310,18 @@ def test_property_roundtrip_random_graphs(spark, kn, tmp_path):
         g2 = Graph.from_kinbaku_file(spark, out)
         back = {(r.src, r.dst, r.type) for r in g2.edges_df.collect()}
         assert back == edges, seed
+
+
+def test_export_raises_key_too_long(spark):
+    """The reference's fixed-width key limit applies only on export into
+    its binary format — and surfaces as its own exception type."""
+    import pytest as _pytest
+
+    from kinbaku_spark.exceptions import KeyTooLong
+
+    edges = spark.createDataFrame(
+        [("a" * 40, "b", 0)], "src string, dst string, type int"
+    )
+    g = Graph.from_edges(edges)
+    with _pytest.raises(KeyTooLong):
+        g.to_kinbaku_file("/tmp/too_long.db")
