@@ -1851,3 +1851,69 @@ LEFT JOIN ppr p ON p.key = n.key
 
 QUERIES["g_node_features"] = g_node_features
 ORACLES["g_node_features"] = _node_features_sql()
+
+
+# -- ego network: induced subgraph within radius 2 of a seed ------------------
+
+EGO_SEED = "S1"
+
+
+def g_ego_network(spark, sf_dir):
+    """Radius-2 ego network of EGO_SEED over the undirected view: the
+    induced edge list among nodes within 2 hops — the reference's
+    ``subgraph`` (graph.py:1231-1265) generalized from an explicit node
+    list to a radius query (the neighborhood-explorer shape).
+
+    Two frontier joins find the ball (each touches only frontier-sized
+    inputs); the induced filter is the same double semi-join as R20.
+    """
+    g = _graph(spark, sf_dir)
+    edges = g.edges_df.select("src", "dst")
+    und = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    hop1 = (
+        und.filter(F.col("src") == EGO_SEED)
+        .select(F.col("dst").alias("key"))
+        .distinct()
+    )
+    hop2 = (
+        und.join(F.broadcast(hop1.withColumnRenamed("key", "src")), "src")
+        .select(F.col("dst").alias("key"))
+        .distinct()
+    )
+    ball = (
+        spark.createDataFrame([(EGO_SEED,)], "key string")
+        .unionByName(hop1)
+        .unionByName(hop2)
+        .distinct()
+    )
+    return (
+        edges.join(F.broadcast(ball.withColumnRenamed("key", "src")), "src")
+        .join(F.broadcast(ball.withColumnRenamed("key", "dst")), "dst")
+        .select("src", "dst")
+    )
+
+
+G_EGO_SQL = GRAPH_CTE + f"""
+, und AS (
+  SELECT src, dst FROM g_edges
+  UNION ALL
+  SELECT dst, src FROM g_edges
+),
+hop1 AS (SELECT DISTINCT dst AS key FROM und WHERE src = '{EGO_SEED}'),
+hop2 AS (
+  SELECT DISTINCT u.dst AS key FROM und u JOIN hop1 h ON h.key = u.src
+),
+ball AS (
+  SELECT '{EGO_SEED}' AS key UNION SELECT key FROM hop1 UNION SELECT key FROM hop2
+)
+SELECT e.src, e.dst
+FROM g_edges e
+JOIN ball a ON a.key = e.src
+JOIN ball b ON b.key = e.dst
+"""
+
+
+QUERIES["g_ego_network"] = g_ego_network
+ORACLES["g_ego_network"] = G_EGO_SQL

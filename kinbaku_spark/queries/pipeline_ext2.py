@@ -1138,3 +1138,97 @@ FROM per_dim GROUP BY doc_id
 
 QUERIES["x_hashing_trick_vectors"] = x_hashing_trick_vectors
 ORACLES["x_hashing_trick_vectors"] = X_HASHING_TRICK_SQL
+
+
+# -- x_ab_test_lift: hash-split A/B conversion analysis ----------------------
+
+def x_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with a deterministic hash split: users hash
+    into arm A or B (md5 parity — the same stable bucketing a real
+    experiment framework uses, no RNG), conversion = user had a purchase
+    event. Per arm: users, converters, conversion ppm; plus the pooled
+    two-proportion z statistic computed from exact integer counts in one
+    fixed double expression (the assortativity pattern).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct().select(
+        "user_id",
+        F.pmod(md5_long(F.col("user_id").cast("string")), F.lit(2)).alias("arm"),
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    per_arm = (
+        users.join(F.broadcast(conv), "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("converted").alias("converters"),
+        )
+    )
+    a = per_arm.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("na"), F.col("converters").alias("ca")
+    )
+    b = per_arm.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("nb"), F.col("converters").alias("cb")
+    )
+    j = a.crossJoin(b)
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    pa = F.col("ca").cast("double") / nad
+    pb = F.col("cb").cast("double") / nbd
+    pool = (F.col("ca") + F.col("cb")).cast("double") / (nad + nbd)
+    one = F.lit("1.0").cast("double")
+    se = F.sqrt(pool * (one - pool) * (one / nad + one / nbd))
+    zero = F.lit("0.0").cast("double")
+    # degenerate pools (0% or 100% conversion) have zero variance: no z
+    z = F.when((pool > zero) & (pool < one), F.round((pb - pa) / se, 6))
+    return j.select(
+        "na", "ca", "nb", "cb",
+        F.expr("ca * 1000000 div na").alias("conv_a_ppm"),
+        F.expr("cb * 1000000 div nb").alias("conv_b_ppm"),
+        z.alias("z_stat"),
+    )
+
+
+def _ab_test_sql() -> str:
+    h = sql_md5_long("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH users AS (
+  SELECT user_id, {h} % 2 AS arm FROM (SELECT DISTINCT user_id FROM events)
+),
+conv AS (
+  SELECT DISTINCT user_id, 1 AS converted FROM events
+  WHERE event_type = 'purchase'
+),
+per_arm AS (
+  SELECT arm, COUNT(*) AS n_users, COUNT(c.converted) AS converters
+  FROM users u LEFT JOIN conv c ON c.user_id = u.user_id
+  GROUP BY arm
+),
+a AS (SELECT n_users AS na, converters AS ca FROM per_arm WHERE arm = 0),
+b AS (SELECT n_users AS nb, converters AS cb FROM per_arm WHERE arm = 1)
+SELECT na, ca, nb, cb,
+       ca * 1000000 // na AS conv_a_ppm,
+       cb * 1000000 // nb AS conv_b_ppm,
+       CASE WHEN (CAST(ca + cb AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) > CAST('0.0' AS DOUBLE)
+             AND (CAST(ca + cb AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) < CAST('1.0' AS DOUBLE)
+       THEN ROUND(
+         ((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+          - (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)))
+         / sqrt(
+             (CAST(ca + cb AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+             * (CAST('1.0' AS DOUBLE)
+                - (CAST(ca + cb AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))))
+             * (CAST('1.0' AS DOUBLE) / CAST(na AS DOUBLE)
+                + CAST('1.0' AS DOUBLE) / CAST(nb AS DOUBLE))
+           ), 6) END AS z_stat
+FROM a CROSS JOIN b
+"""
+
+
+QUERIES["x_ab_test_lift"] = x_ab_test_lift
+ORACLES["x_ab_test_lift"] = _ab_test_sql()
