@@ -92,6 +92,8 @@ EXTENSION_HEADLINE = [
     "x_dataset_card",
     "g_negative_samples",
     "x_repeated_ngram_rate",
+    "x_semantic_dedup",
+    "x_mixture_weights",
 ]
 
 

@@ -216,6 +216,68 @@ def embedding_near_duplicates(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding corpus with k-means, then compare pairs ONLY within each
+    cluster and mark the higher-id member of any pair with cosine >=
+    ``threshold`` as a semantic duplicate. Returns per-cluster
+    ``(cluster, n_members, n_dropped, n_kept)``.
+
+    Scale shape: the all-pairs space collapses from O(n²) to
+    Σ|cluster|² — with k grown ~n/avg_cluster_size the per-cluster work is
+    constant and the pair join is an equi-join on ``cluster`` (one hash
+    shuffle of (id, vector) per side, AQE-splittable if a cluster runs
+    hot). The cluster assignment itself is the zero-shuffle literal-
+    broadcast k-means pass (see :func:`kmeans_assign`).
+
+    Determinism: pair sims rounded to 6dp before thresholding (matching
+    :func:`embedding_near_duplicates`); drop rule is id-ordered (a < b
+    drops b), so the kept set is unique regardless of join order.
+
+    The reference has no vector surface at all (SURVEY.md §2.4); this is
+    part of the training-data extension surface.
+    """
+    assigned = kmeans_assign(corpus, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col)
+    a = assigned.select(
+        F.col("cluster"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias("n_dropped"),
+            (
+                F.count(F.lit(1))
+                - F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            ).cast("long").alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def label_centroids(
     corpus: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -369,6 +431,30 @@ def kmeans_clusters(
     exact DECIMAL(28,12) sums (label_centroids); mean_sim uses exact
     DECIMAL(18,6) sums of the rounded sims.
     """
+    assigned = kmeans_assign(corpus, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(
+            F.sum(F.col("sim").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_sim"),
+    )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The assignment pass of :func:`kmeans_clusters`: returns
+    ``(id_col, vec_col, cluster, sim)`` per corpus row after ``rounds``
+    Lloyd's iterations (same seeding/determinism contract). Exposed
+    separately so downstream operators (SemDeDup-style within-cluster
+    dedup) can reuse the cluster structure without re-deriving it.
+    """
     def assign(centroids: list[tuple[int, list[float]]]) -> DataFrame:
         sims = F.array(
             *[
@@ -399,11 +485,4 @@ def kmeans_clusters(
             for r in cen.collect()
         )
         assigned = assign(cents)
-    return assigned.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.round(
-            F.sum(F.col("sim").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("mean_sim"),
-    )
+    return assigned

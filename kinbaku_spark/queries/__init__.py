@@ -12,6 +12,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     mining_ext,
     pipeline_ext,
     pipeline_ext2,
+    pipeline_ext3,
     relational,
     relational_ext,
     relational_ext3,
@@ -36,6 +37,7 @@ for mod in (
     mining_ext,
     pipeline_ext,
     pipeline_ext2,
+    pipeline_ext3,
     reshape,
     sketches_ext,
     sql_surface,

@@ -1183,7 +1183,7 @@ def g_random_walks(spark, sf_dir):
     return out.orderBy("walk_id", "step")
 
 
-def _walks_sql() -> str:
+def _walks_cte() -> str:
     from kinbaku_spark.functions.hashing import sql_md5_long
 
     h = sql_md5_long("w.walk_id || ':' || '{i}' || ':' || und.v")
@@ -1205,14 +1205,17 @@ w{i} AS MATERIALIZED (
         f"SELECT walk_id, {i} AS step, node FROM w{i}"
         for i in range(0, WALK_STEPS + 1)
     ]
+    walks_union = "\n  UNION ALL ".join(selects)
     return (
         GRAPH_CTE.rstrip()
         + ", "
         + ",".join(parts)
-        + "\n"
-        + "\nUNION ALL ".join(selects)
-        + "\nORDER BY walk_id, step\n"
+        + f", walks AS (\n  {walks_union}\n)"
     )
+
+
+def _walks_sql() -> str:
+    return _walks_cte() + "\nSELECT walk_id, step, node FROM walks ORDER BY walk_id, step\n"
 
 
 QUERIES["g_random_walks"] = g_random_walks
@@ -1917,3 +1920,215 @@ JOIN ball b ON b.key = e.dst
 
 QUERIES["g_ego_network"] = g_ego_network
 ORACLES["g_ego_network"] = G_EGO_SQL
+
+
+# -- closeness centrality of the BFS seed (bounded undirected BFS) -----------
+
+def g_closeness(spark, sf_dir):
+    """Closeness + harmonic centrality of BFS_SOURCE from the bounded
+    undirected BFS depths (g_bfs_depths): closeness_ppm =
+    (n_reached - 1) * 1e6 / Σdepth, harmonic_ppm = Σ floor(1e6 / depth).
+
+    One row out; all arithmetic on exact BIGINTs (floor-div per depth, then
+    integer sums), so the replay is order-free. The BFS itself is the
+    per-round frontier join of g_bfs_depths — at 100 TB each round touches
+    the frontier only, and the centrality aggregate is a single map-side
+    reduction of (count, depth-sum) pairs.
+    """
+    depths = g_bfs_depths(spark, sf_dir)
+    return (
+        depths.agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum("depth").cast("long").alias("total_depth"),
+            F.sum(F.when(F.col("depth") > 0, F.expr("1000000 div depth")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("harmonic_ppm"),
+        )
+        .select(
+            F.lit(BFS_SOURCE).alias("source"),
+            "n_reached",
+            "total_depth",
+            F.expr("(n_reached - 1) * 1000000 div total_depth").alias("closeness_ppm"),
+            "harmonic_ppm",
+        )
+    )
+
+
+G_CLOSENESS_SQL = f"""
+WITH b AS ({G_BFS_SQL}),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_reached,
+         CAST(SUM(depth) AS BIGINT) AS total_depth,
+         CAST(SUM(CASE WHEN depth > 0 THEN 1000000 // depth ELSE 0 END) AS BIGINT) AS harmonic_ppm
+  FROM b
+)
+SELECT '{BFS_SOURCE}' AS source, n_reached, total_depth,
+       CAST(((n_reached - 1) * 1000000) // total_depth AS BIGINT) AS closeness_ppm,
+       harmonic_ppm
+FROM s
+"""
+
+
+QUERIES["g_closeness"] = g_closeness
+ORACLES["g_closeness"] = G_CLOSENESS_SQL
+
+
+# -- normalized link prediction: Jaccard + resource-allocation ---------------
+
+def g_jaccard_links(spark, sf_dir):
+    """Jaccard-normalized link prediction over the co-neighbor pairs of
+    g_link_prediction: jaccard_ppm = |A∩B| * 1e6 div (|A|+|B|-|A∩B|) on
+    exact integer degrees — the normalized variant that doesn't just rank
+    high-degree hubs first. Top-20.
+
+    Same one-shuffle wedge join as g_link_prediction plus two broadcast
+    degree joins (the degree table is node-sized, dimension-small relative
+    to edges at any scale).
+    """
+    g = _graph(spark, sf_dir)
+    e = g.edges_df.select("src", "dst")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    a = e.withColumnRenamed("src", "key_a")
+    b = e.withColumnRenamed("src", "key_b")
+    common = (
+        a.join(b, "dst")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    da = deg.select(F.col("src").alias("key_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("key_b"), F.col("deg").alias("deg_b"))
+    return (
+        common.join(F.broadcast(da), "key_a")
+        .join(F.broadcast(db), "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            "common",
+            F.expr("common * 1000000 div (deg_a + deg_b - common)").alias(
+                "jaccard_ppm"
+            ),
+        )
+        .orderBy(F.desc("jaccard_ppm"), "key_a", "key_b")
+        .limit(20)
+    )
+
+
+G_JACCARD_LINKS_SQL = GRAPH_CTE + """
+, deg AS (SELECT src, COUNT(*) AS deg FROM g_edges GROUP BY src),
+common AS (
+  SELECT a.src AS key_a, b.src AS key_b, COUNT(*) AS common
+  FROM g_edges a JOIN g_edges b ON a.dst = b.dst
+  WHERE a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT key_a, key_b, common,
+       CAST((common * 1000000) // (da.deg + db.deg - common) AS BIGINT) AS jaccard_ppm
+FROM common
+JOIN deg da ON da.src = key_a
+JOIN deg db ON db.src = key_b
+ORDER BY jaccard_ppm DESC, key_a, key_b
+LIMIT 20
+"""
+
+
+def g_resource_allocation(spark, sf_dir):
+    """Resource-allocation link scores (Zhou et al.): for supplier pairs
+    sharing parts, ra_ppm = Σ_z 1e6 div in_degree(z) over shared parts z —
+    hubs contribute less. Exact integer per-part quotas, so the sum is
+    order-free. Top-20.
+
+    The per-part quota join is dst-side (the part in-degree table), then
+    the SAME wedge join as g_link_prediction aggregates quota sums instead
+    of counts — no extra shuffle vs the raw common-neighbor count.
+    """
+    g = _graph(spark, sf_dir)
+    e = g.edges_df.select("src", "dst")
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
+    quota = F.broadcast(indeg).select(
+        "dst", F.expr("1000000 div indeg").alias("quota")
+    )
+    a = e.withColumnRenamed("src", "key_a")
+    b = e.withColumnRenamed("src", "key_b")
+    return (
+        a.join(b, "dst")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .join(quota, "dst")
+        .groupBy("key_a", "key_b")
+        .agg(F.sum("quota").cast("long").alias("ra_ppm"))
+        .orderBy(F.desc("ra_ppm"), "key_a", "key_b")
+        .limit(20)
+    )
+
+
+G_RESOURCE_ALLOCATION_SQL = GRAPH_CTE + """
+, quota AS (
+  SELECT dst, CAST(1000000 // COUNT(*) AS BIGINT) AS quota
+  FROM g_edges GROUP BY dst
+)
+SELECT a.src AS key_a, b.src AS key_b,
+       CAST(SUM(q.quota) AS BIGINT) AS ra_ppm
+FROM g_edges a
+JOIN g_edges b ON a.dst = b.dst
+JOIN quota q ON q.dst = a.dst
+WHERE a.src < b.src
+GROUP BY 1, 2
+ORDER BY ra_ppm DESC, key_a, key_b
+LIMIT 20
+"""
+
+
+QUERIES["g_jaccard_links"] = g_jaccard_links
+ORACLES["g_jaccard_links"] = G_JACCARD_LINKS_SQL
+QUERIES["g_resource_allocation"] = g_resource_allocation
+ORACLES["g_resource_allocation"] = G_RESOURCE_ALLOCATION_SQL
+
+
+# -- skip-gram training pairs from the deterministic walks -------------------
+
+SKIPGRAM_WINDOW = 2
+SKIPGRAM_TOP = 30
+
+
+def g_skipgram_pairs(spark, sf_dir):
+    """(center, context) co-occurrence pairs from the deterministic random
+    walks (window ±SKIPGRAM_WINDOW, the DeepWalk/node2vec → word2vec
+    training-pair generation), counted and top-SKIPGRAM_TOP.
+
+    One self-join of the walks table on walk_id with a bounded step-delta
+    predicate — walk length is a constant, so the join fan-out per walk is
+    O(len·window), and the pair count shuffles only (center, context)
+    pairs. At 100 TB the walks table is the big side and this is a single
+    range-predicate self-join per walk partition.
+    """
+    walks = g_random_walks(spark, sf_dir)
+    a = walks.select("walk_id", F.col("step").alias("sa"), F.col("node").alias("center"))
+    b = walks.select("walk_id", F.col("step").alias("sb"), F.col("node").alias("context"))
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("sa") != F.col("sb"))
+            & (F.abs(F.col("sa") - F.col("sb")) <= SKIPGRAM_WINDOW)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "center", "context")
+        .limit(SKIPGRAM_TOP)
+    )
+
+
+def _skipgram_sql() -> str:
+    return _walks_cte() + f"""
+SELECT a.node AS center, b.node AS context, COUNT(*) AS cnt
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id
+ AND a.step <> b.step
+ AND abs(a.step - b.step) <= {SKIPGRAM_WINDOW}
+GROUP BY 1, 2
+ORDER BY cnt DESC, center, context
+LIMIT {SKIPGRAM_TOP}
+"""
+
+
+QUERIES["g_skipgram_pairs"] = g_skipgram_pairs
+ORACLES["g_skipgram_pairs"] = _skipgram_sql()

@@ -204,7 +204,10 @@ def x_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_clusters(emb, k=KMEANS_K, rounds=KMEANS_ROUNDS)
 
 
-def _kmeans_sql() -> str:
+def kmeans_assign_cte() -> str:
+    """The ``WITH … a2`` prefix replaying two Lloyd's rounds in DuckDB —
+    ``a2(vec_id, cluster, sim)`` is the final assignment. Shared by the
+    k-means query and the SemDeDup replay (pipeline_ext3)."""
     from kinbaku_spark.queries.extensions import _sql_cosine
 
     return f"""
@@ -248,6 +251,11 @@ a2 AS (
     FROM a2p
   ) WHERE rn = 1
 )
+"""
+
+
+def _kmeans_sql() -> str:
+    return kmeans_assign_cte() + """
 SELECT cluster, COUNT(*) AS n_members,
        ROUND(CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_sim
 FROM a2 GROUP BY cluster
