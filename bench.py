@@ -94,6 +94,8 @@ EXTENSION_HEADLINE = [
     "x_repeated_ngram_rate",
     "x_semantic_dedup",
     "x_mixture_weights",
+    "x_event_transitions",
+    "x_session_paths",
 ]
 
 

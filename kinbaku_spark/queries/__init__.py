@@ -8,6 +8,7 @@ Submodules register into QUERIES / ORACLES at import time.
 from kinbaku_spark.queries import (  # noqa: F401
     analytics,
     analytics_ext,
+    behavioral_ext,
     graph_queries,
     mining_ext,
     pipeline_ext,
@@ -33,6 +34,7 @@ for mod in (
     relational_ext3,
     analytics,
     analytics_ext,
+    behavioral_ext,
     graph_queries,
     mining_ext,
     pipeline_ext,
