@@ -96,6 +96,9 @@ EXTENSION_HEADLINE = [
     "x_mixture_weights",
     "x_event_transitions",
     "x_session_paths",
+    "x_gap_fill_ffill",
+    "x_value_histogram",
+    "g_geodesic_counts",
 ]
 
 

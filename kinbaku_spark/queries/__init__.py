@@ -14,6 +14,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     pipeline_ext,
     pipeline_ext2,
     pipeline_ext3,
+    profiling_ext,
     relational,
     relational_ext,
     relational_ext3,
@@ -40,6 +41,7 @@ for mod in (
     pipeline_ext,
     pipeline_ext2,
     pipeline_ext3,
+    profiling_ext,
     reshape,
     sketches_ext,
     sql_surface,

@@ -180,7 +180,7 @@ LIMIT {TOP_PATHS}
 
 # -- x_temporal_split: time-cutoff train/test split with leakage audit -------
 
-SPLIT_CUTOFF = "2024-03-01"
+SPLIT_CUTOFF = "2024-01-22"  # ~70/30 over the driver's Jan-2024 event span
 
 
 def x_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
