@@ -99,6 +99,9 @@ EXTENSION_HEADLINE = [
     "x_gap_fill_ffill",
     "x_value_histogram",
     "g_geodesic_counts",
+    "x_cluster_purity",
+    "x_mrr_eval",
+    "x_winsorized_stats",
 ]
 
 

@@ -9,6 +9,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     analytics,
     analytics_ext,
     behavioral_ext,
+    eval_ext,
     graph_queries,
     mining_ext,
     pipeline_ext,
@@ -36,6 +37,7 @@ for mod in (
     analytics,
     analytics_ext,
     behavioral_ext,
+    eval_ext,
     graph_queries,
     mining_ext,
     pipeline_ext,
