@@ -102,6 +102,12 @@ EXTENSION_HEADLINE = [
     "x_cluster_purity",
     "x_mrr_eval",
     "x_winsorized_stats",
+    "x_group_quantiles",
+    "x_collocations",
+    "x_order_seasonality",
+    "x_qty_price_corr",
+    "x_revenue_concentration",
+    "x_dau_wau_stickiness",
 ]
 
 

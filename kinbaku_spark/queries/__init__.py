@@ -21,6 +21,9 @@ from kinbaku_spark.queries import (  # noqa: F401
     relational_ext3,
     reshape,
     sketches_ext,
+    stats_ext,
+    stats_ext2,
+    stats_ext3,
     sql_surface,
     temporal,
     timeseries,
@@ -46,6 +49,9 @@ for mod in (
     profiling_ext,
     reshape,
     sketches_ext,
+    stats_ext,
+    stats_ext2,
+    stats_ext3,
     sql_surface,
     temporal,
     timeseries,

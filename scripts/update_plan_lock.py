@@ -1,4 +1,18 @@
-"""Regenerate PLAN_LOCK.json: python scripts_update_plan_lock.py"""
+"""Regenerate PLAN_LOCK.json.
+
+Full regen:        python scripts/update_plan_lock.py
+Incremental:       python scripts/update_plan_lock.py q1 q2 ...
+                   (recomputes only the named queries, keeps the rest;
+                   names not yet in the lock are added)
+
+NOTE on incremental runs: signatures are computed in a session that built
+only the named queries, so shared-state markers (InMemoryTableScan after
+another query persisted a table) can differ from a full regen. The plan-
+lock test rebuilds steady state first, so use incremental mode only for
+queries whose plans don't depend on other queries' side effects — verify
+with `pytest tests/test_plan_lock.py` afterwards and fall back to a full
+regen if it disagrees.
+"""
 import json
 import os
 import sys
@@ -16,8 +30,18 @@ SF = "/root/testdata/sf0.001"
 
 def main() -> None:
     spark = get_spark(app_name="plan_lock", shuffle_partitions=8)
+    only = set(sys.argv[1:])
     lock = {}
-    for name in sorted(QUERIES):
+    if only:
+        lock_path = os.path.join(ROOT, "PLAN_LOCK.json")
+        if os.path.exists(lock_path):
+            with open(lock_path) as f:
+                lock = json.load(f)
+        lock = {k: v for k, v in lock.items() if k in QUERIES}
+        unknown = only - set(QUERIES)
+        assert not unknown, f"not in QUERIES: {sorted(unknown)}"
+    names = sorted(only) if only else sorted(QUERIES)
+    for name in names:
         # build twice, fingerprint the second: queries that persist shared
         # derived state (pagerank's degree table, SSSP's symmetrized edges)
         # have an invocation-order-dependent first plan; the steady-state
