@@ -108,6 +108,9 @@ EXTENSION_HEADLINE = [
     "x_qty_price_corr",
     "x_revenue_concentration",
     "x_dau_wau_stickiness",
+    "x_rolling_features",
+    "x_target_encoding",
+    "x_knn_hubness",
 ]
 
 

@@ -12,6 +12,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     eval_ext,
     graph_queries,
     mining_ext,
+    mlprep_ext,
     pipeline_ext,
     pipeline_ext2,
     pipeline_ext3,
@@ -43,6 +44,7 @@ for mod in (
     eval_ext,
     graph_queries,
     mining_ext,
+    mlprep_ext,
     pipeline_ext,
     pipeline_ext2,
     pipeline_ext3,
