@@ -111,6 +111,9 @@ EXTENSION_HEADLINE = [
     "x_rolling_features",
     "x_target_encoding",
     "x_knn_hubness",
+    "x_itemsets3",
+    "x_churn_labels",
+    "g_degree_gini",
 ]
 
 

@@ -12,6 +12,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     eval_ext,
     graph_queries,
     mining_ext,
+    mining_ext2,
     mlprep_ext,
     pipeline_ext,
     pipeline_ext2,
@@ -44,6 +45,7 @@ for mod in (
     eval_ext,
     graph_queries,
     mining_ext,
+    mining_ext2,
     mlprep_ext,
     pipeline_ext,
     pipeline_ext2,
