@@ -114,6 +114,8 @@ EXTENSION_HEADLINE = [
     "x_itemsets3",
     "x_churn_labels",
     "g_degree_gini",
+    "x_range_frame_revenue",
+    "g_rich_club",
 ]
 
 

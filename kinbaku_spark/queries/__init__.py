@@ -30,6 +30,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     temporal,
     timeseries,
     udf_surface,
+    window_ext,
 )
 
 QUERIES: dict = {}
@@ -60,6 +61,7 @@ for mod in (
     temporal,
     timeseries,
     udf_surface,
+    window_ext,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
