@@ -203,6 +203,57 @@ def correlate_event_pairs(
     )
 
 
+def correlate_event_pairs_outer(
+    left: DataFrame,
+    right: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every ``left_type`` event appears in
+    the output — paired with following same-user ``right_type`` events
+    within ``within``, or null-padded once the watermark proves no match
+    can still arrive. This is the state-EXPIRY semantics the inner join
+    never exercises: an unmatched left row is held in the join state until
+    `watermark` passes ``a_ts + within``, then emitted with nulls (Spark's
+    no-data micro-batch advances the final watermark under availableNow).
+
+    Scale: identical state bound to the inner form — per-side state is
+    (watermark horizon x arrival rate); null emission adds no state, only
+    a deferred flush.
+    """
+    from pyspark.sql.functions import expr
+
+    a = left.filter(F.col("event_type") == left_type).select(
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_id").alias("a_event"),
+    )
+    b = right.filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("b_event"),
+    )
+    if left.isStreaming:
+        a = a.withWatermark("a_ts", watermark)
+    if right.isStreaming:
+        b = b.withWatermark("b_ts", watermark)
+    return a.join(
+        b,
+        expr(
+            f"a_user = b_user AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL {within}"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("a_user").alias("user_id"),
+        "a_event",
+        "b_event",
+        F.col("a_ts").alias("click_ts"),
+        F.col("b_ts").alias("purchase_ts"),
+    )
+
+
 def stream_edges_into_graph(
     edge_stream: DataFrame, graph, checkpoint_dir: str | None = None
 ):

@@ -407,3 +407,58 @@ def test_streaming_dedup_ingest_matches_sequential_replay(spark, sf_dir):
         assert not (idx_docs & dup_docs)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_stream_outer_join_parity(spark, event_files):
+    """LEFT OUTER stream-stream join: matched rows must equal the batch
+    join; unmatched clicks older than the joint watermark must surface
+    null-padded (state expiry); younger unmatched clicks stay in state and
+    are legitimately absent."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from kinbaku_spark.streaming.windows import (
+        correlate_event_pairs,
+        correlate_event_pairs_outer,
+    )
+
+    batch = spark.read.parquet(event_files)
+    inner = correlate_event_pairs(batch, batch)
+    matched = {r["a_event"] for r in inner.select("a_event").distinct().collect()}
+    clicks = batch.filter(F.col("event_type") == "click")
+    max_a = clicks.agg(F.max("ts")).collect()[0][0]
+    max_b = (
+        batch.filter(F.col("event_type") == "purchase")
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    wm = min(max_a, max_b) - datetime.timedelta(hours=2)
+    expired = wm - datetime.timedelta(minutes=30)
+    null_rows = sorted(
+        (r["user_id"], r["event_id"], None)
+        for r in clicks.collect()
+        if r["event_id"] not in matched and r["ts"] < expired
+    )
+    expected = sorted(
+        [
+            (r["user_id"], r["a_event"], r["b_event"])
+            for r in inner.collect()
+        ]
+        + null_rows
+    )
+
+    s1 = read_events_stream(spark, event_files)
+    s2 = read_events_stream(spark, event_files)
+    q = (
+        correlate_event_pairs_outer(s1, s2)
+        .writeStream.format("memory")
+        .queryName("t_sjoin_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_sjoin_outer")
+    assert null_rows, "fixture must exercise the null-emission path"
+    assert _rows(got, ["user_id", "a_event", "b_event"]) == expected
