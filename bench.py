@@ -116,6 +116,9 @@ EXTENSION_HEADLINE = [
     "g_degree_gini",
     "x_range_frame_revenue",
     "g_rich_club",
+    "x_dedup_containment",
+    "x_source_lang_impurity",
+    "x_percentile_ranks",
 ]
 
 

@@ -9,6 +9,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     analytics,
     analytics_ext,
     behavioral_ext,
+    dedup_ext,
     eval_ext,
     graph_queries,
     mining_ext,
@@ -43,6 +44,7 @@ for mod in (
     analytics,
     analytics_ext,
     behavioral_ext,
+    dedup_ext,
     eval_ext,
     graph_queries,
     mining_ext,

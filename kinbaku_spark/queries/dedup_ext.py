@@ -1,0 +1,200 @@
+"""Containment dedup, corpus-diversity impurity, and rank-distribution
+windows.
+
+The reference (kerighan/kinbaku) has no text/window surface (SURVEY.md
+§2.4); these extend the dedup family (Jaccard's asymmetric sibling), the
+dataset-card diversity metrics, and the window-function coverage
+(percent_rank / cume_dist).
+
+Shuffle shapes (the 100 TB story):
+
+- containment: identical plan to x_dedup_ngram_jaccard — inverted-index
+  candidate join on shared shingle hashes, then exact verification over
+  candidates only; at scale the candidate generator swaps to MinHash
+  banding (x_dedup_minhash) with the same verify tail.
+- impurity: ONE groupBy(source, lang) collapses the corpus; the
+  per-source rollup runs over O(sources x langs) rows.
+- rank windows: degrees are one groupBy(src); both rank functions share
+  ONE window sort over the |V|-sized degree table.
+
+Determinism: containment divides exact intersection counts by the exact
+smaller set size (round 6dp — the proven jaccard pattern); impurity is
+exact integer ppm ((n² - Σ n_l²)·10⁶ div n²); percent_rank/cume_dist are
+ratios of exact integers, IEEE-identical in both engines, rounded 6dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kinbaku_spark.operators.dedup import shingle_hashes
+from kinbaku_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# -- x_dedup_containment: asymmetric (subset) near-dup detection -------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-duplicates: pairs where the SMALLER document's
+    shingle set is >= 80% contained in the other — catches excerpt/
+    quotation duplication that symmetric Jaccard misses (a 10x-longer
+    superset document caps Jaccard at ~0.1 but containment at 1.0).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_hashes(docs, "doc_id", "text", 3)
+    cand = (
+        sh.select(F.col("doc_id").alias("doc_id_a"), "h")
+        .join(sh.select(F.col("doc_id").alias("doc_id_b"), "h"), "h")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), "h"), "doc_id_a")
+        .join(sh.select(F.col("doc_id").alias("doc_id_b"), "h"), ["doc_id_b", "h"])
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na")),
+            "doc_id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("nb")),
+            "doc_id_b",
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("inter") / F.least("na", "nb"), 6),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("doc_id_a", "doc_id_b", "containment")
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+def _containment_sql() -> str:
+    from kinbaku_spark.queries.extensions import _sql_shingle_cte
+
+    return f"""
+WITH {_sql_shingle_cte(3)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM hx a JOIN hx b ON a.h = b.h
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS i
+  FROM cand c
+  JOIN hx a ON a.doc_id = c.doc_id_a
+  JOIN hx b ON b.doc_id = c.doc_id_b AND b.h = a.h
+  GROUP BY 1, 2
+)
+SELECT i.doc_id_a, i.doc_id_b,
+       ROUND(i.i * 1.0 / LEAST(sa.n, sb.n), 6) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_id_a
+JOIN sizes sb ON sb.doc_id = i.doc_id_b
+WHERE ROUND(i.i * 1.0 / LEAST(sa.n, sb.n), 6) >= {CONTAINMENT_THRESHOLD}
+ORDER BY i.doc_id_a, i.doc_id_b
+"""
+
+
+# -- x_source_lang_impurity: corpus diversity per source ---------------------
+
+def x_source_lang_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity of the language mix per source, in exact integer ppm
+    ((n² − Σ n_l²)·10⁶ div n²) — the log-free diversity metric for
+    dataset cards (0 = monolingual source, →10⁶ = uniform mix).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("nl"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("nl").alias("n_docs"),
+            F.sum(F.col("nl") * F.col("nl")).alias("ssq"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            F.expr("(n_docs * n_docs - ssq) * 1000000 div (n_docs * n_docs)").alias(
+                "impurity_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+X_LANG_IMPURITY_SQL = """
+WITH per AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nl
+  FROM documents GROUP BY 1, 2
+),
+agg AS (
+  SELECT source, CAST(SUM(nl) AS BIGINT) AS n_docs,
+         CAST(SUM(nl * nl) AS BIGINT) AS ssq,
+         CAST(COUNT(*) AS BIGINT) AS n_langs
+  FROM per GROUP BY source
+)
+SELECT source, n_docs, n_langs,
+       CAST((n_docs * n_docs - ssq) * 1000000 // (n_docs * n_docs) AS BIGINT)
+         AS impurity_ppm
+FROM agg
+ORDER BY source
+"""
+
+
+# -- x_percentile_ranks: percent_rank / cume_dist over degrees ---------------
+
+def x_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier out-degree rank distribution via the built-in
+    percent_rank and cume_dist window functions (ratios of exact
+    integers — IEEE-identical across engines, rounded 6dp); completes
+    the analytic-window family next to row_number/ntile/lag/lead.
+    """
+    from kinbaku_spark.queries.graph_queries import _graph
+
+    e = _graph(spark, sf_dir).edges_df
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    w = Window.orderBy("d")
+    return (
+        deg.select(
+            "src",
+            "d",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("d", "src")
+    )
+
+
+def _percentile_ranks_sql() -> str:
+    from kinbaku_spark.queries.graph_queries import GRAPH_CTE
+
+    return GRAPH_CTE + """
+, deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM g_edges GROUP BY src)
+SELECT src, d,
+       ROUND(PERCENT_RANK() OVER (ORDER BY d), 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER (ORDER BY d), 6) AS cume
+FROM deg
+ORDER BY d, src
+"""
+
+
+QUERIES["x_dedup_containment"] = x_dedup_containment
+ORACLES["x_dedup_containment"] = _containment_sql()
+QUERIES["x_source_lang_impurity"] = x_source_lang_impurity
+ORACLES["x_source_lang_impurity"] = X_LANG_IMPURITY_SQL
+QUERIES["x_percentile_ranks"] = x_percentile_ranks
+ORACLES["x_percentile_ranks"] = _percentile_ranks_sql()
