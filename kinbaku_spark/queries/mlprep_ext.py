@@ -29,7 +29,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from kinbaku_spark.operators.similarity import cosine
 from kinbaku_spark.sources.tables import load_table
 
 QUERIES: dict = {}
@@ -163,16 +162,63 @@ def x_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pair-count-bounded and reusable over an IVF/LSH candidate join at
     scale.
     """
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
-    b = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    # corpus rides to every task as a broadcast numpy block (the literal-
+    # centroid pattern); the pair space never materializes JVM-side — each
+    # Arrow batch of query rows scores against the whole block with the
+    # SAME dim-sequential left-fold as F.aggregate (proven bit-identical
+    # by x_ann_pandas_topk), so the JVM-side round/rank below sees the
+    # exact numbers the expression path would produce
+    corpus = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    c_ids = [int(r["vec_id"]) for r in corpus]
+    c_vecs = [[float(v) for v in r["embedding"]] for r in corpus]
+    c_norms = []
+    for vec in c_vecs:
+        s = 0.0
+        for v in vec:
+            s += v * v
+        c_norms.append(math.sqrt(s))
+    bc = spark.sparkContext.broadcast((c_ids, c_vecs, c_norms))
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, vecs, norms = bc.value
+        cid = np.array(ids, dtype=np.int64)
+        cmat = np.array(vecs, dtype=np.float64)  # (m, d)
+        cn = np.array(norms, dtype=np.float64)
+        m, dim = cmat.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qmat = np.stack(pdf["embedding"].to_numpy())  # (n, d)
+            qid = pdf["vec_id"].to_numpy().astype(np.int64)
+            n = len(qid)
+            acc = np.zeros((n, m), dtype=np.float64)
+            qn = np.zeros(n, dtype=np.float64)
+            for d in range(dim):  # sequential over dims (left fold),
+                x = qmat[:, d].astype(np.float64)  # vectorized over pairs
+                acc = acc + np.outer(x, cmat[:, d])
+                qn = qn + x * x
+            sim = acc / (np.sqrt(qn)[:, None] * cn[None, :])
+            out_q = np.repeat(qid, m)
+            out_c = np.tile(cid, n)
+            keep = out_q != out_c
+            yield pd.DataFrame(
+                {
+                    "qid": out_q[keep],
+                    "cid": out_c[keep],
+                    "sim": sim.ravel()[keep],
+                }
+            )
+
     sims = (
-        a.join(b, F.col("qid") != F.col("cid"))
-        .select(
-            "qid",
-            "cid",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
-        )
+        emb.select("vec_id", "embedding")
+        .mapInPandas(kernel, "qid bigint, cid bigint, sim double")
+        .select("qid", "cid", F.round("sim", 6).alias("sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
     knn = sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= KNN_K)
