@@ -119,6 +119,8 @@ EXTENSION_HEADLINE = [
     "x_dedup_containment",
     "x_source_lang_impurity",
     "x_percentile_ranks",
+    "x_distribution_drift",
+    "x_ks_statistic",
 ]
 
 

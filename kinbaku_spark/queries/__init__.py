@@ -10,6 +10,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     analytics_ext,
     behavioral_ext,
     dedup_ext,
+    drift_ext,
     eval_ext,
     graph_queries,
     mining_ext,
@@ -45,6 +46,7 @@ for mod in (
     analytics_ext,
     behavioral_ext,
     dedup_ext,
+    drift_ext,
     eval_ext,
     graph_queries,
     mining_ext,
