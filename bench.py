@@ -121,6 +121,9 @@ EXTENSION_HEADLINE = [
     "x_percentile_ranks",
     "x_distribution_drift",
     "x_ks_statistic",
+    "x_autocorrelation",
+    "x_cusum_changepoint",
+    "x_mad_outliers",
 ]
 
 

@@ -31,6 +31,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     sql_surface,
     temporal,
     timeseries,
+    timeseries_ext,
     udf_surface,
     window_ext,
 )
@@ -64,6 +65,7 @@ for mod in (
     sql_surface,
     temporal,
     timeseries,
+    timeseries_ext,
     udf_surface,
     window_ext,
 ):
