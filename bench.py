@@ -124,6 +124,8 @@ EXTENSION_HEADLINE = [
     "x_autocorrelation",
     "x_cusum_changepoint",
     "x_mad_outliers",
+    "g_transitivity",
+    "x_cross_val_folds",
 ]
 
 

@@ -13,6 +13,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     drift_ext,
     eval_ext,
     graph_queries,
+    graphmetrics_ext,
     mining_ext,
     mining_ext2,
     mlprep_ext,
@@ -50,6 +51,7 @@ for mod in (
     drift_ext,
     eval_ext,
     graph_queries,
+    graphmetrics_ext,
     mining_ext,
     mining_ext2,
     mlprep_ext,

@@ -1,0 +1,180 @@
+"""Global clustering coefficient and deterministic k-fold assignment.
+
+The reference (kerighan/kinbaku) has no metric/ML surface (SURVEY.md
+§2.4); these extend the graph-metric layer (g_triangles' per-node counts
+rolled up to the one-number transitivity) and the ML-prep layer
+(hash-deterministic cross-validation folds with a stratification audit).
+
+Shuffle shapes (the 100 TB story):
+
+- transitivity: reuses the mean-thresholded co-supplier projection
+  (g_triangles' sparsification); wedges come from the projection's
+  degree table (Σ C(d,2) — one groupBy over projection endpoints), the
+  triangle count from the same oriented wedge join. Nothing touches the
+  raw edge table twice.
+- k-fold: fold id is a pure projection (60-bit md5 of the row id mod k —
+  never engine RNG, so folds are stable across runs/engines/cluster
+  sizes); the audit is one groupBy(fold, label).
+
+Determinism: counts and C(d,2) are exact integers; the coefficient is
+integer ppm; fold hashing uses the shared md5 helper (functions/
+hashing.py) with identical semantics in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kinbaku_spark.functions.hashing import md5_long, sql_md5_long
+from kinbaku_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# -- g_transitivity: global clustering coefficient ---------------------------
+
+def g_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the thresholded
+    co-supplier projection: 3·triangles / wedges, in integer ppm — the
+    one-number companion to g_triangles' per-node participation.
+    """
+    from kinbaku_spark.queries.graph_queries import _graph
+
+    g = _graph(spark, sf_dir)
+    sp = g.edges_df.select("src", "dst").distinct()
+    b = sp.select(F.col("src").alias("s2"), F.col("dst").alias("p"))
+    shared = (
+        sp.select(F.col("src").alias("s1"), F.col("dst").alias("p"))
+        .join(b, "p")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+    )
+    thr = shared.agg(F.ceil(F.avg("shared_parts")).cast("long").alias("t"))
+    proj = (
+        shared.join(F.broadcast(thr))
+        .filter(F.col("shared_parts") >= F.col("t"))
+        .select("s1", "s2")
+        .localCheckpoint(eager=False)  # degrees + wedge join + closure
+    )
+    deg = (
+        proj.select(F.col("s1").alias("v"))
+        .union(proj.select("s2"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+    )
+    e2 = proj.select(F.col("s1").alias("b2"), F.col("s2").alias("c"))
+    closed = (
+        proj.join(e2, proj.s2 == F.col("b2"))
+        .join(
+            proj.select(F.col("s1").alias("a3"), F.col("s2").alias("c3")),
+            (F.col("s1") == F.col("a3")) & (F.col("c") == F.col("c3")),
+            "left_semi",
+        )
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    edges = proj.agg(F.count(F.lit(1)).alias("n_proj_edges"))
+    return (
+        edges.crossJoin(tri)
+        .crossJoin(wedges)
+        .select(
+            "n_proj_edges",
+            "n_triangles",
+            "n_wedges",
+            F.expr(
+                "CASE WHEN n_wedges = 0 THEN 0"
+                " ELSE 3 * n_triangles * 1000000 div n_wedges END"
+            ).alias("transitivity_ppm"),
+        )
+    )
+
+
+def _transitivity_sql() -> str:
+    from kinbaku_spark.queries.graph_queries import GRAPH_CTE
+
+    return GRAPH_CTE.rstrip() + """,
+sp AS (SELECT DISTINCT src, dst FROM g_edges),
+shared AS (
+  SELECT a.src AS s1, b.src AS s2, COUNT(*) AS shared_parts
+  FROM sp a JOIN sp b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+),
+thr AS (SELECT CAST(CEIL(AVG(shared_parts)) AS BIGINT) AS t FROM shared),
+proj AS (SELECT s1, s2 FROM shared WHERE shared_parts >= (SELECT t FROM thr)),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT s1 AS v FROM proj UNION ALL SELECT s2 FROM proj
+  ) GROUP BY v
+),
+wedges AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM proj e1 JOIN proj e2 ON e2.s1 = e1.s2
+  WHERE EXISTS (SELECT 1 FROM proj e3 WHERE e3.s1 = e1.s1 AND e3.s2 = e2.s2)
+),
+edges AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_proj_edges FROM proj)
+SELECT e.n_proj_edges, t.n_triangles, w.n_wedges,
+       CASE WHEN w.n_wedges = 0 THEN 0
+            ELSE CAST(3 * t.n_triangles * 1000000 // w.n_wedges AS BIGINT)
+       END AS transitivity_ppm
+FROM edges e CROSS JOIN tri t CROSS JOIN wedges w
+"""
+
+
+# -- x_cross_val_folds: deterministic stratification audit -------------------
+
+CV_FOLDS = 5
+
+
+def x_cross_val_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold assignment over the embedding corpus (60-bit
+    md5 of the row id mod 5 — reproducible across engines, runs, and
+    cluster sizes, unlike engine RNG) with the stratification audit every
+    CV setup needs: per-(fold, label) counts and within-fold shares.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    folded = emb.select(
+        (md5_long(F.col("vec_id").cast("string")) % CV_FOLDS).alias("fold"),
+        "label",
+    )
+    per = folded.groupBy("fold", "label").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("fold")
+    return (
+        per.withColumn("fold_n", F.sum("n").over(w))
+        .select(
+            "fold",
+            "label",
+            "n",
+            F.col("fold_n").cast("long").alias("fold_n"),
+            F.expr("n * 1000000 div fold_n").alias("share_ppm"),
+        )
+        .orderBy("fold", "label")
+    )
+
+
+X_CROSS_VAL_SQL = f"""
+WITH folded AS (
+  SELECT {sql_md5_long("CAST(vec_id AS VARCHAR)")} % {CV_FOLDS} AS fold, label
+  FROM embeddings
+),
+per AS (
+  SELECT fold, label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM folded GROUP BY 1, 2
+)
+SELECT CAST(fold AS BIGINT) AS fold, label, n,
+       CAST(SUM(n) OVER (PARTITION BY fold) AS BIGINT) AS fold_n,
+       CAST((n * 1000000) // SUM(n) OVER (PARTITION BY fold) AS BIGINT)
+         AS share_ppm
+FROM per
+ORDER BY fold, label
+"""
+
+
+QUERIES["g_transitivity"] = g_transitivity
+ORACLES["g_transitivity"] = _transitivity_sql()
+QUERIES["x_cross_val_folds"] = x_cross_val_folds
+ORACLES["x_cross_val_folds"] = X_CROSS_VAL_SQL

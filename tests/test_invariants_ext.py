@@ -122,6 +122,50 @@ def test_dau_never_exceeds_wau(spark, sf_dir):
         assert r["stickiness_ppm"] <= 1_000_000
 
 
+def test_drift_cohorts_nonempty_and_shares_sum(spark, sf_dir):
+    rows = QUERIES["x_distribution_drift"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r["n_a"] for r in rows) > 0 and sum(r["n_b"] for r in rows) > 0
+    for col in ("share_a_ppm", "share_b_ppm"):
+        tot = sum(r[col] for r in rows)
+        assert 1_000_000 - len(rows) <= tot <= 1_000_000
+
+
+def test_ks_statistic_bounded(spark, sf_dir):
+    r = QUERIES["x_ks_statistic"](spark, sf_dir).collect()[0]
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert 0 <= r["ks_ppm"] <= 1_000_000
+
+
+def test_acf_lag_panel_bounded(spark, sf_dir):
+    rows = QUERIES["x_autocorrelation"](spark, sf_dir).collect()
+    assert [r["k"] for r in rows] == list(range(1, 8))
+    for r in rows:
+        assert r["n_pairs"] > 0 and -1.0 <= r["acf"] <= 1.0
+
+
+def test_mad_outliers_consistent(spark, sf_dir):
+    r = QUERIES["x_mad_outliers"](spark, sf_dir).collect()[0]
+    assert r["mad_cents"] >= 0
+    assert 0 <= r["n_outliers"] < r["n_days"]
+
+
+def test_transitivity_bounded(spark, sf_dir):
+    r = QUERIES["g_transitivity"](spark, sf_dir).collect()[0]
+    assert 0 <= r["transitivity_ppm"] <= 1_000_000
+    # every triangle contributes 3 wedges, so 3T <= W always
+    assert 3 * r["n_triangles"] <= max(r["n_wedges"], 1)
+
+
+def test_cross_val_folds_cover_corpus(spark, sf_dir):
+    from kinbaku_spark.sources.tables import load_table
+
+    rows = QUERIES["x_cross_val_folds"](spark, sf_dir).collect()
+    total = sum(r["n"] for r in rows)
+    assert total == load_table(spark, sf_dir, "embeddings").count()
+    assert {r["fold"] for r in rows} == set(range(5))
+
+
 def test_session_paths_ranked_and_bounded(spark, sf_dir):
     rows = QUERIES["x_session_paths"](spark, sf_dir).collect()
     assert 0 < len(rows) <= 20
