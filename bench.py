@@ -126,6 +126,8 @@ EXTENSION_HEADLINE = [
     "x_mad_outliers",
     "g_transitivity",
     "x_cross_val_folds",
+    "g_graph_summary",
+    "x_label_noise_detect",
 ]
 
 

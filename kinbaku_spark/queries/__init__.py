@@ -29,6 +29,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     stats_ext,
     stats_ext2,
     stats_ext3,
+    summary_ext,
     sql_surface,
     temporal,
     timeseries,
@@ -64,6 +65,7 @@ for mod in (
     stats_ext,
     stats_ext2,
     stats_ext3,
+    summary_ext,
     sql_surface,
     temporal,
     timeseries,
