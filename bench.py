@@ -128,6 +128,7 @@ EXTENSION_HEADLINE = [
     "x_cross_val_folds",
     "g_graph_summary",
     "x_label_noise_detect",
+    "x_pca_top_component",
 ]
 
 

@@ -14,6 +14,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     eval_ext,
     graph_queries,
     graphmetrics_ext,
+    linalg_ext,
     mining_ext,
     mining_ext2,
     mlprep_ext,
@@ -53,6 +54,7 @@ for mod in (
     eval_ext,
     graph_queries,
     graphmetrics_ext,
+    linalg_ext,
     mining_ext,
     mining_ext2,
     mlprep_ext,
