@@ -129,6 +129,8 @@ EXTENSION_HEADLINE = [
     "g_graph_summary",
     "x_label_noise_detect",
     "x_pca_top_component",
+    "x_multiset_ops",
+    "x_dedup_survivorship",
 ]
 
 

@@ -26,6 +26,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     relational_ext,
     relational_ext3,
     reshape,
+    setops_ext,
     sketches_ext,
     stats_ext,
     stats_ext2,
@@ -63,6 +64,7 @@ for mod in (
     pipeline_ext3,
     profiling_ext,
     reshape,
+    setops_ext,
     sketches_ext,
     stats_ext,
     stats_ext2,
