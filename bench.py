@@ -131,6 +131,8 @@ EXTENSION_HEADLINE = [
     "x_pca_top_component",
     "x_multiset_ops",
     "x_dedup_survivorship",
+    "x_stationary_markov",
+    "x_benford_check",
 ]
 
 

@@ -8,6 +8,7 @@ Submodules register into QUERIES / ORACLES at import time.
 from kinbaku_spark.queries import (  # noqa: F401
     analytics,
     analytics_ext,
+    audit_ext,
     behavioral_ext,
     dedup_ext,
     drift_ext,
@@ -49,6 +50,7 @@ for mod in (
     relational_ext3,
     analytics,
     analytics_ext,
+    audit_ext,
     behavioral_ext,
     dedup_ext,
     drift_ext,
