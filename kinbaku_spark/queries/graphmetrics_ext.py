@@ -38,6 +38,12 @@ def g_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (transitivity) of the thresholded
     co-supplier projection: 3·triangles / wedges, in integer ppm — the
     one-number companion to g_triangles' per-node participation.
+
+    Cost note: the mean threshold keeps the projection DENSE at sf0.1
+    (~240k edges on 1k suppliers -> ~117M wedges), so the exact count is
+    wedge-bound by construction (~7M wedges/s on local[32]); at 100 TB
+    the projection threshold is the knob — raise it (or sample wedges)
+    to trade exactness for time, same plan shape.
     """
     from kinbaku_spark.queries.graph_queries import _graph
 
@@ -50,13 +56,20 @@ def g_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s1") < F.col("s2"))
         .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("shared_parts"))
+        # the quadratic pair count feeds TWO branches (the threshold
+        # aggregate and the projection filter) — materialize it once or
+        # the Σdeg² join re-runs per branch
+        .localCheckpoint(eager=True)
     )
     thr = shared.agg(F.ceil(F.avg("shared_parts")).cast("long").alias("t"))
     proj = (
         shared.join(F.broadcast(thr))
         .filter(F.col("shared_parts") >= F.col("t"))
         .select("s1", "s2")
-        .localCheckpoint(eager=False)  # degrees + wedge join + closure
+        # eager: FOUR consumers (degrees, both wedge sides, the closure
+        # semi-join) sit in one job — a lazy checkpoint would recompute
+        # the projection filter once per consumer
+        .localCheckpoint(eager=True)
     )
     deg = (
         proj.select(F.col("s1").alias("v"))
