@@ -794,18 +794,30 @@ BFS_SOURCE = "S1"
 BFS_MAX_DEPTH = 6
 
 
+def und_edges(spark, sf_dir):
+    """The symmetrized (undirected) edge set, deduped and persisted once
+    per sf_dir — shared by every iterative traversal (BFS, geodesic
+    counting) so the distinct-shuffle is paid once, not once per round."""
+    extra = _cached(spark, sf_dir)[2]
+    if "und_plain" not in extra:
+        g = _graph(spark, sf_dir)
+        extra["und_plain"] = (
+            g.edges_df.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .union(g.edges_df.select(F.col("dst"), F.col("src")))
+            .distinct()
+            .persist()
+        )
+        extra["und_plain"].count()
+    return extra["und_plain"]
+
+
 def g_bfs_depths(spark, sf_dir):
     """Undirected BFS from S1: (key, depth) for every reachable node within
     BFS_MAX_DEPTH. Iterative min-depth frontier expansion — each round is one
     join + one aggregation over the frontier only (not the full vertex set),
     the standard distributed-BFS shape.
     """
-    g = _graph(spark, sf_dir)
-    und = (
-        g.edges_df.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .union(g.edges_df.select(F.col("dst"), F.col("src")))
-        .distinct()
-    )
+    und = und_edges(spark, sf_dir)
     depths = spark.createDataFrame([(BFS_SOURCE, 0)], "key string, depth int")
     frontier = depths
     for d in range(1, BFS_MAX_DEPTH + 1):

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from kinbaku_spark.queries.graph_queries import GRAPH_CTE, _graph
+from kinbaku_spark.queries.graph_queries import GRAPH_CTE
 from kinbaku_spark.queries.relational import _dsum
 from kinbaku_spark.sources.tables import load_table
 
@@ -184,12 +184,9 @@ def g_geodesic_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     predecessors), then an anti-join against the settled set. Only the
     frontier shuffles; sigma is exact integer counting.
     """
-    g = _graph(spark, sf_dir)
-    und = (
-        g.edges_df.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .union(g.edges_df.select(F.col("dst"), F.col("src")))
-        .distinct()
-    )
+    from kinbaku_spark.queries.graph_queries import und_edges
+
+    und = und_edges(spark, sf_dir)
     settled = spark.createDataFrame(
         [(GEO_SOURCE, 0, 1)], "key string, depth int, sigma long"
     )
