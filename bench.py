@@ -166,14 +166,38 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query map goes to a file; the final stdout line stays SHORT
+    # (<1 KB) so the driver's stdout tail capture can always parse it
+    # (round-1 lesson: a 6 KB single line overflowed the tail -> parsed:null).
+    detail = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "n_queries": len(timings),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:8]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": slowest,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

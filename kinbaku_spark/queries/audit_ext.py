@@ -84,6 +84,8 @@ def x_stationary_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if c[i][j]:
                     nxt[j] += (p[i] * c[i][j]) // rowsum[i]
         m = sum(nxt)
+        if m == 0:  # no transitions at all (empty events): keep current p
+            break   # instead of ZeroDivisionError; oracle yields empty too
         p = [(x * MARKOV_SCALE) // m for x in nxt]
     return spark.createDataFrame(
         sorted(zip(types, p)), "event_type string, stationary_ppm long"

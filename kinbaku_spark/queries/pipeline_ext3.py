@@ -519,7 +519,12 @@ def x_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair, cnt = top["pair"], int(top["cnt"])
         learned.append((rnd, pair, cnt))
         merged = pair.replace(" ", "_")
-        cur = cur.select(F.expr(f"replace(t, '{pair}', '{merged}')").alias("t"))
+        # parameterized (F.lit), never f-string interpolation into F.expr:
+        # a pair containing a quote/backslash would break the expression
+        # while the DuckDB oracle (scalar subquery) kept working
+        cur = cur.select(
+            F.replace(F.col("t"), F.lit(pair), F.lit(merged)).alias("t")
+        )
     return spark.createDataFrame(learned, "round int, pair string, cnt long")
 
 
