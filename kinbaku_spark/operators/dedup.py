@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import functools
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from kinbaku_spark.functions.hashing import HASH_PRIME, md5_long, minhash_coeffs
 from kinbaku_spark.functions.textfns import shingle_array
@@ -80,25 +80,23 @@ def _jaccard_verify(
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs only (the LSH contract: banding
     prunes, verification decides)."""
-    a = F.col(f"{id_col}_a")
-    b = F.col(f"{id_col}_b")
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    sh_a = shingles.select(F.col(id_col).alias(f"{id_col}_a"), F.col("h"))
-    sh_b = shingles.select(F.col(id_col).alias(f"{id_col}_b"), F.col("h"))
-    inter = (
-        candidates.join(sh_a, f"{id_col}_a")
-        .join(sh_b, [f"{id_col}_b", "h"])
-        .groupBy(f"{id_col}_a", f"{id_col}_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # Per-doc shingle SET carried as one array row (shingles are distinct
+    # per doc), so verification is two doc-keyed joins + a codegen
+    # array_intersect — instead of re-exploding postings per candidate
+    # (2 wide joins + a pair-keyed groupBy). At 100 TB arrays are bounded
+    # by document length, and the candidate table shuffles once per side.
+    sets = shingles.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
+    va = sets.select(F.col(id_col).alias(f"{id_col}_a"), F.col("hs").alias("hs_a"))
+    vb = sets.select(F.col(id_col).alias(f"{id_col}_b"), F.col("hs").alias("hs_b"))
     return (
-        inter.join(
-            sizes.select(F.col(id_col).alias(f"{id_col}_a"), F.col("n").alias("na")),
+        candidates.join(va, f"{id_col}_a")
+        .join(vb, f"{id_col}_b")
+        .select(
             f"{id_col}_a",
-        )
-        .join(
-            sizes.select(F.col(id_col).alias(f"{id_col}_b"), F.col("n").alias("nb")),
             f"{id_col}_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("inter"),
+            F.size("hs_a").alias("na"),
+            F.size("hs_b").alias("nb"),
         )
         .withColumn(
             "jaccard",
@@ -167,6 +165,66 @@ def minhash_band_candidates(
     )
 
 
+def prefix_filter_candidates(
+    sh: DataFrame,
+    id_col: str,
+    prefix_keep,
+    size_cond=None,
+) -> DataFrame:
+    """Exact prefix-filtered candidate pairs (ppjoin-style) from a distinct
+    (id, h) shingle-posting table.
+
+    Theory: if the pair's required overlap is alpha (in terms of the SMALLER
+    set S), then under ANY fixed global shingle order S's first
+    |S| - alpha + 1 shingles must contain at least one shared shingle —
+    otherwise all >= alpha shared shingles squeeze into the last alpha - 1
+    slots. So joining each doc's prefix against the FULL postings of
+    partners with >= its size yields a provable SUPERSET of qualifying
+    pairs; the exact verify stage downstream keeps results identical to the
+    naive all-pairs inverted-index join.
+
+    Ordering ascending by document frequency (rarest first) keeps hot
+    shingles out of prefixes: the naive self-join's df^2 hot buckets become
+    (df-in-prefixes) x df, which is what makes this the 100 TB plan.
+
+    prefix_keep: Column predicate over (n, r) — keep posting when its rank r
+    (1-based, by ascending (df, h) within the doc) is inside the prefix for
+    set size n. Use floor-widened lengths so float thresholds only ever
+    LENGTHEN the prefix (superset stays guaranteed).
+    size_cond: optional extra Column predicate over (n_p, n_f) for
+    threshold-derived size pruning (e.g. Jaccard's n_f * t <= n_p).
+    """
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # one doc-keyed shuffle computes both the set size (unordered count over
+    # the doc partition) and the rarity rank — no separate sizes groupBy+join
+    ranked = sh.join(dfreq, "h").select(
+        id_col,
+        "h",
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("n"),
+        F.row_number()
+        .over(Window.partitionBy(id_col).orderBy("df", "h"))
+        .alias("r"),
+    )
+    prefix = ranked.filter(prefix_keep).select(
+        F.col(id_col).alias("id_p"), F.col("n").alias("n_p"), "h"
+    )
+    full = ranked.select(F.col(id_col).alias("id_f"), F.col("n").alias("n_f"), "h")
+    pred = (F.col("n_p") < F.col("n_f")) | (
+        (F.col("n_p") == F.col("n_f")) & (F.col("id_p") != F.col("id_f"))
+    )
+    if size_cond is not None:
+        pred = pred & size_cond
+    return (
+        prefix.join(full, "h")
+        .filter(pred)
+        .select(
+            F.least("id_p", "id_f").alias(f"{id_col}_a"),
+            F.greatest("id_p", "id_f").alias(f"{id_col}_b"),
+        )
+        .distinct()
+    )
+
+
 def jaccard_near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -174,17 +232,21 @@ def jaccard_near_duplicates(
     threshold: float = 0.8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Brute-force n-gram Jaccard: candidates are every pair sharing >=1
-    shingle (inverted-index join). Exact but O(sum of bucket^2); the scale
-    path is minhash_near_duplicates."""
+    """Exact n-gram Jaccard pairs >= threshold via prefix-filtered
+    candidates (see prefix_filter_candidates) + exact verify.
+
+    For J(A,B) >= t with sizes a <= b: overlap i >= t(a+b)/(1+t) >=
+    (2t/(1+t))*a, so the smaller set probes with prefix length
+    a - floor(2t/(1+t)*a) + 1; and i <= a forces the size filter
+    b*t <= a (checked with +0.5 slack so integer boundaries can only
+    widen the candidate set). Result set is identical to the naive
+    inverted-index self-join; only the candidate generator changes.
+    """
     sh = shingle_hashes(docs, id_col, text_col, shingle_n)
-    candidates = (
-        sh.select(F.col(id_col).alias(f"{id_col}_a"), "h")
-        .join(sh.select(F.col(id_col).alias(f"{id_col}_b"), "h"), "h")
-        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
-        .select(f"{id_col}_a", f"{id_col}_b")
-        .distinct()
-    )
+    frac = 2.0 * threshold / (1.0 + threshold)
+    keep = F.col("r") <= F.col("n") - F.floor(F.lit(frac) * F.col("n")) + 1
+    size_cond = F.col("n_f") * F.lit(threshold) <= F.col("n_p") + F.lit(0.5)
+    candidates = prefix_filter_candidates(sh, id_col, keep, size_cond)
     return _jaccard_verify(candidates, sh, id_col, threshold)
 
 

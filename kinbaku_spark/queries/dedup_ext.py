@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from kinbaku_spark.operators.dedup import shingle_hashes
+from kinbaku_spark.operators.dedup import prefix_filter_candidates, shingle_hashes
 from kinbaku_spark.sources.tables import load_table
 
 QUERIES: dict = {}
@@ -47,33 +47,35 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_hashes(docs, "doc_id", "text", 3)
-    cand = (
-        sh.select(F.col("doc_id").alias("doc_id_a"), "h")
-        .join(sh.select(F.col("doc_id").alias("doc_id_b"), "h"), "h")
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b")
-        .distinct()
+
+    # Exact prefix filtering (operators/dedup.py prefix_filter_candidates):
+    # for containment >= t the smaller set's required overlap is
+    # alpha = ceil(t*n), so the prefix is n - ((4n + 4) div 5) + 1 rarest
+    # shingles at t = 0.8 (exact integer ceil). Provable superset of the
+    # naive self-join pairs -> the naive-SQL oracle stays the unchanged
+    # ground truth, while hot-shingle df^2 buckets disappear from the plan.
+    cand = prefix_filter_candidates(
+        sh, "doc_id", F.col("r") <= F.expr("n - ((4 * n + 4) div 5) + 1")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), "h"), "doc_id_a")
-        .join(sh.select(F.col("doc_id").alias("doc_id_b"), "h"), ["doc_id_b", "h"])
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # array-set verification (same shape as operators/dedup._jaccard_verify):
+    # two doc-keyed joins + codegen array_intersect over candidates only
+    sets = sh.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
     return (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na")),
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_id_a"), F.col("hs").alias("hs_a")),
             "doc_id_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("nb")),
+            sets.select(F.col("doc_id").alias("doc_id_b"), F.col("hs").alias("hs_b")),
             "doc_id_b",
         )
-        .withColumn(
-            "containment",
-            F.round(F.col("inter") / F.least("na", "nb"), 6),
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("inter"),
+            F.least(F.size("hs_a"), F.size("hs_b")).alias("nmin"),
         )
+        .withColumn("containment", F.round(F.col("inter") / F.col("nmin"), 6))
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
         .select("doc_id_a", "doc_id_b", "containment")
         .orderBy("doc_id_a", "doc_id_b")
