@@ -150,6 +150,7 @@ ORDER BY o_orderpriority
 # -- x_knn_hubness: in-degree distribution of the k-NN graph -----------------
 
 KNN_K = 3
+KNN_BLOCKS = 8
 
 
 def x_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,68 +159,71 @@ def x_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hub vectors appearing in everyone's neighbor list) are the classic
     symptom of degraded high-dimensional similarity search.
 
-    Gate-scale pair generation is brute force; the rank/in-degree rollup
-    is pair-count-bounded and reusable over an IVF/LSH candidate join at
-    scale.
+    Pair generation is distributed BLOCK MATRIX MULTIPLY — no driver
+    collect, no Python-side corpus broadcast (round-1's anti-pattern):
+    both sides are hashed into KNN_BLOCKS row-blocks, the B x B block
+    pairs cross-join JVM-side (each carries one query chunk + one corpus
+    chunk, so Arrow transfer is O(n*B + m*B) vectors, never the n*m pair
+    space), and each task GEMMs its block pair with the SAME
+    dim-sequential left-fold the DuckDB oracle replays (proven
+    bit-identical by x_ann_pandas_topk). Per-block top-k on the rounded
+    key (round is monotone, so block-local and global orderings agree)
+    keeps only B*k candidates per query for the global rank. At 100 TB
+    B scales with corpus so blocks fit executor memory, or the identical
+    rank/in-degree tail runs over IVF/LSH candidates (similarity.py
+    ivf_topk) instead of exact all-pairs.
     """
-    import math
-
     emb = load_table(spark, sf_dir, "embeddings")
-    # corpus rides to every task as a broadcast numpy block (the literal-
-    # centroid pattern); the pair space never materializes JVM-side — each
-    # Arrow batch of query rows scores against the whole block with the
-    # SAME dim-sequential left-fold as F.aggregate (proven bit-identical
-    # by x_ann_pandas_topk), so the JVM-side round/rank below sees the
-    # exact numbers the expression path would produce
-    corpus = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
-    c_ids = [int(r["vec_id"]) for r in corpus]
-    c_vecs = [[float(v) for v in r["embedding"]] for r in corpus]
-    c_norms = []
-    for vec in c_vecs:
-        s = 0.0
-        for v in vec:
-            s += v * v
-        c_norms.append(math.sqrt(s))
-    bc = spark.sparkContext.broadcast((c_ids, c_vecs, c_norms))
+    B = KNN_BLOCKS
+    blk = emb.select(
+        F.pmod(F.col("vec_id"), F.lit(B)).alias("g"),
+        F.struct("vec_id", "embedding").alias("ve"),
+    ).groupBy("g").agg(F.collect_list("ve").alias("vs"))
+    pairs = (
+        blk.select(F.col("vs").alias("qs"))
+        .crossJoin(blk.select(F.col("vs").alias("cs")))
+        .repartition(B * B)
+    )
 
     def kernel(batches):
         import numpy as np
         import pandas as pd
 
-        ids, vecs, norms = bc.value
-        cid = np.array(ids, dtype=np.int64)
-        cmat = np.array(vecs, dtype=np.float64)  # (m, d)
-        cn = np.array(norms, dtype=np.float64)
-        m, dim = cmat.shape
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            qmat = np.stack(pdf["embedding"].to_numpy())  # (n, d)
-            qid = pdf["vec_id"].to_numpy().astype(np.int64)
-            n = len(qid)
-            acc = np.zeros((n, m), dtype=np.float64)
-            qn = np.zeros(n, dtype=np.float64)
-            for d in range(dim):  # sequential over dims (left fold),
-                x = qmat[:, d].astype(np.float64)  # vectorized over pairs
-                acc = acc + np.outer(x, cmat[:, d])
-                qn = qn + x * x
-            sim = acc / (np.sqrt(qn)[:, None] * cn[None, :])
-            out_q = np.repeat(qid, m)
-            out_c = np.tile(cid, n)
-            keep = out_q != out_c
-            yield pd.DataFrame(
-                {
-                    "qid": out_q[keep],
-                    "cid": out_c[keep],
-                    "sim": sim.ravel()[keep],
-                }
-            )
+            for qs, cs in zip(pdf["qs"], pdf["cs"]):
+                qid = np.array([r["vec_id"] for r in qs], dtype=np.int64)
+                cid = np.array([r["vec_id"] for r in cs], dtype=np.int64)
+                qmat = np.array([r["embedding"] for r in qs], dtype=np.float64)
+                cmat = np.array([r["embedding"] for r in cs], dtype=np.float64)
+                n, dim = qmat.shape
+                m = len(cid)
+                # dim-sequential left fold == F.aggregate == the SQL oracle
+                acc = np.zeros((n, m), dtype=np.float64)
+                qn = np.zeros(n, dtype=np.float64)
+                cn = np.zeros(m, dtype=np.float64)
+                for d in range(dim):
+                    x = qmat[:, d]
+                    y = cmat[:, d]
+                    acc = acc + np.outer(x, y)
+                    qn = qn + x * x
+                    cn = cn + y * y
+                sim = np.round(acc / (np.sqrt(qn)[:, None] * np.sqrt(cn)[None, :]), 6)
+                sim[qid[:, None] == cid[None, :]] = -np.inf  # self-pairs out
+                # block-local top-k by (sim desc, cid asc) — same composite
+                # key as the global window, so pruning is exact
+                order = np.lexsort((np.broadcast_to(cid, (n, m)), -sim), axis=1)
+                take = order[:, : min(KNN_K, m)]
+                rows_sim = np.take_along_axis(sim, take, axis=1).ravel()
+                keep = np.isfinite(rows_sim)
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(qid, take.shape[1])[keep],
+                        "cid": cid[take.ravel()][keep],
+                        "sim": rows_sim[keep],
+                    }
+                )
 
-    sims = (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(kernel, "qid bigint, cid bigint, sim double")
-        .select("qid", "cid", F.round("sim", 6).alias("sim"))
-    )
+    sims = pairs.mapInPandas(kernel, "qid bigint, cid bigint, sim double")
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
     knn = sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= KNN_K)
     indeg = knn.groupBy("cid").agg(F.count(F.lit(1)).alias("in_degree"))
