@@ -112,6 +112,7 @@ class Graph:
         # identity index (reference preload, graph.py:304-306)
         self._node_keys: set[str] | None = None
         self._edge_keys: set[tuple[str, str, int]] | None = None
+        self._id_map: DataFrame | None = None
         if preload:
             self._ensure_index()
 
@@ -270,6 +271,13 @@ class Graph:
         if not self._dirty():
             return
         spark = self.spark
+        if self._node_ops and self._id_map is not None:
+            # key set changes -> dense key-ordered ids change
+            try:
+                self._id_map.unpersist()
+            except Exception:
+                pass
+            self._id_map = None
         if self._node_ops:
             touched = list(self._node_ops)
             upserts = [
@@ -617,10 +625,21 @@ class Graph:
     #    SURVEY.md §4.3b). ----------------------------------------------------
 
     def node_id_map(self) -> DataFrame:
-        w = Window.orderBy("key")
-        return self.nodes_df.select("key").distinct().select(
-            "key", (F.row_number().over(w) - 1).cast("long").alias("id")
-        )
+        from kinbaku_spark.operators.ids import ordered_zero_ids
+
+        # Two-phase range ids (operators/ids.py): same deterministic
+        # key-ordered mapping as row_number() OVER (ORDER BY key), without
+        # the single-task sort. Materialized once per Graph (the id map is
+        # engine state, like the reference's node index) so consumers that
+        # reference it repeatedly — adjacency joins use it twice — read one
+        # cached table instead of replicating the ranking subplan.
+        if self._id_map is None:
+            m = ordered_zero_ids(self.nodes_df.select("key").distinct())
+            # eager localCheckpoint: materialize once AND truncate lineage,
+            # so double references (adjacency joins ids for src and dst)
+            # scan the stored map instead of replicating the ranking plan
+            self._id_map = m.localCheckpoint(eager=True)
+        return self._id_map
 
     def adjacency_coo(self, weight: str | None = None) -> DataFrame:
         """COO triplets (sid, tid, w) — the distributed form of the
@@ -823,6 +842,12 @@ class Graph:
     def _invalidate_index(self) -> None:
         self._node_keys = None
         self._edge_keys = None
+        if self._id_map is not None:
+            try:
+                self._id_map.unpersist()
+            except Exception:
+                pass
+            self._id_map = None
 
     # -- lifecycle / maintenance parity (reference graph.py:383-407, 852) -----
 

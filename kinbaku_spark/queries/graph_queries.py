@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from kinbaku_spark.graph import Graph
+from kinbaku_spark.operators.ids import ordered_zero_ids
 from kinbaku_spark.sources.tables import (
     CUSTOMER_ORDER_EDGES_SQL,
     SUPPLIER_PART_EDGES_SQL,
@@ -45,18 +46,26 @@ def _cached(spark: SparkSession, sf_dir: str) -> tuple:
             .union(edges.select("dst"))
             .distinct()
         )
-        w = Window.orderBy("key")
-        nodes = keys.select(
-            "key",
-            (F.row_number().over(w) - 1).cast("long").alias("index"),
-            F.col("key").alias("name"),
-            F.lit(0).alias("age"),
-            F.lit(0.0).alias("score"),
-        ).persist()
+        # two-phase range ids (operators/ids.py): deterministic key-ordered
+        # dense index with range-parallel sorts, no single-task global window.
+        # localCheckpoint truncates the build lineage — the nodes table is
+        # the engine's STORED state, so query plans scan the materialized
+        # table instead of replaying (and replicating) the id-assignment
+        # subtree under every reference.
+        nodes = (
+            ordered_zero_ids(keys, id_col="index")
+            .select(
+                "key",
+                "index",
+                F.col("key").alias("name"),
+                F.lit(0).alias("age"),
+                F.lit(0.0).alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
         # materialize eagerly: this is one-time ETL (the stored graph), not
         # per-query work — queries then run against warm storage
         edges.count()
-        nodes.count()
         _CACHE[sf_dir] = (nodes, edges, {})
     return _CACHE[sf_dir]
 
