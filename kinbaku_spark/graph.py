@@ -253,11 +253,39 @@ class Graph:
     # -- delta machinery -----------------------------------------------------
 
     def _ensure_index(self) -> None:
+        """PRELOAD fast path only (reference preload, graph.py:304-306):
+        collect the identity key sets into driver RAM for O(1) existence
+        checks. Valid when the key space fits one process — the reference's
+        own operating envelope. The DEFAULT path never calls this: point
+        mutations use op-log-aware existence probes (_node_exists /
+        _edge_exists) and flush-time anti-joins, which stay distributed at
+        any graph size."""
         if self._node_keys is None:
             self._node_keys = {r[0] for r in self._nodes.select("key").collect()}
             self._edge_keys = {
                 (r[0], r[1], r[2]) for r in self._edges.select(*EDGE_KEY).collect()
             }
+
+    # -- distributed existence probes (no driver-side key sets) --------------
+
+    def _node_exists(self, key: str) -> bool:
+        if self._node_keys is not None:
+            return key in self._node_keys
+        op = self._node_ops.get(key)
+        if op is not None:
+            return op[0] != "delete"
+        return not self._nodes.filter(F.col("key") == key).isEmpty()
+
+    def _edge_exists(self, triple: tuple[str, str, int]) -> bool:
+        if self._edge_keys is not None:
+            return triple in self._edge_keys
+        op = self._edge_ops.get(triple)
+        if op is not None:
+            return op[0] != "delete"
+        src, dst, type_ = triple
+        return not self._edges.filter(
+            (F.col("src") == src) & (F.col("dst") == dst) & (F.col("type") == type_)
+        ).isEmpty()
 
     def _dirty(self) -> bool:
         return bool(self._node_ops or self._edge_ops)
@@ -279,16 +307,30 @@ class Graph:
                 pass
             self._id_map = None
         if self._node_ops:
-            touched = list(self._node_ops)
             upserts = [
                 (k, attrs) for k, (op, attrs) in self._node_ops.items() if op == "upsert"
             ]
+            ensures = [
+                (k, attrs) for k, (op, attrs) in self._node_ops.items() if op == "ensure"
+            ]
+            # upserts REPLACE the whole record, deletes drop it — both evict
+            # the stored row; "ensure" (edge-endpoint auto-create) keeps the
+            # stored row and inserts only when absent (anti-join below)
+            touched = [k for k, (op, _) in self._node_ops.items() if op != "ensure"]
             schema = _nullable(self._nodes.schema, keep={"key"})
-            touched_df = spark.createDataFrame([(k,) for k in touched], "key string")
-            base = self._nodes.join(F.broadcast(touched_df), on="key", how="left_anti")
+            base = self._nodes
+            if touched:
+                touched_df = spark.createDataFrame([(k,) for k in touched], "key string")
+                base = base.join(F.broadcast(touched_df), on="key", how="left_anti")
             if upserts:
                 rows = [self._node_row(k, attrs, schema) for k, attrs in upserts]
                 base = base.unionByName(spark.createDataFrame(rows, schema))
+            if ensures:
+                rows = [self._node_row(k, attrs, schema) for k, attrs in ensures]
+                new_nodes = spark.createDataFrame(rows, schema).join(
+                    self._nodes.select("key"), on="key", how="left_anti"
+                )
+                base = base.unionByName(new_nodes)
             self._nodes = base
             self._node_ops = {}
         if self._edge_ops:
@@ -492,22 +534,10 @@ class Graph:
         return rows[0].asDict()
 
     def has_node(self, key: str) -> bool:
-        if self._node_keys is not None:
-            return key in self._node_keys
-        try:
-            self.node(key)
-            return True
-        except NodeNotFound:
-            return False
+        return self._node_exists(key)
 
     def has_edge(self, src: str, dst: str, type: int = 0) -> bool:
-        if self._edge_keys is not None:
-            return (src, dst, type) in self._edge_keys
-        try:
-            self.edge(src, dst, type)
-            return True
-        except EdgeNotFound:
-            return False
+        return self._edge_exists((src, dst, type))
 
     # -- traversal (reference graph.py:856-983) -------------------------------
 
@@ -711,72 +741,132 @@ class Graph:
     def add_node(self, key: str, attr: dict | None = None) -> dict:
         if not isinstance(key, str):
             raise BadArgument("node key must be a string")
-        self._ensure_index()
         self._node_ops[key] = ("upsert", dict(attr or {}))
-        self._node_keys.add(key)
+        if self._node_keys is not None:
+            self._node_keys.add(key)
         self._maybe_flush()
         return {"key": key, **(attr or {})}
 
     def add_edge(
         self, src: str, dst: str, attr: dict | None = None, type: int = 0
     ) -> dict:
-        self._ensure_index()
         # auto-create missing endpoints (graph.py:1446-1453); existing nodes
-        # keep their attributes (only missing ones are created)
+        # keep their attributes. "ensure" ops insert-if-absent at flush time
+        # (anti-join against the stored table), so no existence check — and
+        # no driver-side key set — is needed here. A pending upsert/delete
+        # for the same key wins (setdefault), preserving op order.
         for k in (src, dst):
-            if k not in self._node_keys:
-                self._node_ops[k] = ("upsert", {})
+            self._node_ops.setdefault(k, ("ensure", {}))
+            if self._node_keys is not None:
                 self._node_keys.add(k)
         self._edge_ops[(src, dst, type)] = ("upsert", dict(attr or {}))
-        self._edge_keys.add((src, dst, type))
+        if self._edge_keys is not None:
+            self._edge_keys.add((src, dst, type))
         self._maybe_flush()
         return {"src": src, "dst": dst, "type": type, **(attr or {})}
 
     def remove_edge(self, src: str, dst: str, type: int = 0) -> None:
-        self._ensure_index()
         triple = (src, dst, type)
-        if triple not in self._edge_keys:
+        if not self._edge_exists(triple):
             raise EdgeNotFound(triple)
         self._edge_ops[triple] = ("delete", None)
-        self._edge_keys.discard(triple)
+        if self._edge_keys is not None:
+            self._edge_keys.discard(triple)
         self._maybe_flush()
 
     def remove_node(self, key: str) -> None:
-        """Remove a node and ALL incident edges (graph.py:1543-1563)."""
-        self._ensure_index()
-        if key not in self._node_keys:
+        """Remove a node and ALL incident edges (graph.py:1543-1563).
+
+        The cascade is DISTRIBUTED: pending ops flush first (preserving op
+        order), then incident edges drop via a lazy filter on the edge
+        table — no enumeration of incident edges on the driver, so the op
+        works at any degree. Preload key sets, when loaded, are maintained
+        for O(1) existence reuse."""
+        if not self._node_exists(key):
             raise NodeNotFound(key)
-        incident = [t for t in self._edge_keys if t[0] == key or t[1] == key]
-        for t in incident:
-            self._edge_ops[t] = ("delete", None)
-            self._edge_keys.discard(t)
-        self._node_ops[key] = ("delete", None)
-        self._node_keys.discard(key)
-        self._maybe_flush()
+        self._flush()
+        self._edges = self._edges.filter(
+            (F.col("src") != key) & (F.col("dst") != key)
+        )
+        self._nodes = self._nodes.filter(F.col("key") != key)
+        if self._edge_keys is not None:
+            self._edge_keys = {
+                t for t in self._edge_keys if t[0] != key and t[1] != key
+            }
+        if self._node_keys is not None:
+            self._node_keys.discard(key)
+        self._flushes += 1
+        if self._flushes % CHECKPOINT_EVERY_FLUSHES == 0:
+            self._nodes = self._nodes.localCheckpoint(eager=False)
+            self._edges = self._edges.localCheckpoint(eager=False)
+
+    def _set_adjacent(
+        self, key: str, others: list[str], type: int, direction: str
+    ) -> None:
+        """Shared set_neighbors/set_predecessors core (graph.py:886-905):
+        make the out- (in-) neighbor set of ``key`` exactly ``others``.
+        Existing edges to surviving targets keep their attributes; removed
+        targets drop; new targets are created empty, endpoints auto-created
+        — all as lazy DataFrame algebra (filter + anti-join + union), no
+        driver-side enumeration of the current adjacency."""
+        self._flush()
+        this_col, other_col = ("src", "dst") if direction == "out" else ("dst", "src")
+        target = sorted(set(others))
+        spark = self.spark
+        # nodes: ensure key + all targets exist (insert-if-absent)
+        for k in [key] + target:
+            self._node_ops.setdefault(k, ("ensure", {}))
+            if self._node_keys is not None:
+                self._node_keys.add(k)
+        # edges: drop (key, v) of this type where v no longer targeted
+        mine = (F.col(this_col) == key) & (F.col("type") == type)
+        survives = F.col(other_col).isin(target) if target else F.lit(False)
+        kept = self._edges.filter(~mine | survives)
+        # add rows for targets not already present (attrs NULL), same as the
+        # reference's add-side of the set diff
+        tgt_df = spark.createDataFrame([(v,) for v in target], f"{other_col} string")
+        missing = tgt_df.join(
+            self._edges.filter(mine).select(other_col), other_col, "left_anti"
+        )
+        schema = _nullable(self._edges.schema, keep=set(EDGE_KEY))
+        new_rows = missing.select(
+            *[
+                F.lit(key).alias(f.name)
+                if f.name == this_col
+                else F.col(other_col)
+                if f.name == other_col
+                else F.lit(type).cast("int").alias("type")
+                if f.name == "type"
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema
+            ]
+        )
+        self._edges = kept.unionByName(new_rows)
+        if self._edge_keys is not None:
+            tgt = set(target)
+            if direction == "out":
+                self._edge_keys = {
+                    t
+                    for t in self._edge_keys
+                    if not (t[0] == key and t[2] == type and t[1] not in tgt)
+                } | {(key, v, type) for v in tgt}
+            else:
+                self._edge_keys = {
+                    t
+                    for t in self._edge_keys
+                    if not (t[1] == key and t[2] == type and t[0] not in tgt)
+                } | {(v, key, type) for v in tgt}
+        self._flushes += 1
+        if self._flushes % CHECKPOINT_EVERY_FLUSHES == 0:
+            self._nodes = self._nodes.localCheckpoint(eager=False)
+            self._edges = self._edges.localCheckpoint(eager=False)
 
     def set_neighbors(self, key: str, neighbors: list[str], type: int = 0) -> None:
-        """Make the out-neighbor set exactly ``neighbors`` (graph.py:886-905):
-        set-diff, then add/remove. Creates ``key`` if absent."""
-        self._ensure_index()
-        if key not in self._node_keys:
-            self.add_node(key)
-        current = {t[1] for t in self._edge_keys if t[0] == key and t[2] == type}
-        target = set(neighbors)
-        for v in current - target:
-            self.remove_edge(key, v, type)
-        for v in target - current:
-            self.add_edge(key, v, type=type)
+        """Make the out-neighbor set exactly ``neighbors`` (graph.py:886-905)."""
+        self._set_adjacent(key, neighbors, type, "out")
 
     def set_predecessors(self, key: str, predecessors: list[str], type: int = 0) -> None:
-        self._ensure_index()
-        if key not in self._node_keys:
-            self.add_node(key)
-        current = {t[0] for t in self._edge_keys if t[1] == key and t[2] == type}
-        target = set(predecessors)
-        for u in current - target:
-            self.remove_edge(u, key, type)
-        for u in target - current:
-            self.add_edge(u, key, type=type)
+        self._set_adjacent(key, predecessors, type, "in")
 
     # -- batch mutations (the scale path; no driver-side index needed) --------
 
