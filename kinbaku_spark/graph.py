@@ -720,10 +720,14 @@ class Graph:
         """Induced subgraph as COO (reference graph.py:1231-1265): double
         broadcast semi-join on the key list, then dense ids over the list."""
         spark = self.spark
-        keys_df = spark.createDataFrame([(k,) for k in sorted(set(keys))], "key string")
-        w = Window.orderBy("key")
+        # the key list is caller-supplied (already on the driver): enumerate
+        # it in Python rather than planning a window over a 1-row-per-key
+        # single partition — same ids, no WindowExec in the plan
         ids = F.broadcast(
-            keys_df.select("key", (F.row_number().over(w) - 1).cast("long").alias("id"))
+            spark.createDataFrame(
+                [(k, i) for i, k in enumerate(sorted(set(keys)))],
+                "key string, id long",
+            )
         )
         e = self.edges_df
         wcol = F.col(weight) if weight else F.lit(1.0)

@@ -223,6 +223,7 @@ def semantic_dedup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embedding corpus with k-means, then compare pairs ONLY within each
@@ -241,18 +242,44 @@ def semantic_dedup(
     :func:`embedding_near_duplicates`); drop rule is id-ordered (a < b
     drops b), so the kept set is unique regardless of join order.
 
+    ``max_cluster_size`` is the extreme-scale knob (VERDICT r01 #10): a
+    cluster of size s costs s² pairs, so one runaway cell dominates the
+    job. When set, oversized clusters are split into ceil(s/cap)
+    deterministic sub-buckets (md5 of the id — stable across runs and
+    engines) and pairs compare only within a sub-bucket, bounding every
+    join group at ~cap² pairs. Cross-sub-bucket duplicates are missed by
+    construction — the documented SemDeDup-at-scale recall tradeoff
+    (equivalently: grow k). Default None = exact paper shape.
+
     The reference has no vector surface at all (SURVEY.md §2.4); this is
     part of the training-data extension surface.
     """
     assigned = kmeans_assign(corpus, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col)
+    pair_key = ["cluster"]
+    if max_cluster_size is not None:
+        from kinbaku_spark.functions.hashing import md5_long
+
+        sizes = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("__sz")
+        )
+        assigned = (
+            assigned.join(F.broadcast(sizes), "cluster")
+            .withColumn(
+                "__sub",
+                md5_long(F.col(id_col).cast("string"))
+                % F.ceil(F.col("__sz") / max_cluster_size).cast("long"),
+            )
+            .drop("__sz")
+        )
+        pair_key = ["cluster", "__sub"]
     a = assigned.select(
-        F.col("cluster"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        *pair_key, F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
     b = assigned.select(
-        F.col("cluster"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        *pair_key, F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
     )
     dropped = (
-        a.join(b, "cluster")
+        a.join(b, pair_key)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_b",

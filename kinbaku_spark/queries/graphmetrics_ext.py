@@ -23,6 +23,8 @@ hashing.py) with identical semantics in both engines.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from kinbaku_spark.functions.hashing import md5_long, sql_md5_long
@@ -41,9 +43,11 @@ def g_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cost note: the mean threshold keeps the projection DENSE at sf0.1
     (~240k edges on 1k suppliers -> ~117M wedges), so the exact count is
-    wedge-bound by construction (~7M wedges/s on local[32]); at 100 TB
-    the projection threshold is the knob — raise it (or sample wedges)
-    to trade exactness for time, same plan shape.
+    wedge-bound by construction (~7M wedges/s on local[32]). Two scale
+    knobs, same plan shape: raise the projection threshold, or set
+    KB_WEDGE_SAMPLE_PPM to hash-subsample the wedge enumeration (unbiased
+    triangle estimate at ppm/1e6 of the join cost; wedge count stays
+    analytic-exact). Unset = exact, oracle-identical.
     """
     from kinbaku_spark.queries.graph_queries import _graph
 
@@ -81,15 +85,34 @@ def g_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
     )
     e2 = proj.select(F.col("s1").alias("b2"), F.col("s2").alias("c"))
+    # Wedge-sampling knob (VERDICT r01 #10): KB_WEDGE_SAMPLE_PPM subsamples
+    # the LEFT side of the wedge join by a deterministic edge hash, shrinking
+    # the enumerated 2-path space (the sole wedge-bound cost) to ppm/1e6 of
+    # exact. Each triangle's single oriented wedge (a<b<c, first edge a-b)
+    # survives with p = ppm/1e6, so count/p is an unbiased triangle
+    # estimate; n_wedges stays analytic-exact (degree formula). Unset ->
+    # exact count, identical to the oracle.
+    sample_ppm = int(os.environ.get("KB_WEDGE_SAMPLE_PPM", "0")) or None
+    left = proj
+    scale_num, scale_den = 1, 1
+    if sample_ppm:
+        left = proj.filter(
+            md5_long(F.concat_ws("\x1f", "s1", "s2")) % 1000000 < sample_ppm
+        )
+        scale_num, scale_den = 1000000, sample_ppm
     closed = (
-        proj.join(e2, proj.s2 == F.col("b2"))
+        left.join(e2, left.s2 == F.col("b2"))
         .join(
             proj.select(F.col("s1").alias("a3"), F.col("s2").alias("c3")),
             (F.col("s1") == F.col("a3")) & (F.col("c") == F.col("c3")),
             "left_semi",
         )
     )
-    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    tri = closed.agg(
+        (F.count(F.lit(1)) * scale_num / scale_den)
+        .cast("long")
+        .alias("n_triangles")
+    )
     edges = proj.agg(F.count(F.lit(1)).alias("n_proj_edges"))
     return (
         edges.crossJoin(tri)

@@ -174,3 +174,51 @@ def test_session_paths_ranked_and_bounded(spark, sf_dir):
     for r in rows:
         assert 1 <= r["path_len"] <= 5
         assert len(r["path"].split(">")) == r["path_len"]
+
+
+def test_transitivity_wedge_sampling_estimator(spark, sf_dir, monkeypatch):
+    """KB_WEDGE_SAMPLE_PPM subsamples the wedge enumeration but must keep
+    the analytic wedge count exact and land the triangle estimate near the
+    exact count (deterministic hash -> reproducible, not a flaky RNG)."""
+    exact = QUERIES["g_transitivity"](spark, sf_dir).collect()[0]
+    monkeypatch.setenv("KB_WEDGE_SAMPLE_PPM", "500000")
+    est = QUERIES["g_transitivity"](spark, sf_dir).collect()[0]
+    est2 = QUERIES["g_transitivity"](spark, sf_dir).collect()[0]
+    assert est == est2, "hash-sampled estimate must be deterministic"
+    assert est["n_wedges"] == exact["n_wedges"]
+    assert est["n_proj_edges"] == exact["n_proj_edges"]
+    if exact["n_triangles"] >= 20:
+        # half-rate sampling on >=20 triangles: generous 3x bound, no flake
+        assert exact["n_triangles"] / 3 <= est["n_triangles"] <= exact["n_triangles"] * 3
+    monkeypatch.delenv("KB_WEDGE_SAMPLE_PPM")
+    assert QUERIES["g_transitivity"](spark, sf_dir).collect()[0] == exact
+
+
+def test_semantic_dedup_cluster_cap(spark, sf_dir):
+    """max_cluster_size: a cap larger than any cluster reproduces the exact
+    paper-shape result; a tight cap only ever DROPS FEWER duplicates (pairs
+    across sub-buckets are skipped), never more, and keeps the membership
+    partition intact."""
+    from kinbaku_spark.operators.similarity import semantic_dedup
+    from kinbaku_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    exact = {
+        r["cluster"]: r.asDict()
+        for r in semantic_dedup(emb, k=4, rounds=1).collect()
+    }
+    wide = {
+        r["cluster"]: r.asDict()
+        for r in semantic_dedup(emb, k=4, rounds=1, max_cluster_size=n).collect()
+    }
+    assert wide == exact
+    capped = {
+        r["cluster"]: r.asDict()
+        for r in semantic_dedup(emb, k=4, rounds=1, max_cluster_size=8).collect()
+    }
+    assert set(capped) == set(exact)
+    for c, row in capped.items():
+        assert row["n_members"] == exact[c]["n_members"]
+        assert row["n_dropped"] <= exact[c]["n_dropped"]
+        assert row["n_kept"] + row["n_dropped"] == row["n_members"]
