@@ -36,6 +36,98 @@ ORACLES: dict = {}
 
 # -- g_transitivity: global clustering coefficient ---------------------------
 
+TRI_BLOCKS = 8
+
+
+def _triangles_block_gemm(proj: DataFrame) -> DataFrame:
+    """Exact triangle count of an undirected edge set (s1 < s2 rows) as a
+    distributed block matrix multiply — the right shape for DENSE
+    projections, where wedge/row enumeration is O(Σ d²) rows but the same
+    arithmetic runs as B² numpy GEMMs over (n/B × n) uint8 blocks:
+
+        Σ_{u,v adjacent} |N(u) ∩ N(v)|  =  Σ A∘A²  =  6·T.
+
+    Mirrors x_knn_hubness's block-multiply (mlprep_ext.py): row-blocks by
+    id % B, JVM crossJoin of the B² block pairs, one int64 GEMM per task,
+    driver sees B² partial sums. Per-task memory is (n/B)·n bytes — B (or
+    a column-block split) is the knob when n grows; for sparse-large
+    graphs the KB_WEDGE_SAMPLE_PPM successor-intersect path is the right
+    asymptotic instead.
+
+    Ids are two-phase range ids (operators/ids.py) — dense 0..n-1, no
+    single-task sort — and the count is exact integer arithmetic, so the
+    result is bit-identical to the naive oracle join.
+    """
+    from kinbaku_spark.operators.ids import ordered_zero_ids
+
+    ids = ordered_zero_ids(
+        proj.select(F.col("s1").alias("key"))
+        .union(proj.select("s2"))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    # the id map is node-cardinality (tiny next to the edge set): broadcast
+    # both mapping joins so the edge table never shuffles for the rename
+    e = (
+        proj.join(
+            F.broadcast(ids.withColumnRenamed("key", "s1").withColumnRenamed("id", "i")),
+            "s1",
+        )
+        .join(
+            F.broadcast(ids.withColumnRenamed("key", "s2").withColumnRenamed("id", "j")),
+            "s2",
+        )
+        .select("i", "j")
+    )
+    und = e.union(e.select(F.col("j"), F.col("i")))
+    B = TRI_BLOCKS
+    # pack each edge into ONE long (i<<32 | j): the kernel receives a flat
+    # int64 Arrow array it can shift/mask vectorized, instead of 60k-element
+    # struct lists deserialized row-by-row in Python (the actual cost at
+    # this scale — the GEMM itself is milliseconds)
+    blk = (
+        und.select(
+            F.pmod(F.col("i"), F.lit(B)).alias("g"),
+            (F.shiftleft(F.col("i"), 32) + F.col("j")).alias("ij"),
+        )
+        .groupBy("g")
+        .agg(F.collect_list("ij").alias("es"))
+    )
+    n_df = ids.agg((F.max("id") + 1).cast("long").alias("n"))
+    pairs = (
+        blk.select(F.col("es").alias("ea"))
+        .crossJoin(blk.select(F.col("es").alias("eb")))
+        .crossJoin(F.broadcast(n_df))
+        .repartition(B * B)
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        def dense(packed, n):
+            v = np.asarray(packed, dtype=np.int64)
+            ii = v >> 32
+            jj = v & 0xFFFFFFFF
+            u, local = np.unique(ii, return_inverse=True)
+            m = np.zeros((len(u), n), dtype=np.int64)
+            m[local, jj] = 1
+            return u, m
+
+        for pdf in batches:
+            for ea, eb, n in zip(pdf["ea"], pdf["eb"], pdf["n"]):
+                ua, ma = dense(ea, int(n))
+                ub, mb = dense(eb, int(n))
+                # paths[u_local, v_local] = |N(u) ∩ N(v)|; mask to adjacent
+                # (u, v): adjacency of u∈a to v∈b is ma's columns at ub
+                paths = ma @ mb.T
+                closed = int((paths * ma[:, ub]).sum())
+                yield pd.DataFrame({"c": [closed]})
+
+    parts = pairs.mapInPandas(kernel, "c long")
+    return parts.agg(
+        (F.coalesce(F.sum("c"), F.lit(0)) / 6).cast("long").alias("n_triangles")
+    )
+
 def g_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (transitivity) of the thresholded
     co-supplier projection: 3·triangles / wedges, in integer ppm — the
@@ -84,35 +176,35 @@ def g_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges = deg.agg(
         F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
     )
-    e2 = proj.select(F.col("s1").alias("b2"), F.col("s2").alias("c"))
     # Wedge-sampling knob (VERDICT r01 #10): KB_WEDGE_SAMPLE_PPM subsamples
-    # the LEFT side of the wedge join by a deterministic edge hash, shrinking
-    # the enumerated 2-path space (the sole wedge-bound cost) to ppm/1e6 of
-    # exact. Each triangle's single oriented wedge (a<b<c, first edge a-b)
-    # survives with p = ppm/1e6, so count/p is an unbiased triangle
-    # estimate; n_wedges stays analytic-exact (degree formula). Unset ->
-    # exact count, identical to the oracle.
+    # the edge list driving the closure check by a deterministic edge hash.
+    # A triangle a<b<c is counted exactly at edge (a,b), which survives with
+    # p = ppm/1e6, so count/p is an unbiased triangle estimate at p of the
+    # closure cost; n_wedges stays analytic-exact (degree formula). This is
+    # the sparse-at-scale path (successor-array intersect, no dense state).
+    # Unset -> exact block-GEMM count, identical to the oracle.
     sample_ppm = int(os.environ.get("KB_WEDGE_SAMPLE_PPM", "0")) or None
-    left = proj
-    scale_num, scale_den = 1, 1
     if sample_ppm:
         left = proj.filter(
             md5_long(F.concat_ws("\x1f", "s1", "s2")) % 1000000 < sample_ppm
         )
-        scale_num, scale_den = 1000000, sample_ppm
-    closed = (
-        left.join(e2, left.s2 == F.col("b2"))
-        .join(
-            proj.select(F.col("s1").alias("a3"), F.col("s2").alias("c3")),
-            (F.col("s1") == F.col("a3")) & (F.col("c") == F.col("c3")),
-            "left_semi",
+        succ = proj.groupBy(F.col("s1").alias("v")).agg(
+            F.collect_list("s2").alias("succs")
         )
-    )
-    tri = closed.agg(
-        (F.count(F.lit(1)) * scale_num / scale_den)
-        .cast("long")
-        .alias("n_triangles")
-    )
+        closed = (
+            left.join(
+                succ.select(F.col("v").alias("s1"), F.col("succs").alias("sa")), "s1"
+            )
+            .join(succ.select(F.col("v").alias("s2"), F.col("succs").alias("sb")), "s2")
+            .select(F.size(F.array_intersect("sa", "sb")).alias("n_closed"))
+        )
+        tri = closed.agg(
+            (F.coalesce(F.sum("n_closed"), F.lit(0)) * 1000000 / sample_ppm)
+            .cast("long")
+            .alias("n_triangles")
+        )
+    else:
+        tri = _triangles_block_gemm(proj)
     edges = proj.agg(F.count(F.lit(1)).alias("n_proj_edges"))
     return (
         edges.crossJoin(tri)
