@@ -272,21 +272,40 @@ def semantic_dedup(
             .drop("__sz")
         )
         pair_key = ["cluster", "__sub"]
-    a = assigned.select(
-        *pair_key, F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-    )
-    b = assigned.select(
-        *pair_key, F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    )
+    # Within-cell pair scoring as ONE numpy Gram matrix per cell
+    # (applyInPandas over the cell key) instead of a s² pair self-join
+    # through the interpreted expression cosine. The dim-sequential outer-
+    # product fold is the SAME accumulation the SQL oracle replays —
+    # proven bit-identical against DuckDB by the x_knn_hubness block
+    # kernel (queries/mlprep_ext.py). A cell must fit one task: that is
+    # SemDeDup's own working assumption, and max_cluster_size bounds it.
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in assigned.schema.fields
+    )[id_col]
+
+    def _cell_dups(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy()
+        m = np.array(list(pdf[vec_col]), dtype=np.float64)
+        n, dim = m.shape
+        if n < 2:
+            return pd.DataFrame({id_col: ids[:0]})
+        acc = np.zeros((n, n), dtype=np.float64)
+        nrm = np.zeros(n, dtype=np.float64)
+        for d in range(dim):
+            x = m[:, d]
+            acc = acc + np.outer(x, x)
+            nrm = nrm + x * x
+        sim = np.round(acc / (np.sqrt(nrm)[:, None] * np.sqrt(nrm)[None, :]), 6)
+        mask = (ids[:, None] < ids[None, :]) & (sim >= threshold)
+        drop = np.unique(np.broadcast_to(ids[None, :], (n, n))[mask])
+        return pd.DataFrame({id_col: drop})
+
     dropped = (
-        a.join(b, pair_key)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
-        .select(F.col("id_b").alias(id_col))
+        assigned.groupBy(*pair_key)
+        .applyInPandas(_cell_dups, f"{id_col} {id_type}")
         .distinct()
         .withColumn("is_dup", F.lit(1))
     )
