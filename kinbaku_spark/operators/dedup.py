@@ -242,7 +242,11 @@ def jaccard_near_duplicates(
     widen the candidate set). Result set is identical to the naive
     inverted-index self-join; only the candidate generator changes.
     """
-    sh = shingle_hashes(docs, id_col, text_col, shingle_n)
+    # THREE consumers (df counts, ranked postings, verify sets) — eager
+    # checkpoint or the shingling regex+hash scan re-runs per consumer
+    sh = shingle_hashes(docs, id_col, text_col, shingle_n).localCheckpoint(
+        eager=True
+    )
     frac = 2.0 * threshold / (1.0 + threshold)
     keep = F.col("r") <= F.col("n") - F.floor(F.lit(frac) * F.col("n")) + 1
     size_cond = F.col("n_f") * F.lit(threshold) <= F.col("n_p") + F.lit(0.5)
@@ -290,7 +294,10 @@ def simhash_near_duplicates(
     band reach (still one signature row per doc, so n^2 over docs, not rows).
     """
     sh = shingle_hashes(docs, id_col, text_col, shingle_n)
-    sig = simhash_signatures_df(sh, id_col)
+    # both compare sides (2 consumers; 2·bands when banded) read the
+    # signature table — checkpoint it or the shingle scan + 60-sum
+    # aggregate re-run per consumer
+    sig = simhash_signatures_df(sh, id_col).localCheckpoint(eager=True)
     a = sig.select(F.col(id_col).alias(f"{id_col}_a"), F.col("sig").alias("sig_a"))
     b = sig.select(F.col(id_col).alias(f"{id_col}_b"), F.col("sig").alias("sig_b"))
     if banded:

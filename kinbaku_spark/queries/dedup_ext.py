@@ -46,7 +46,9 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     superset document caps Jaccard at ~0.1 but containment at 1.0).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_hashes(docs, "doc_id", "text", 3)
+    # three consumers (df counts, ranked postings, verify sets): checkpoint
+    # the shingle scan once instead of re-running regex+hash per consumer
+    sh = shingle_hashes(docs, "doc_id", "text", 3).localCheckpoint(eager=True)
 
     # Exact prefix filtering (operators/dedup.py prefix_filter_candidates):
     # for containment >= t the smaller set's required overlap is
