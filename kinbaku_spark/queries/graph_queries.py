@@ -820,6 +820,37 @@ def und_edges(spark, sf_dir):
     return extra["und_plain"]
 
 
+def co_proj(spark, sf_dir):
+    """The mean-thresholded co-supplier projection (s1 < s2 pairs sharing
+    >= ceil(avg) parts), built and persisted ONCE per sf_dir — engine
+    state shared by the triangle/transitivity family, so the quadratic
+    pair aggregation is paid once per session, not once per query. Exact
+    integer counts; identical to every consumer's inline SQL-oracle CTE."""
+    extra = _cached(spark, sf_dir)[2]
+    if "co_proj" not in extra:
+        g = _graph(spark, sf_dir)
+        sp = g.edges_df.select("src", "dst").distinct()
+        b = sp.select(F.col("src").alias("s2"), F.col("dst").alias("p"))
+        shared = (
+            sp.select(F.col("src").alias("s1"), F.col("dst").alias("p"))
+            .join(b, "p")
+            .filter(F.col("s1") < F.col("s2"))
+            .groupBy("s1", "s2")
+            .agg(F.count(F.lit(1)).alias("shared_parts"))
+            .localCheckpoint(eager=True)
+        )
+        thr = shared.agg(F.ceil(F.avg("shared_parts")).cast("long").alias("t"))
+        proj = (
+            shared.join(F.broadcast(thr))
+            .filter(F.col("shared_parts") >= F.col("t"))
+            .select("s1", "s2")
+            .persist()
+        )
+        proj.count()
+        extra["co_proj"] = proj
+    return extra["co_proj"]
+
+
 def g_bfs_depths(spark, sf_dir):
     """Undirected BFS from S1: (key, depth) for every reachable node within
     BFS_MAX_DEPTH. Iterative min-depth frontier expansion — each round is one
@@ -1003,44 +1034,13 @@ def g_triangles(spark, sf_dir):
     results, only the join sizes. Participation = each triangle credited
     to all 3 corners (union-all + groupBy, partial aggregation map-side).
     """
-    g = _graph(spark, sf_dir)
-    sp = g.edges_df.select("src", "dst").distinct()
-    b = sp.select(F.col("src").alias("s2"), F.col("dst").alias("p"))
-    shared = (
-        sp.select(F.col("src").alias("s1"), F.col("dst").alias("p"))
-        .join(b, "p")
-        .filter(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
-        .agg(F.count(F.lit(1)).alias("shared_parts"))
-    )
-    thr = shared.agg(
-        F.ceil(F.avg("shared_parts")).cast("long").alias("t")
-    )
-    proj = (
-        shared.join(F.broadcast(thr))
-        .filter(F.col("shared_parts") >= F.col("t"))
-        .select("s1", "s2")
-        .localCheckpoint(eager=False)  # 3 consumers in the wedge join
-    )
-    e2 = proj.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
-    e3 = proj.select(F.col("s1").alias("a2"), F.col("s2").alias("c2"))
-    tri = (
-        proj.withColumnRenamed("s1", "a").withColumnRenamed("s2", "b")
-        .join(e2, "b")
-        .join(
-            e3,
-            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
-            "left_semi",
-        )
-    )
-    corners = (
-        tri.select(F.col("a").alias("key"))
-        .unionAll(tri.select(F.col("b")))
-        .unionAll(tri.select(F.col("c")))
-    )
+    from kinbaku_spark.operators.triangles import triangle_block_gemm
+
+    # per-node counts from the same block GEMM as g_transitivity
+    # ((A³)_uu/2 per node — operators/triangles.py), instead of
+    # materializing every wedge row through a 3-way join
     return (
-        corners.groupBy("key")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        triangle_block_gemm(co_proj(spark, sf_dir), per_node=True)
         .orderBy(F.desc("n_triangles"), "key")
         .limit(20)
     )

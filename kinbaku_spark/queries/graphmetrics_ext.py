@@ -36,97 +36,6 @@ ORACLES: dict = {}
 
 # -- g_transitivity: global clustering coefficient ---------------------------
 
-TRI_BLOCKS = 8
-
-
-def _triangles_block_gemm(proj: DataFrame) -> DataFrame:
-    """Exact triangle count of an undirected edge set (s1 < s2 rows) as a
-    distributed block matrix multiply — the right shape for DENSE
-    projections, where wedge/row enumeration is O(Σ d²) rows but the same
-    arithmetic runs as B² numpy GEMMs over (n/B × n) uint8 blocks:
-
-        Σ_{u,v adjacent} |N(u) ∩ N(v)|  =  Σ A∘A²  =  6·T.
-
-    Mirrors x_knn_hubness's block-multiply (mlprep_ext.py): row-blocks by
-    id % B, JVM crossJoin of the B² block pairs, one int64 GEMM per task,
-    driver sees B² partial sums. Per-task memory is (n/B)·n bytes — B (or
-    a column-block split) is the knob when n grows; for sparse-large
-    graphs the KB_WEDGE_SAMPLE_PPM successor-intersect path is the right
-    asymptotic instead.
-
-    Ids are two-phase range ids (operators/ids.py) — dense 0..n-1, no
-    single-task sort — and the count is exact integer arithmetic, so the
-    result is bit-identical to the naive oracle join.
-    """
-    from kinbaku_spark.operators.ids import ordered_zero_ids
-
-    ids = ordered_zero_ids(
-        proj.select(F.col("s1").alias("key"))
-        .union(proj.select("s2"))
-        .distinct()
-    ).localCheckpoint(eager=True)
-    # the id map is node-cardinality (tiny next to the edge set): broadcast
-    # both mapping joins so the edge table never shuffles for the rename
-    e = (
-        proj.join(
-            F.broadcast(ids.withColumnRenamed("key", "s1").withColumnRenamed("id", "i")),
-            "s1",
-        )
-        .join(
-            F.broadcast(ids.withColumnRenamed("key", "s2").withColumnRenamed("id", "j")),
-            "s2",
-        )
-        .select("i", "j")
-    )
-    und = e.union(e.select(F.col("j"), F.col("i")))
-    B = TRI_BLOCKS
-    # pack each edge into ONE long (i<<32 | j): the kernel receives a flat
-    # int64 Arrow array it can shift/mask vectorized, instead of 60k-element
-    # struct lists deserialized row-by-row in Python (the actual cost at
-    # this scale — the GEMM itself is milliseconds)
-    blk = (
-        und.select(
-            F.pmod(F.col("i"), F.lit(B)).alias("g"),
-            (F.shiftleft(F.col("i"), 32) + F.col("j")).alias("ij"),
-        )
-        .groupBy("g")
-        .agg(F.collect_list("ij").alias("es"))
-    )
-    n_df = ids.agg((F.max("id") + 1).cast("long").alias("n"))
-    pairs = (
-        blk.select(F.col("es").alias("ea"))
-        .crossJoin(blk.select(F.col("es").alias("eb")))
-        .crossJoin(F.broadcast(n_df))
-        .repartition(B * B)
-    )
-
-    def kernel(batches):
-        import numpy as np
-        import pandas as pd
-
-        def dense(packed, n):
-            v = np.asarray(packed, dtype=np.int64)
-            ii = v >> 32
-            jj = v & 0xFFFFFFFF
-            u, local = np.unique(ii, return_inverse=True)
-            m = np.zeros((len(u), n), dtype=np.int64)
-            m[local, jj] = 1
-            return u, m
-
-        for pdf in batches:
-            for ea, eb, n in zip(pdf["ea"], pdf["eb"], pdf["n"]):
-                ua, ma = dense(ea, int(n))
-                ub, mb = dense(eb, int(n))
-                # paths[u_local, v_local] = |N(u) ∩ N(v)|; mask to adjacent
-                # (u, v): adjacency of u∈a to v∈b is ma's columns at ub
-                paths = ma @ mb.T
-                closed = int((paths * ma[:, ub]).sum())
-                yield pd.DataFrame({"c": [closed]})
-
-    parts = pairs.mapInPandas(kernel, "c long")
-    return parts.agg(
-        (F.coalesce(F.sum("c"), F.lit(0)) / 6).cast("long").alias("n_triangles")
-    )
 
 def g_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (transitivity) of the thresholded
@@ -141,32 +50,11 @@ def g_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle estimate at ppm/1e6 of the join cost; wedge count stays
     analytic-exact). Unset = exact, oracle-identical.
     """
-    from kinbaku_spark.queries.graph_queries import _graph
+    from kinbaku_spark.queries.graph_queries import co_proj
 
-    g = _graph(spark, sf_dir)
-    sp = g.edges_df.select("src", "dst").distinct()
-    b = sp.select(F.col("src").alias("s2"), F.col("dst").alias("p"))
-    shared = (
-        sp.select(F.col("src").alias("s1"), F.col("dst").alias("p"))
-        .join(b, "p")
-        .filter(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
-        .agg(F.count(F.lit(1)).alias("shared_parts"))
-        # the quadratic pair count feeds TWO branches (the threshold
-        # aggregate and the projection filter) — materialize it once or
-        # the Σdeg² join re-runs per branch
-        .localCheckpoint(eager=True)
-    )
-    thr = shared.agg(F.ceil(F.avg("shared_parts")).cast("long").alias("t"))
-    proj = (
-        shared.join(F.broadcast(thr))
-        .filter(F.col("shared_parts") >= F.col("t"))
-        .select("s1", "s2")
-        # eager: FOUR consumers (degrees, both wedge sides, the closure
-        # semi-join) sit in one job — a lazy checkpoint would recompute
-        # the projection filter once per consumer
-        .localCheckpoint(eager=True)
-    )
+    # session-persisted projection (graph_queries.co_proj): the quadratic
+    # co-supplier pair aggregation is engine state shared with g_triangles
+    proj = co_proj(spark, sf_dir)
     deg = (
         proj.select(F.col("s1").alias("v"))
         .union(proj.select("s2"))
@@ -204,7 +92,9 @@ def g_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_triangles")
         )
     else:
-        tri = _triangles_block_gemm(proj)
+        from kinbaku_spark.operators.triangles import triangle_block_gemm
+
+        tri = triangle_block_gemm(proj)
     edges = proj.agg(F.count(F.lit(1)).alias("n_proj_edges"))
     return (
         edges.crossJoin(tri)
