@@ -34,8 +34,16 @@ def ordered_zero_ids(
     single-task window sort. Keys must be distinct."""
     spark = keys_df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
-    parts = keys_df.repartitionByRange(p, F.col(key_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    # MATERIALIZE the range partitioning before fanning out: both the
+    # local-rank branch and the counts branch read `parts`, and range
+    # boundaries come from sampling — two independent recomputations can
+    # place boundaries differently, pairing one partitioning's offsets
+    # with the other's ranks (observed at sf0.1: ids off by a few slots).
+    # One eager checkpoint pins a single partitioning for both consumers.
+    parts = (
+        keys_df.repartitionByRange(p, F.col(key_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     local = parts.withColumn(
         "__rn",

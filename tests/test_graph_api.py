@@ -348,3 +348,36 @@ def test_motif_bad_patterns(spark):
         except BadArgument:
             continue
         raise AssertionError(f"pattern {bad!r} should raise BadArgument")
+
+
+def test_ordered_zero_ids_match_global_rownumber(spark):
+    """Two-phase range ids must equal row_number() OVER (ORDER BY key) - 1
+    for ANY partitioning the sampler picks, and be repeat-stable. Guards
+    the sf0.1 regression where the un-materialized range partitioning was
+    recomputed differently for the rank and offset branches, pairing one
+    partitioning's offsets with the other's ranks."""
+    from pyspark.sql import Window, functions as F
+
+    from kinbaku_spark.operators.ids import ordered_zero_ids
+
+    keys = spark.range(5000).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key")
+    )
+    got = ordered_zero_ids(keys, num_partitions=13)
+    want = keys.select(
+        "key",
+        (F.row_number().over(Window.orderBy("key")) - 1).cast("long").alias("id"),
+    )
+    assert (
+        got.join(want.withColumnRenamed("id", "id2"), "key")
+        .filter(F.col("id") != F.col("id2"))
+        .count()
+        == 0
+    )
+    again = ordered_zero_ids(keys, num_partitions=13)
+    assert (
+        got.join(again.withColumnRenamed("id", "id2"), "key")
+        .filter(F.col("id") != F.col("id2"))
+        .count()
+        == 0
+    )
