@@ -102,3 +102,47 @@ def test_clusters_match_union_find(spark, n, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {i: find(i) for i in range(n)}
     assert got == want
+
+
+def test_prefix_filter_survives_hot_shingle_skew(spark):
+    """A shingle shared by EVERY document must not produce a quadratic
+    candidate bucket: ranked ascending by document frequency, the hot
+    shingle never lands in any prefix, so candidates come only from rare
+    shingles — while true near-dups (sharing rare shingles) still pair up
+    and the verified result equals the pure-Python reference."""
+    from pyspark.sql import functions as F
+
+    from kinbaku_spark.operators.dedup import (
+        jaccard_near_duplicates,
+        prefix_filter_candidates,
+        shingle_hashes,
+    )
+
+    n_docs = 200
+    hot = "alpha beta gamma"  # one shared leading 3-shingle per doc
+    corpus = [f"{hot} u{i}a u{i}b u{i}c u{i}d u{i}e" for i in range(n_docs)]
+    corpus[n_docs - 1] = corpus[0] + " extraword"  # one true near-dup pair
+    df = _corpus_df(spark, corpus)
+
+    sh = shingle_hashes(df, "doc_id", "text", 3)
+    frac = 2.0 * 0.8 / 1.8
+    keep = F.col("r") <= F.col("n") - F.floor(F.lit(frac) * F.col("n")) + 1
+    cand = prefix_filter_candidates(sh, "doc_id", keep)
+    n_cand = cand.count()
+    # naive inverted-index self-join would emit C(200, 2) = 19900 pairs
+    # through the hot shingle; the prefix filter must stay near-linear
+    assert n_cand < 5 * n_docs, f"quadratic candidate bucket: {n_cand}"
+
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in jaccard_near_duplicates(df, threshold=0.8).collect()
+    }
+    sh_py = [_shingles(t) for t in corpus]
+    want = {
+        (a, b)
+        for a in range(n_docs)
+        for b in range(a + 1, n_docs)
+        if sh_py[a] | sh_py[b]
+        and len(sh_py[a] & sh_py[b]) / len(sh_py[a] | sh_py[b]) >= 0.8
+    }
+    assert got == want and (0, n_docs - 1) in got
