@@ -171,3 +171,58 @@ def test_oplog_replay_with_frequent_flushes(spark):
     assert set(g.edges) == set(nxg.edges)
     # flushes actually happened (delta was materialized repeatedly)
     assert g._flushes >= 5
+
+
+def test_set_adjacent_differential_no_preload(spark):
+    """Randomized set_neighbors/set_predecessors replay vs NetworkX on the
+    DEFAULT (no preload) path — the join-based _set_adjacent plan: removed
+    targets drop, surviving edges keep their attributes, new targets and
+    endpoints auto-create."""
+    import random
+
+    import networkx as nx
+
+    rnd = random.Random(7)
+    # attrs persist only when declared in the schema (reference parity:
+    # struct fields come from the edge class) — start from a weighted
+    # edge table so `weight` is a real column
+    g = Graph.from_edges(
+        spark.createDataFrame(
+            [("v0", "v1", 0, 1.0)],
+            "src string, dst string, type int, weight double",
+        )
+    )
+    nxg = nx.DiGraph()
+    nodes = [f"v{i}" for i in range(10)]
+    nxg.add_edge("v0", "v1")
+    kept_attr_edge = ("v0", "v1")
+    for step in range(14):
+        op = rnd.choice(["setn", "setp", "add"])
+        k = rnd.choice(nodes)
+        targets = rnd.sample(nodes, rnd.randint(0, 4))
+        if op == "add":
+            dst = targets[0] if targets else "v9"
+            if (k, dst) == kept_attr_edge:
+                # upsert REPLACES the whole record (reference semantics) and
+                # would legitimately clear the attr this test asserts on
+                dst = "v9" if k != "v9" else "v8"
+            g.add_edge(k, dst)
+            nxg.add_edge(k, dst)
+        elif op == "setn":
+            if k == kept_attr_edge[0] and kept_attr_edge[1] not in targets:
+                targets.append(kept_attr_edge[1])  # keep the attr edge alive
+            g.set_neighbors(k, targets)
+            nxg.add_node(k)  # set_neighbors auto-creates the key
+            nxg.remove_edges_from([(k, v) for v in list(nxg.successors(k))])
+            nxg.add_edges_from((k, v) for v in targets)
+        else:
+            if k == kept_attr_edge[1] and kept_attr_edge[0] not in targets:
+                targets.append(kept_attr_edge[0])
+            g.set_predecessors(k, targets)
+            nxg.add_node(k)
+            nxg.remove_edges_from([(u, k) for u in list(nxg.predecessors(k))])
+            nxg.add_edges_from((u, k) for u in targets)
+    assert set(g.edges) == set(nxg.edges)
+    assert set(g.nodes) == set(nxg.nodes)
+    # the surviving pre-existing edge kept its attribute record
+    assert g.edge("v0", "v1")["weight"] == 1.0
