@@ -588,14 +588,16 @@ def g_link_prediction(spark, sf_dir):
     shared part count. Self-join on dst, one aggregation — at 100 TB the
     join key (dst) is the bipartite hub side, so AQE skew-join handles hot
     parts."""
-    e = _graph(spark, sf_dir).edges_df.select("src", "dst")
-    a = e.withColumnRenamed("src", "key_a")
-    b = e.withColumnRenamed("src", "key_b")
+    # the pair counting IS the session-persisted co_shared table (engine
+    # state shared with the triangle family) — one TakeOrderedAndProject
+    # over warm storage, no re-run of the quadratic self-join
     return (
-        a.join(b, "dst")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .groupBy("key_a", "key_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+        co_shared(spark, sf_dir)
+        .select(
+            F.col("s1").alias("key_a"),
+            F.col("s2").alias("key_b"),
+            F.col("shared_parts").alias("common"),
+        )
         .orderBy(F.desc("common"), "key_a", "key_b")
         .limit(20)
     )
@@ -820,14 +822,14 @@ def und_edges(spark, sf_dir):
     return extra["und_plain"]
 
 
-def co_proj(spark, sf_dir):
-    """The mean-thresholded co-supplier projection (s1 < s2 pairs sharing
-    >= ceil(avg) parts), built and persisted ONCE per sf_dir — engine
-    state shared by the triangle/transitivity family, so the quadratic
-    pair aggregation is paid once per session, not once per query. Exact
-    integer counts; identical to every consumer's inline SQL-oracle CTE."""
+def co_shared(spark, sf_dir):
+    """The co-supplier pair counts (s1 < s2, shared part count) — the
+    quadratic pair aggregation behind the triangle/transitivity family
+    AND common-neighbor link prediction, built and persisted ONCE per
+    sf_dir as engine state. Exact integer counts; identical to every
+    consumer's inline SQL-oracle CTE."""
     extra = _cached(spark, sf_dir)[2]
-    if "co_proj" not in extra:
+    if "co_shared" not in extra:
         g = _graph(spark, sf_dir)
         sp = g.edges_df.select("src", "dst").distinct()
         b = sp.select(F.col("src").alias("s2"), F.col("dst").alias("p"))
@@ -837,8 +839,20 @@ def co_proj(spark, sf_dir):
             .filter(F.col("s1") < F.col("s2"))
             .groupBy("s1", "s2")
             .agg(F.count(F.lit(1)).alias("shared_parts"))
-            .localCheckpoint(eager=True)
+            .persist()
         )
+        shared.count()
+        extra["co_shared"] = shared
+    return extra["co_shared"]
+
+
+def co_proj(spark, sf_dir):
+    """The mean-thresholded co-supplier projection (s1 < s2 pairs sharing
+    >= ceil(avg) parts) over :func:`co_shared`, persisted once per
+    sf_dir."""
+    extra = _cached(spark, sf_dir)[2]
+    if "co_proj" not in extra:
+        shared = co_shared(spark, sf_dir)
         thr = shared.agg(F.ceil(F.avg("shared_parts")).cast("long").alias("t"))
         proj = (
             shared.join(F.broadcast(thr))
