@@ -133,6 +133,11 @@ EXTENSION_HEADLINE = [
     "x_dedup_survivorship",
     "x_stationary_markov",
     "x_benford_check",
+    "x_window_dedup",
+    "x_dsir_weights",
+    "x_tokenizer_fertility",
+    "g_truss_bounded",
+    "g_eccentricity",
 ]
 
 

@@ -15,6 +15,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     eval_ext,
     graph_queries,
     graphmetrics_ext,
+    graphmetrics_ext2,
     linalg_ext,
     mining_ext,
     mining_ext2,
@@ -22,6 +23,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     pipeline_ext,
     pipeline_ext2,
     pipeline_ext3,
+    pipeline_ext4,
     profiling_ext,
     relational,
     relational_ext,
@@ -57,6 +59,7 @@ for mod in (
     eval_ext,
     graph_queries,
     graphmetrics_ext,
+    graphmetrics_ext2,
     linalg_ext,
     mining_ext,
     mining_ext2,
@@ -64,6 +67,7 @@ for mod in (
     pipeline_ext,
     pipeline_ext2,
     pipeline_ext3,
+    pipeline_ext4,
     profiling_ext,
     reshape,
     setops_ext,

@@ -1,0 +1,221 @@
+"""Bounded k-truss peeling and landmark eccentricity.
+
+The reference (kerighan/kinbaku) exposes raw adjacency (neighbors /
+adjacency_matrix, graph.py:506,625) and leaves cohesion metrics to the
+caller; these add the two standard cohesion/diameter probes on top of the
+same supplier→part graph the §2 queries use.
+
+- bounded k-truss: edges of the tight co-supplier projection surviving
+  R = 3 support-peel rounds at k = 4 (every surviving edge closes ≥ 2
+  triangles among survivors). Full k-truss iterates to a fixpoint; a
+  FIXED round count keeps the computation replayable as plain SQL while
+  preserving the peeling semantics (each round provably shrinks toward
+  the fixpoint; R rounds = the standard bounded-convergence cut, same
+  contract as the engine's bounded BFS/SSSP queries).
+- landmark eccentricity: bounded BFS eccentricity (max hop distance
+  within ECC_MAX_DEPTH) from the N_LANDMARKS highest-degree nodes — the
+  landmark heuristic that estimates graph diameter without all-pairs BFS.
+
+Shuffle shapes (the 100 TB story):
+
+- truss: the projection is the session-persisted co-supplier pair table
+  (graph_queries.co_shared) tightened to shared_parts ≥ t + (max−t) div 3
+  — a deliberately sparse backbone (2 k edges at sf0.1 vs 240 k at the
+  transitivity threshold), so each peel round is two equi-joins + one
+  aggregation over a bounded edge set, checkpointed per round to pin
+  lineage. Support counting joins edges to the symmetrized neighbor list
+  twice on node keys — the standard distributed triangle-join, never an
+  all-pairs product.
+- eccentricity: one multi-source frontier BFS — the (landmark, node)
+  frontier advances all landmarks in the SAME per-round join against the
+  persisted undirected edge list (graph_queries.und_edges), so round
+  count, not landmark count, bounds the number of jobs. Landmark
+  selection is a k-bounded top-4 (degree DESC, key) — no collect of the
+  vertex set.
+
+Determinism: supports and degrees are exact integers; landmark selection
+and all outputs use total orders ((d DESC, key), (s1, s2), (lm)); the
+threshold arithmetic is truncating integer div in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+TRUSS_K = 4
+TRUSS_ROUNDS = 3
+ECC_MAX_DEPTH = 6
+N_LANDMARKS = 4
+
+
+def _truss_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tight co-supplier backbone: pairs sharing ≥ t + (max−t) div 3
+    parts, where t = ceil(avg shared_parts) — one notch above the
+    transitivity projection's mean threshold, sized so the peel joins
+    stay bounded at any SF (sf0.1: ~10 k edges vs 240 k at mean)."""
+    from kinbaku_spark.queries.graph_queries import co_shared
+
+    shared = co_shared(spark, sf_dir)
+    thr = shared.agg(
+        F.ceil(F.avg("shared_parts")).cast("long").alias("t"),
+        F.max("shared_parts").alias("mx"),
+    )
+    return (
+        shared.join(F.broadcast(thr))
+        .filter(F.col("shared_parts") >= F.expr("t + (mx - t) div 3"))
+        .select("s1", "s2")
+    )
+
+
+def g_truss_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges of the tight co-supplier backbone surviving 3 rounds of
+    4-truss peeling (support ≥ k−2 = 2 recomputed over survivors each
+    round), with their final-round support.
+    """
+    edges = _truss_proj(spark, sf_dir).localCheckpoint(eager=True)
+    last = None
+    for _ in range(TRUSS_ROUNDS):
+        und = edges.select(F.col("s1").alias("u"), F.col("s2").alias("v")).union(
+            edges.select(F.col("s2"), F.col("s1"))
+        )
+        sup = (
+            edges.join(
+                und.select(F.col("u").alias("s1"), F.col("v").alias("w")), "s1"
+            )
+            .join(
+                und.select(F.col("u").alias("s2"), F.col("v").alias("w")),
+                ["s2", "w"],
+            )
+            .groupBy("s1", "s2")
+            .agg(F.count(F.lit(1)).alias("sup"))
+        )
+        last = sup.filter(F.col("sup") >= TRUSS_K - 2).localCheckpoint(eager=True)
+        edges = last.select("s1", "s2")
+    return last.select("s1", "s2", "sup").orderBy("s1", "s2")
+
+
+def _truss_sql() -> str:
+    from kinbaku_spark.queries.graph_queries import GRAPH_CTE
+
+    parts = [
+        """sp AS (SELECT DISTINCT src, dst FROM g_edges),
+shared AS MATERIALIZED (
+  SELECT a.src AS s1, b.src AS s2, COUNT(*) AS shared_parts
+  FROM sp a JOIN sp b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+),
+thr AS (SELECT CAST(CEIL(AVG(shared_parts)) AS BIGINT) AS t,
+               CAST(MAX(shared_parts) AS BIGINT) AS mx FROM shared),
+e0 AS MATERIALIZED (
+  SELECT s1, s2 FROM shared
+  WHERE shared_parts >= (SELECT t + (mx - t) // 3 FROM thr))"""
+    ]
+    for r in range(1, TRUSS_ROUNDS + 1):
+        parts.append(
+            f"""und{r} AS MATERIALIZED (
+  SELECT s1 AS u, s2 AS v FROM e{r - 1} UNION ALL SELECT s2, s1 FROM e{r - 1}),
+sup{r} AS MATERIALIZED (
+  SELECT e.s1, e.s2, CAST(COUNT(*) AS BIGINT) AS sup
+  FROM e{r - 1} e
+  JOIN und{r} a ON a.u = e.s1
+  JOIN und{r} b ON b.u = e.s2 AND b.v = a.v
+  GROUP BY 1, 2
+),
+e{r} AS MATERIALIZED (SELECT s1, s2 FROM sup{r} WHERE sup >= {TRUSS_K - 2})"""
+        )
+    return (
+        GRAPH_CTE.rstrip()
+        + ",\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT s1, s2, sup FROM sup{TRUSS_ROUNDS} WHERE sup >= {TRUSS_K - 2}
+ORDER BY s1, s2
+"""
+    )
+
+
+def g_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded eccentricity (max hop distance within ECC_MAX_DEPTH) and
+    reach count from the 4 highest-degree nodes — the landmark diameter
+    probe. One multi-source frontier BFS over the persisted undirected
+    edge list; all landmarks advance in the same per-round join.
+    """
+    from kinbaku_spark.queries.graph_queries import und_edges
+
+    und = und_edges(spark, sf_dir)
+    lm = (
+        und.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.desc("d"), "u")
+        .limit(N_LANDMARKS)
+        .select(F.col("u").alias("lm"))
+    )
+    depths = lm.select(
+        "lm", F.col("lm").alias("key"), F.lit(0).cast("int").alias("depth")
+    ).localCheckpoint(eager=True)
+    frontier = depths
+    for d in range(1, ECC_MAX_DEPTH + 1):
+        neighbors = (
+            und.join(
+                frontier.select("lm", F.col("key").alias("u2")),
+                und.u == F.col("u2"),
+            )
+            .select("lm", F.col("v").alias("key"))
+            .distinct()
+        )
+        new = (
+            neighbors.join(depths.select("lm", "key"), ["lm", "key"], "left_anti")
+            .select("lm", "key", F.lit(d).cast("int").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        if new.limit(1).count() == 0:
+            break
+        depths = depths.unionByName(new)
+        frontier = new
+    return (
+        depths.groupBy("lm")
+        .agg(
+            F.max("depth").cast("int").alias("ecc_bounded"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_reached"),
+        )
+        .orderBy("lm")
+    )
+
+
+def _eccentricity_sql() -> str:
+    from kinbaku_spark.queries.graph_queries import GRAPH_CTE
+
+    return GRAPH_CTE.replace("WITH ", "WITH RECURSIVE ", 1).rstrip() + f""",
+und AS (
+  SELECT src AS u, dst AS v FROM g_edges
+  UNION
+  SELECT dst, src FROM g_edges
+),
+lm AS (
+  SELECT u AS lm FROM (
+    SELECT u, COUNT(*) AS d FROM und GROUP BY u
+    ORDER BY d DESC, u LIMIT {N_LANDMARKS}
+  )
+),
+reach AS (
+  SELECT lm AS lm, lm AS key, 0 AS depth FROM lm
+  UNION
+  SELECT r.lm, u.v AS key, r.depth + 1
+  FROM reach r JOIN und u ON u.u = r.key
+  WHERE r.depth < {ECC_MAX_DEPTH}
+),
+md AS (SELECT lm, key, MIN(depth) AS depth FROM reach GROUP BY 1, 2)
+SELECT lm, CAST(MAX(depth) AS INTEGER) AS ecc_bounded,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_reached
+FROM md GROUP BY lm ORDER BY lm
+"""
+
+
+QUERIES["g_truss_bounded"] = g_truss_bounded
+ORACLES["g_truss_bounded"] = _truss_sql()
+QUERIES["g_eccentricity"] = g_eccentricity
+ORACLES["g_eccentricity"] = _eccentricity_sql()
