@@ -154,16 +154,17 @@ def supplier_part_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The reference assigns node ids by insertion order (graph.py:268-269,
     1372-1373) — a storage artifact. We canonicalize: dense rank over key
-    order, documented deviation (SURVEY.md §4.3b).
+    order, documented deviation (SURVEY.md §4.3b). Ids come from the
+    two-phase range assigner (operators/ids.py) — same mapping as a global
+    row_number window, without the single-task sort (VERDICT r01 #5).
     """
-    from pyspark.sql import Window
+    from kinbaku_spark.operators.ids import ordered_zero_ids
 
     e = supplier_part_edges(spark, sf_dir)
     keys = e.select(F.col("src").alias("key")).union(e.select("dst")).distinct()
-    w = Window.orderBy("key")
-    return keys.select(
+    return ordered_zero_ids(keys, "key", "index").select(
         "key",
-        (F.row_number().over(w) - 1).cast("long").alias("index"),
+        F.col("index"),
         F.col("key").alias("name"),
         F.lit(0).alias("age"),
         F.lit(0.0).alias("score"),
