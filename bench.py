@@ -138,6 +138,7 @@ EXTENSION_HEADLINE = [
     "x_tokenizer_fertility",
     "g_truss_bounded",
     "g_eccentricity",
+    "x_rrf_fusion",
 ]
 
 

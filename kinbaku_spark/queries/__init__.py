@@ -29,6 +29,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     relational_ext,
     relational_ext3,
     reshape,
+    retrieval_ext,
     setops_ext,
     sketches_ext,
     stats_ext,
@@ -70,6 +71,7 @@ for mod in (
     pipeline_ext4,
     profiling_ext,
     reshape,
+    retrieval_ext,
     setops_ext,
     sketches_ext,
     stats_ext,
