@@ -139,6 +139,7 @@ EXTENSION_HEADLINE = [
     "g_truss_bounded",
     "g_eccentricity",
     "x_rrf_fusion",
+    "g_betweenness_bounded",
 ]
 
 

@@ -215,7 +215,165 @@ FROM md GROUP BY lm ORDER BY lm
 """
 
 
+# -- g_betweenness_bounded: single-source Brandes dependency, depth-bounded --
+
+BETW_SCALE = 1_000_000
+
+
+def g_betweenness_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brandes single-source dependency δ_S1(v) over shortest paths of
+    length ≤ GEO_MAX_DEPTH — the backward pass completing
+    g_geodesic_counts' forward σ counting (profiling_ext.py); summed over
+    sources this is betweenness centrality, and the k-bounded single-source
+    form is the standard approximation at scale.
+
+    Backward pass, layer by layer (deepest first):
+    δ(v) = Σ_{w ∈ succ(v)} σ(v)·(SCALE + δ(w)) div σ(w), truncating
+    integer division per term in DECIMAL(38,0)/HUGEINT — both engines
+    replay the identical recursion, so δ is bit-exact (ppm scale).
+    Each layer is one edge join + one aggregation over that layer only.
+    """
+    from kinbaku_spark.queries.graph_queries import und_edges
+    from kinbaku_spark.queries.profiling_ext import GEO_MAX_DEPTH, GEO_SOURCE
+
+    und = und_edges(spark, sf_dir)
+    # forward pass: depth + shortest-path counts (same loop as
+    # g_geodesic_counts; recomputed here so the query is self-contained)
+    settled = spark.createDataFrame(
+        [(GEO_SOURCE, 0, 1)], "key string, depth int, sigma long"
+    )
+    frontier = settled
+    for d in range(1, GEO_MAX_DEPTH + 1):
+        reached = (
+            und.join(frontier.select(F.col("key").alias("u"), "sigma"), "u")
+            .groupBy(F.col("v").alias("key"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        new = (
+            reached.join(settled.select("key"), "key", "left_anti")
+            .select("key", F.lit(d).cast("int").alias("depth"), "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if new.limit(1).count() == 0:
+            break
+        settled = settled.unionByName(new)
+        frontier = new
+    fwd = settled.localCheckpoint(eager=True)
+
+    term = F.expr(
+        f"CAST(sigma_v AS DECIMAL(38,0))"
+        f" * CAST({BETW_SCALE} + delta_w AS DECIMAL(38,0))"
+        f" div CAST(sigma_w AS DECIMAL(38,0))"
+    )
+    deltas = {
+        GEO_MAX_DEPTH: fwd.filter(F.col("depth") == GEO_MAX_DEPTH).select(
+            "key", F.lit(0).cast("long").alias("delta")
+        )
+    }
+    for d in range(GEO_MAX_DEPTH - 1, 0, -1):
+        v_layer = fwd.filter(F.col("depth") == d).select(
+            F.col("key").alias("vk"), F.col("sigma").alias("sigma_v")
+        )
+        w_layer = fwd.filter(F.col("depth") == d + 1).select(
+            F.col("key").alias("wk"), F.col("sigma").alias("sigma_w")
+        ).join(
+            deltas[d + 1].select(
+                F.col("key").alias("wk"), F.col("delta").alias("delta_w")
+            ),
+            "wk",
+        )
+        dsum = (
+            und.join(v_layer, und.u == F.col("vk"))
+            .join(w_layer, und.v == F.col("wk"))
+            .groupBy("vk")
+            .agg(F.sum(term).cast("long").alias("delta"))
+        )
+        deltas[d] = (
+            v_layer.select("vk")
+            .join(dsum, "vk", "left")
+            .select(
+                F.col("vk").alias("key"),
+                F.coalesce(F.col("delta"), F.lit(0)).cast("long").alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    all_delta = None
+    for d in range(1, GEO_MAX_DEPTH + 1):
+        all_delta = (
+            deltas[d] if all_delta is None else all_delta.unionByName(deltas[d])
+        )
+    return (
+        fwd.filter(F.col("depth") >= 1)
+        .join(all_delta, "key")
+        .select("key", "depth", "sigma", F.col("delta").alias("dependency_ppm"))
+        .orderBy("key")
+    )
+
+
+def _betweenness_sql() -> str:
+    from kinbaku_spark.queries.graph_queries import GRAPH_CTE
+    from kinbaku_spark.queries.profiling_ext import GEO_MAX_DEPTH, GEO_SOURCE
+
+    md = GEO_MAX_DEPTH
+    parts = [
+        f"""und AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM g_edges
+  UNION
+  SELECT dst, src FROM g_edges
+),
+walks AS (
+  SELECT '{GEO_SOURCE}' AS key, 0 AS depth
+  UNION ALL
+  SELECT u.v, w.depth + 1
+  FROM walks w JOIN und u ON u.u = w.key
+  WHERE w.depth < {md}
+),
+mind AS (SELECT key, MIN(depth) AS d FROM walks GROUP BY key),
+fwd AS MATERIALIZED (
+  SELECT m.key, CAST(m.d AS INTEGER) AS depth, CAST(COUNT(*) AS BIGINT) AS sigma
+  FROM mind m JOIN walks w ON w.key = m.key AND w.depth = m.d
+  GROUP BY m.key, m.d
+),
+del{md} AS (SELECT key, CAST(0 AS HUGEINT) AS delta FROM fwd WHERE depth = {md})"""
+    ]
+    for d in range(md - 1, 0, -1):
+        parts.append(
+            f"""terms{d} AS (
+  SELECT v.key AS vk,
+         (CAST(v.sigma AS HUGEINT) * ({BETW_SCALE} + dw.delta)) // w.sigma AS t
+  FROM fwd v
+  JOIN und e ON e.u = v.key
+  JOIN fwd w ON w.key = e.v AND w.depth = {d + 1}
+  JOIN del{d + 1} dw ON dw.key = w.key
+  WHERE v.depth = {d}
+),
+del{d} AS MATERIALIZED (
+  SELECT f.key, COALESCE(s.delta, 0) AS delta
+  FROM (SELECT key FROM fwd WHERE depth = {d}) f
+  LEFT JOIN (SELECT vk, SUM(t) AS delta FROM terms{d} GROUP BY vk) s
+    ON s.vk = f.key
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT key, delta FROM del{d}" for d in range(1, md + 1)
+    )
+    return (
+        GRAPH_CTE.replace("WITH ", "WITH RECURSIVE ", 1).rstrip()
+        + ",\n"
+        + ",\n".join(parts)
+        + f""",
+alld AS ({union})
+SELECT f.key, f.depth, f.sigma, CAST(a.delta AS BIGINT) AS dependency_ppm
+FROM fwd f JOIN alld a ON a.key = f.key
+WHERE f.depth >= 1
+ORDER BY f.key
+"""
+    )
+
+
 QUERIES["g_truss_bounded"] = g_truss_bounded
 ORACLES["g_truss_bounded"] = _truss_sql()
 QUERIES["g_eccentricity"] = g_eccentricity
 ORACLES["g_eccentricity"] = _eccentricity_sql()
+QUERIES["g_betweenness_bounded"] = g_betweenness_bounded
+ORACLES["g_betweenness_bounded"] = _betweenness_sql()
