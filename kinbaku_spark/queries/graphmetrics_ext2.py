@@ -234,31 +234,12 @@ def g_betweenness_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each layer is one edge join + one aggregation over that layer only.
     """
     from kinbaku_spark.queries.graph_queries import und_edges
-    from kinbaku_spark.queries.profiling_ext import GEO_MAX_DEPTH, GEO_SOURCE
+    from kinbaku_spark.queries.profiling_ext import GEO_MAX_DEPTH, geo_forward
 
     und = und_edges(spark, sf_dir)
-    # forward pass: depth + shortest-path counts (same loop as
-    # g_geodesic_counts; recomputed here so the query is self-contained)
-    settled = spark.createDataFrame(
-        [(GEO_SOURCE, 0, 1)], "key string, depth int, sigma long"
-    )
-    frontier = settled
-    for d in range(1, GEO_MAX_DEPTH + 1):
-        reached = (
-            und.join(frontier.select(F.col("key").alias("u"), "sigma"), "u")
-            .groupBy(F.col("v").alias("key"))
-            .agg(F.sum("sigma").alias("sigma"))
-        )
-        new = (
-            reached.join(settled.select("key"), "key", "left_anti")
-            .select("key", F.lit(d).cast("int").alias("depth"), "sigma")
-            .localCheckpoint(eager=True)
-        )
-        if new.limit(1).count() == 0:
-            break
-        settled = settled.unionByName(new)
-        frontier = new
-    fwd = settled.localCheckpoint(eager=True)
+    # forward pass: the session-persisted (key, depth, sigma) state shared
+    # with g_geodesic_counts — the BFS rounds are paid once per sf_dir
+    fwd = geo_forward(spark, sf_dir)
 
     term = F.expr(
         f"CAST(sigma_v AS DECIMAL(38,0))"
