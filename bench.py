@@ -140,6 +140,8 @@ EXTENSION_HEADLINE = [
     "g_eccentricity",
     "x_rrf_fusion",
     "g_betweenness_bounded",
+    "x_quality_threshold_sweep",
+    "x_dup_cluster_sizes",
 ]
 
 

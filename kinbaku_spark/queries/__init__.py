@@ -10,6 +10,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     analytics_ext,
     audit_ext,
     behavioral_ext,
+    curation_ext,
     dedup_ext,
     drift_ext,
     eval_ext,
@@ -55,6 +56,7 @@ for mod in (
     analytics_ext,
     audit_ext,
     behavioral_ext,
+    curation_ext,
     dedup_ext,
     drift_ext,
     eval_ext,

@@ -1,0 +1,162 @@
+"""Curation planning: quality-threshold sweep and duplicate-cluster size
+distribution.
+
+The reference (kerighan/kinbaku) has no curation surface (SURVEY.md §2.4);
+these are the two readouts a filtering run is planned from:
+
+- threshold sweep: docs/tokens retained at each candidate quality cutoff
+  — the yield curve that picks the operating point before committing a
+  100 TB filter pass.
+- cluster sizes: the size histogram of MinHash near-duplicate components
+  — duplication's shape (many pairs vs few giant families) decides
+  whether survivorship or family-level review is the right dedup action.
+
+Shuffle shapes (the 100 TB story): the sweep is one scan-bound projection
+(text_quality rides the parquet scan) cross-joined to a 9-row broadcast
+threshold table, then ONE aggregation keyed by threshold — no per-
+threshold passes over the corpus. Cluster sizes reuse x_dedup_clusters'
+banded-LSH + hash-min label propagation and add two O(|clusters|)
+aggregations on top.
+
+Determinism: retention shares are exact integer ppm; the quality score is
+the proven 6dp-rounded composite compared against k/100.0 double literals
+(identical strtod in both engines); cluster labels are min-doc_id labels,
+size buckets exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kinbaku_spark.operators.text import text_quality
+from kinbaku_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# -- x_quality_threshold_sweep: retention yield curve -------------------------
+
+SWEEP_THRESHOLDS_PCT = list(range(50, 95, 5))  # 0.50 .. 0.90
+
+
+def x_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs and tokens retained at each candidate quality_score cutoff
+    (0.50‥0.90 by 0.05), with exact ppm retention shares — one corpus
+    scan, one broadcast cross join, one aggregation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = text_quality(docs).select("quality_score", "n_tokens")
+    thr = spark.createDataFrame(
+        [(t,) for t in SWEEP_THRESHOLDS_PCT], "thr_pct int"
+    )
+    keep = F.col("quality_score") >= F.col("thr_pct") / F.lit(100.0)
+    return (
+        per.crossJoin(F.broadcast(thr))
+        .groupBy("thr_pct")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0)).alias("docs_kept"),
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_total"),
+        )
+        .select(
+            "thr_pct",
+            "docs_kept",
+            "tokens_kept",
+            F.expr("docs_kept * 1000000 div n_docs").alias("docs_share_ppm"),
+            F.expr(
+                "CASE WHEN n_tokens_total = 0 THEN 0"
+                " ELSE tokens_kept * 1000000 div n_tokens_total END"
+            ).alias("tokens_share_ppm"),
+        )
+        .orderBy("thr_pct")
+    )
+
+
+def _sweep_sql() -> str:
+    from kinbaku_spark.queries.extensions import X_TEXT_QUALITY_SQL
+
+    values = ", ".join(f"({t})" for t in SWEEP_THRESHOLDS_PCT)
+    return f"""
+WITH per AS (SELECT quality_score, n_tokens FROM ({X_TEXT_QUALITY_SQL})),
+thr(thr_pct) AS (VALUES {values}),
+agg AS (
+  SELECT thr_pct,
+         CAST(SUM(CASE WHEN quality_score >= thr_pct / 100.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS docs_kept,
+         CAST(SUM(CASE WHEN quality_score >= thr_pct / 100.0 THEN n_tokens
+                       ELSE 0 END) AS BIGINT) AS tokens_kept,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total
+  FROM per CROSS JOIN thr
+  GROUP BY thr_pct
+)
+SELECT CAST(thr_pct AS INTEGER) AS thr_pct, docs_kept, tokens_kept,
+       CAST(docs_kept * 1000000 // n_docs AS BIGINT) AS docs_share_ppm,
+       CAST(CASE WHEN n_tokens_total = 0 THEN 0
+                 ELSE tokens_kept * 1000000 // n_tokens_total END
+            AS BIGINT) AS tokens_share_ppm
+FROM agg
+ORDER BY thr_pct
+"""
+
+
+# -- x_dup_cluster_sizes: near-duplicate family size histogram ----------------
+
+def x_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of MinHash near-duplicate component sizes: how many
+    clusters of each size exist and what share of the corpus sits in
+    them. Size 1 = unique documents.
+    """
+    from kinbaku_spark.queries.extensions import x_dedup_clusters
+
+    # two consumers (sizes, corpus total): pin the propagated labels once
+    labels = x_dedup_clusters(spark, sf_dir).localCheckpoint(eager=True)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    total = labels.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            F.expr(
+                "cluster_size * n_clusters * 1000000 div n_total"
+            ).alias("docs_share_ppm"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _cluster_sizes_sql() -> str:
+    from kinbaku_spark.queries.extensions import _clusters_sql
+
+    return f"""
+WITH labels AS (SELECT * FROM ({_clusters_sql()})),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM labels GROUP BY cluster_id
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM labels)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+       CAST(cluster_size * COUNT(*) * 1000000 // (SELECT n FROM total)
+            AS BIGINT) AS docs_share_ppm
+FROM sizes
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
+QUERIES["x_quality_threshold_sweep"] = x_quality_threshold_sweep
+ORACLES["x_quality_threshold_sweep"] = _sweep_sql()
+QUERIES["x_dup_cluster_sizes"] = x_dup_cluster_sizes
+ORACLES["x_dup_cluster_sizes"] = _cluster_sizes_sql()
