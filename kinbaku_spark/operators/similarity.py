@@ -523,6 +523,13 @@ def kmeans_assign(
         (int(r[id_col]), [float(v) for v in r[vec_col]])
         for r in corpus.filter(F.col(id_col) < k).select(id_col, vec_col).collect()
     )
+    if not seeds:  # empty corpus: schema-correct empty assignment
+        return corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.lit(0).cast("int").alias("cluster"),
+            F.lit(0.0).alias("sim"),
+        ).limit(0)
     assigned = assign(seeds)
     for _ in range(rounds - 1):
         cen = label_centroids(assigned, "cluster", vec_col)

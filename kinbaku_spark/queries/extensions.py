@@ -250,18 +250,28 @@ _QUERY_VEC_CACHE: dict[str, list[float]] = {}
 
 def _query_vec(spark, sf_dir):
     # memoized per sf_dir: the parquet is immutable, the vector is a plain
-    # Python list, and every ANN query would otherwise pay a one-row job
+    # Python list, and every ANN query would otherwise pay a one-row job.
+    # None when the corpus is empty (degenerate input): callers return the
+    # schema-correct empty result, matching their oracles' empty output.
     if sf_dir not in _QUERY_VEC_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
-        _QUERY_VEC_CACHE[sf_dir] = (
-            emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-        )
+        rows = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+        _QUERY_VEC_CACHE[sf_dir] = rows[0][0] if rows else None
     return _QUERY_VEC_CACHE[sf_dir]
+
+
+def _empty_topk(emb):
+    """(vec_id, sim) with zero rows — the every-ANN-query result on an
+    empty corpus."""
+    return emb.select("vec_id", F.lit(0.0).alias("sim")).limit(0)
 
 
 def x_ann_cosine_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, _query_vec(spark, sf_dir), k=ANN_K, exclude_id=0)
+    qv = _query_vec(spark, sf_dir)
+    if qv is None:
+        return _empty_topk(emb)
+    return cosine_topk(emb, qv, k=ANN_K, exclude_id=0)
 
 
 X_ANN_COSINE_SQL = f"""
@@ -280,9 +290,12 @@ LIMIT {ANN_K}
 
 def x_ann_lsh_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    if qv is None:
+        return _empty_topk(emb)
     return lsh_topk(
         emb,
-        _query_vec(spark, sf_dir),
+        qv,
         k=ANN_K,
         planes=LSH_PLANES,
         max_probe_hamming=LSH_PROBE_HAMMING,
@@ -522,9 +535,10 @@ def x_ann_ivf_topk(spark, sf_dir):
     from kinbaku_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb, _query_vec(spark, sf_dir), k=ANN_K, n_probe=IVF_N_PROBE, exclude_id=0
-    )
+    qv = _query_vec(spark, sf_dir)
+    if qv is None:
+        return _empty_topk(emb)
+    return ivf_topk(emb, qv, k=ANN_K, n_probe=IVF_N_PROBE, exclude_id=0)
 
 
 def _ann_ivf_sql() -> str:

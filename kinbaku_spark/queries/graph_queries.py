@@ -115,23 +115,18 @@ WHERE src = 'S1' AND dst = (SELECT min(dst) FROM g_edges WHERE src = 'S1')
 
 def g_exists(spark, sf_dir):
     g = _graph(spark, sf_dir)
+    # coalesce: SUM over zero rows is NULL, but EXISTS (the oracle) is
+    # false — an empty graph must answer false, not NULL
+    def _any(cond):
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)) > 0
+
     nodes = g.nodes_df.agg(
-        (F.sum(F.when(F.col("key") == "S1", 1).otherwise(0)) > 0).alias("has_node_s1"),
-        (F.sum(F.when(F.col("key") == "NOPE", 1).otherwise(0)) > 0).alias("has_node_nope"),
+        _any(F.col("key") == "S1").alias("has_node_s1"),
+        _any(F.col("key") == "NOPE").alias("has_node_nope"),
     )
     edges = g.edges_df.agg(
-        (
-            F.sum(
-                F.when((F.col("src") == "S1") & (F.col("dst") == "P1"), 1).otherwise(0)
-            )
-            > 0
-        ).alias("has_edge_s1_p1"),
-        (
-            F.sum(
-                F.when((F.col("src") == "P1") & (F.col("dst") == "S1"), 1).otherwise(0)
-            )
-            > 0
-        ).alias("has_edge_p1_s1"),
+        _any((F.col("src") == "S1") & (F.col("dst") == "P1")).alias("has_edge_s1_p1"),
+        _any((F.col("src") == "P1") & (F.col("dst") == "S1")).alias("has_edge_p1_s1"),
     )
     return nodes.crossJoin(edges)
 
@@ -408,7 +403,9 @@ SELECT (SELECT COUNT(*) FROM g_nodes WHERE key <> 'S1') AS n_nodes,
 def m_set_neighbors(spark, sf_dir):
     g = _graph(spark, sf_dir, with_index=True)
     keep = g.edges_df.filter(F.col("src") == "S1").agg(F.min("dst")).collect()[0][0]
-    g.set_neighbors("S1", [keep, "NEW_PART_Y"])
+    # keep is None on an empty graph: set only the new target (the SQL
+    # oracle's first branch matches nothing on NULL the same way)
+    g.set_neighbors("S1", ([keep] if keep is not None else []) + ["NEW_PART_Y"])
     return g.edges_df.filter(F.col("src") == "S1").select("src", "dst", "type", "weight")
 
 
@@ -423,7 +420,7 @@ SELECT 'S1', 'NEW_PART_Y', 0, CAST(NULL AS DOUBLE)
 def m_set_predecessors(spark, sf_dir):
     g = _graph(spark, sf_dir, with_index=True)
     keep = g.edges_df.filter(F.col("dst") == "P1").agg(F.min("src")).collect()[0][0]
-    g.set_predecessors("P1", [keep, "NEW_SUPP_Z"])
+    g.set_predecessors("P1", ([keep] if keep is not None else []) + ["NEW_SUPP_Z"])
     return g.edges_df.filter(F.col("dst") == "P1").select("src", "dst", "type", "weight")
 
 
@@ -630,6 +627,8 @@ def g_pagerank(spark, sf_dir):
     nodes = g.nodes_df.select("key")
     edges = g.edges_df.select("src", "dst")
     n = nodes.count()
+    if n == 0:  # empty graph: empty ranking, like the oracle
+        return spark.createDataFrame([], "key string, pagerank double")
     base = (1.0 - PAGERANK_DAMPING) / n
     # rank vector and degree table are |V|-sized: broadcast them while |V|
     # is broadcastable so each iteration is a map-side join over edges (no
@@ -967,7 +966,10 @@ def g_kcore(spark, sf_dir):
     """
     g = _graph(spark, sf_dir)
     edges = g.edges_df.select("src", "dst")
-    k = edges.count() // g.nodes_df.count()
+    n_nodes = g.nodes_df.count()
+    if n_nodes == 0:  # empty graph: empty core, like the oracle
+        return spark.createDataFrame([], "key string, deg long")
+    k = edges.count() // n_nodes
     for _ in range(KCORE_ROUNDS):
         deg = (
             edges.select(F.col("src").alias("key"))
@@ -1983,7 +1985,12 @@ def g_closeness(spark, sf_dir):
             F.lit(BFS_SOURCE).alias("source"),
             "n_reached",
             "total_depth",
-            F.expr("(n_reached - 1) * 1000000 div total_depth").alias("closeness_ppm"),
+            # NULL (not an ANSI divide error) when only the seed is
+            # reachable — DuckDB's 0 // 0 yields NULL on the same input
+            F.expr(
+                "CASE WHEN total_depth = 0 THEN NULL"
+                " ELSE (n_reached - 1) * 1000000 div total_depth END"
+            ).alias("closeness_ppm"),
             "harmonic_ppm",
         )
     )

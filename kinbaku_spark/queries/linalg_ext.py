@@ -55,6 +55,8 @@ def x_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     rows = embedding_gram(emb).collect()  # d(d+1)/2 integers
+    if not rows:  # empty corpus: empty component, like the oracle
+        return spark.createDataFrame([], "dim int, component_q long")
     dim = max(r["j"] for r in rows)
     g: list[list[int]] = [[0] * dim for _ in range(dim)]
     for r in rows:
@@ -65,6 +67,8 @@ def x_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(PCA_ROUNDS):
         w = [sum(g[i][j] * v[j] for j in range(dim)) for i in range(dim)]
         m = max(abs(x) for x in w)
+        if m == 0:  # zero Gram matrix: keep the uniform direction
+            break
         v = [_trunc_div(x, m) for x in w]
     # sign convention: largest-|component| (ties: lowest dim) is positive
     lead = min(range(dim), key=lambda i: (-abs(v[i]), i))

@@ -965,8 +965,12 @@ def x_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum(ntok.cast("long")).alias("total_tokens"),
         F.count_distinct("text").alias("distinct_texts"),
+        # CASE guard: ANSI div errors on 0/0 for an empty corpus, where
+        # DuckDB's // yields NULL — make both produce NULL explicitly
         F.expr(
-            "count(CASE WHEN lang = 'en' THEN 1 END) * 1000000 div count(1)"
+            "CASE WHEN count(1) = 0 THEN NULL"
+            " ELSE count(CASE WHEN lang = 'en' THEN 1 END) * 1000000 div count(1)"
+            " END"
         ).alias("en_ppm"),
     )
     return agg.select(

@@ -507,15 +507,18 @@ def x_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     learned = []
     for rnd in range(1, BPE_APPLY_ROUNDS + 1):
-        top = (
+        tops = (
             cur.select(F.split(F.col("t"), r"\s+").alias("words"))
             .select(F.explode(pair_expr).alias("pair"))
             .groupBy("pair")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.desc("cnt"), "pair")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not tops:  # no adjacent pairs (empty corpus): no merges to learn
+            break
+        top = tops[0]
         pair, cnt = top["pair"], int(top["cnt"])
         learned.append((rnd, pair, cnt))
         merged = pair.replace(" ", "_")

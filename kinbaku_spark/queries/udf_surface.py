@@ -92,10 +92,13 @@ def x_ann_pandas_topk(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
-    from kinbaku_spark.queries.extensions import ANN_K, _query_vec
+    from kinbaku_spark.queries.extensions import ANN_K, _empty_topk, _query_vec
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = [float(v) for v in _query_vec(spark, sf_dir)]
+    qv = _query_vec(spark, sf_dir)
+    if qv is None:  # empty corpus: same empty result as the oracle
+        return _empty_topk(emb)
+    q = [float(v) for v in qv]
     nq = 0.0
     for v in q:
         nq += v * v
