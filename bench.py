@@ -142,6 +142,7 @@ EXTENSION_HEADLINE = [
     "g_betweenness_bounded",
     "x_quality_threshold_sweep",
     "x_dup_cluster_sizes",
+    "g_node2vec_walks",
 ]
 
 

@@ -352,9 +352,129 @@ ORDER BY f.key
     )
 
 
+# -- g_node2vec_walks: second-order (p/q-biased) walks ------------------------
+
+N2V_STEPS = 3
+# integer bias weights: return (v == prev) = 1, stay local (v adjacent to
+# prev) = 2, explore (distance 2 from prev) = 4 — i.e. p = 2, q = 0.5, the
+# community-exploring node2vec setting, kept integral so the biased pick
+# (argmin of h div w) replays exactly in both engines
+N2V_W_RETURN = 1
+N2V_W_LOCAL = 2
+N2V_W_EXPLORE = 4
+
+
+def g_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One second-order biased walk per supplier node (node2vec, Grover &
+    Leskovec 2016): the next hop is the argmin of md5(walk, step, cand)
+    div bias_weight, where the bias classifies each candidate against the
+    PREVIOUS node (return / local / explore) — a deterministic stand-in
+    for p,q-biased sampling that both engines replay bit-identically,
+    extending g_random_walks' first-order rule (graph_queries.py:1185).
+
+    Each step is the frontier-edge join of the first-order walk plus ONE
+    left join flagging prev-adjacency — frontier-sized state; the edge
+    list is the only big table touched, same 100-TB shape as DeepWalk
+    sampling.
+    """
+    from kinbaku_spark.functions.hashing import md5_long
+    from kinbaku_spark.queries.graph_queries import _graph
+
+    g = _graph(spark, sf_dir)
+    und = g.edges_df.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(g.edges_df.select(F.col("dst"), F.col("src")))
+    cur = g.nodes_df.filter(F.col("key").startswith("S")).select(
+        F.col("key").alias("walk_id"),
+        F.col("key").alias("node"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+    out = cur.select("walk_id", F.lit(0).alias("step"), "node")
+    adj = und.select(F.col("u").alias("pu"), F.col("v").alias("pv"))
+    for i in range(1, N2V_STEPS + 1):
+        h = md5_long(
+            F.concat_ws(":", F.col("walk_id"), F.lit(str(i)), F.col("v"))
+        )
+        w = (
+            F.when(F.col("v") == F.col("prev"), F.lit(N2V_W_RETURN))
+            .when(F.col("pv").isNotNull(), F.lit(N2V_W_LOCAL))
+            .otherwise(F.lit(N2V_W_EXPLORE))
+        )
+        scored = (
+            cur.join(und, und.u == cur.node)
+            .join(
+                adj,
+                (F.col("pu") == F.col("prev")) & (F.col("pv") == F.col("v")),
+                "left",
+            )
+            .select("walk_id", "node", "v", h.alias("h"), w.alias("w"))
+            # exact integer division (h is 60-bit: float division would
+            # lose the low bits that break ties)
+            .select("walk_id", "node", "v", F.expr("h div w").alias("hd"))
+        )
+        pick = scored.groupBy("walk_id").agg(
+            F.min_by(
+                F.struct(F.col("v"), F.col("node")),
+                F.struct(F.col("hd"), F.col("v")),
+            ).alias("p")
+        )
+        cur = pick.select(
+            "walk_id",
+            F.col("p.v").alias("node"),
+            F.col("p.node").alias("prev"),
+        ).localCheckpoint(eager=False)
+        out = out.unionAll(cur.select("walk_id", F.lit(i).alias("step"), "node"))
+    return out.orderBy("walk_id", "step")
+
+
+def _node2vec_sql() -> str:
+    from kinbaku_spark.functions.hashing import sql_md5_long
+    from kinbaku_spark.queries.graph_queries import GRAPH_CTE
+
+    parts = [
+        "und AS (SELECT src AS u, dst AS v FROM g_edges"
+        " UNION ALL SELECT dst, src FROM g_edges)",
+        "n0 AS (SELECT key AS walk_id, key AS node,"
+        " CAST(NULL AS VARCHAR) AS prev FROM g_nodes WHERE key LIKE 'S%')",
+    ]
+    for i in range(1, N2V_STEPS + 1):
+        h = sql_md5_long(f"w.walk_id || ':' || '{i}' || ':' || und.v")
+        parts.append(
+            f"""c{i} AS (
+  SELECT w.walk_id, und.v, w.node AS cur_node,
+         {h} // (CASE WHEN und.v = w.prev THEN {N2V_W_RETURN}
+                      WHEN a.v IS NOT NULL THEN {N2V_W_LOCAL}
+                      ELSE {N2V_W_EXPLORE} END) AS hd
+  FROM n{i - 1} w
+  JOIN und ON und.u = w.node
+  LEFT JOIN und a ON a.u = w.prev AND a.v = und.v
+),
+n{i} AS MATERIALIZED (
+  SELECT walk_id, v AS node, cur_node AS prev FROM (
+    SELECT c{i}.*, ROW_NUMBER() OVER (PARTITION BY walk_id ORDER BY hd, v) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)"""
+        )
+    selects = "\n  UNION ALL ".join(
+        f"SELECT walk_id, {i} AS step, node FROM n{i}"
+        for i in range(0, N2V_STEPS + 1)
+    )
+    return (
+        GRAPH_CTE.rstrip()
+        + ",\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT walk_id, CAST(step AS INTEGER) AS step, node FROM (
+  {selects}
+) ORDER BY walk_id, step
+"""
+    )
 QUERIES["g_truss_bounded"] = g_truss_bounded
 ORACLES["g_truss_bounded"] = _truss_sql()
 QUERIES["g_eccentricity"] = g_eccentricity
 ORACLES["g_eccentricity"] = _eccentricity_sql()
 QUERIES["g_betweenness_bounded"] = g_betweenness_bounded
 ORACLES["g_betweenness_bounded"] = _betweenness_sql()
+QUERIES["g_node2vec_walks"] = g_node2vec_walks
+ORACLES["g_node2vec_walks"] = _node2vec_sql()
