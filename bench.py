@@ -143,6 +143,7 @@ EXTENSION_HEADLINE = [
     "x_quality_threshold_sweep",
     "x_dup_cluster_sizes",
     "g_node2vec_walks",
+    "x_soft_dedup_weights",
 ]
 
 

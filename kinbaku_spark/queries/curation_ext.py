@@ -156,7 +156,51 @@ ORDER BY cluster_size
 """
 
 
+# -- x_soft_dedup_weights: down-weight duplicate families ---------------------
+
+def x_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of dropping near-duplicates, give every
+    document the training weight 10⁶ div |its duplicate family| — the
+    family's total influence stays one document's worth while all
+    surface variants remain sampleable. Unique docs keep weight 10⁶.
+    """
+    from kinbaku_spark.queries.extensions import x_dedup_clusters
+
+    labels = x_dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            F.expr("1000000 div cluster_size").alias("weight_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _soft_dedup_sql() -> str:
+    from kinbaku_spark.queries.extensions import _clusters_sql
+
+    return f"""
+WITH labels AS (SELECT * FROM ({_clusters_sql()})),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM labels GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+FROM labels l JOIN sizes s USING (cluster_id)
+ORDER BY l.doc_id
+"""
+
+
 QUERIES["x_quality_threshold_sweep"] = x_quality_threshold_sweep
 ORACLES["x_quality_threshold_sweep"] = _sweep_sql()
 QUERIES["x_dup_cluster_sizes"] = x_dup_cluster_sizes
 ORACLES["x_dup_cluster_sizes"] = _cluster_sizes_sql()
+QUERIES["x_soft_dedup_weights"] = x_soft_dedup_weights
+ORACLES["x_soft_dedup_weights"] = _soft_dedup_sql()
