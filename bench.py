@@ -144,6 +144,7 @@ EXTENSION_HEADLINE = [
     "x_dup_cluster_sizes",
     "g_node2vec_walks",
     "x_soft_dedup_weights",
+    "g_butterflies",
 ]
 
 

@@ -476,5 +476,87 @@ QUERIES["g_eccentricity"] = g_eccentricity
 ORACLES["g_eccentricity"] = _eccentricity_sql()
 QUERIES["g_betweenness_bounded"] = g_betweenness_bounded
 ORACLES["g_betweenness_bounded"] = _betweenness_sql()
+# -- g_butterflies: bipartite 4-cycle census ----------------------------------
+
+def g_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterfly (bipartite 4-cycle) census of the supplier→part graph:
+    B = Σ_{s1<s2} C(shared_parts, 2) over the session-persisted
+    co-supplier pair table (graph_queries.co_shared — the quadratic pair
+    aggregation is engine state, paid once), caterpillars (3-paths)
+    L = Σ_{(s,p) edge} (deg s − 1)(deg p − 1), and the Robins–Alexander
+    bipartite clustering coefficient 4B/L in exact ppm. The standard
+    cohesion metric where triangles cannot exist (bipartite graphs have
+    none) — Sanei-Mehri et al. 2018's counting identity.
+
+    Wide-integer discipline: B and L use DECIMAL(38,0)/HUGEINT sums (at
+    10⁹ edges the (deg−1) products overflow int64).
+    """
+    from kinbaku_spark.queries.graph_queries import _graph, co_shared
+
+    d38 = "decimal(38,0)"
+    shared = co_shared(spark, sf_dir)
+    b = shared.agg(
+        F.sum(
+            F.expr(f"CAST(shared_parts * (shared_parts - 1) div 2 AS {d38})")
+        ).alias("butterflies")
+    )
+    e = _graph(spark, sf_dir).edges_df.select("src", "dst").distinct()
+    ds = e.groupBy("src").agg(F.count(F.lit(1)).alias("ds"))
+    dp = e.groupBy("dst").agg(F.count(F.lit(1)).alias("dp"))
+    l3 = (
+        e.join(F.broadcast(ds), "src")
+        .join(F.broadcast(dp), "dst")
+        .agg(
+            F.sum(
+                F.expr(f"CAST(ds - 1 AS {d38}) * CAST(dp - 1 AS {d38})")
+            ).alias("caterpillars")
+        )
+    )
+    return b.crossJoin(l3).select(
+        F.col("butterflies").cast("long").alias("butterflies"),
+        F.col("caterpillars").cast("long").alias("caterpillars"),
+        F.expr(
+            "CASE WHEN caterpillars = 0 THEN 0"
+            " ELSE CAST(4 AS DECIMAL(38,0)) * butterflies * 1000000"
+            " div caterpillars END"
+        )
+        .cast("long")
+        .alias("bcc_ppm"),
+    )
+
+
+def _butterflies_sql() -> str:
+    from kinbaku_spark.queries.graph_queries import GRAPH_CTE
+
+    return GRAPH_CTE.rstrip() + """,
+sp AS (SELECT DISTINCT src, dst FROM g_edges),
+shared AS (
+  SELECT a.src AS s1, b.src AS s2, CAST(COUNT(*) AS BIGINT) AS shared_parts
+  FROM sp a JOIN sp b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+),
+bf AS (
+  SELECT SUM(CAST(shared_parts * (shared_parts - 1) // 2 AS HUGEINT))
+           AS butterflies
+  FROM shared
+),
+ds AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS ds FROM sp GROUP BY src),
+dp AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS dp FROM sp GROUP BY dst),
+l3 AS (
+  SELECT SUM(CAST(ds.ds - 1 AS HUGEINT) * CAST(dp.dp - 1 AS HUGEINT))
+           AS caterpillars
+  FROM sp JOIN ds ON ds.src = sp.src JOIN dp ON dp.dst = sp.dst
+)
+SELECT CAST(bf.butterflies AS BIGINT) AS butterflies,
+       CAST(l3.caterpillars AS BIGINT) AS caterpillars,
+       CAST(CASE WHEN l3.caterpillars = 0 THEN 0
+                 ELSE CAST(4 AS HUGEINT) * bf.butterflies * 1000000
+                      // l3.caterpillars END AS BIGINT) AS bcc_ppm
+FROM bf CROSS JOIN l3
+"""
+
+
 QUERIES["g_node2vec_walks"] = g_node2vec_walks
 ORACLES["g_node2vec_walks"] = _node2vec_sql()
+QUERIES["g_butterflies"] = g_butterflies
+ORACLES["g_butterflies"] = _butterflies_sql()
