@@ -145,6 +145,7 @@ EXTENSION_HEADLINE = [
     "g_node2vec_walks",
     "x_soft_dedup_weights",
     "g_butterflies",
+    "x_minhash_band_sweep",
 ]
 
 

@@ -202,5 +202,134 @@ QUERIES["x_quality_threshold_sweep"] = x_quality_threshold_sweep
 ORACLES["x_quality_threshold_sweep"] = _sweep_sql()
 QUERIES["x_dup_cluster_sizes"] = x_dup_cluster_sizes
 ORACLES["x_dup_cluster_sizes"] = _cluster_sizes_sql()
+# -- x_minhash_band_sweep: LSH banding-config planner --------------------------
+
+SWEEP_BANDS = (4, 8, 16)  # over the 32-hash signature: r = 8, 4, 2 rows/band
+SWEEP_JACCARD = 0.8
+
+
+def x_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate volume vs confirmed-pair precision for three LSH banding
+    configs of the same 32-hash MinHash signature — the planning readout
+    that picks bands before a corpus-scale dedup run (more bands = higher
+    recall, quadratically more candidates to verify).
+
+    The signature table is computed ONCE (checkpointed) and shared by all
+    configs; per config the cost is one band equi-join + the exact-Jaccard
+    verify over its own candidates. No driver collects — each config's
+    counts are 1-row aggregates unioned JVM-side.
+    """
+    from kinbaku_spark.operators.dedup import (
+        _jaccard_verify,
+        minhash_band_candidates,
+        minhash_signatures,
+        shingle_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_hashes(docs, "doc_id", "text", 3).localCheckpoint(eager=True)
+    sig = minhash_signatures(sh, "doc_id", 32).localCheckpoint(eager=True)
+    per_config = []
+    for b in SWEEP_BANDS:
+        cand = minhash_band_candidates(sig, "doc_id", 32, b).localCheckpoint(
+            eager=True
+        )
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        n_conf = _jaccard_verify(cand, sh, "doc_id", SWEEP_JACCARD).agg(
+            F.count(F.lit(1)).alias("n_confirmed")
+        )
+        per_config.append(
+            n_cand.crossJoin(n_conf).select(
+                F.lit(b).alias("bands"),
+                F.lit(32 // b).alias("rows_per_band"),
+                "n_candidates",
+                "n_confirmed",
+                F.expr(
+                    "CASE WHEN n_candidates = 0 THEN 0"
+                    " ELSE n_confirmed * 1000000 div n_candidates END"
+                ).alias("precision_ppm"),
+            )
+        )
+    out = per_config[0]
+    for p in per_config[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("bands")
+
+
+def _band_sweep_sql() -> str:
+    from kinbaku_spark.functions.hashing import HASH_PRIME as P
+    from kinbaku_spark.functions.hashing import minhash_coeffs
+    from kinbaku_spark.queries.extensions import _sql_shingle_cte
+
+    coeffs = minhash_coeffs(32, 42)
+    mins = ",\n    ".join(
+        f"MIN(({a} * (h % {P}) + {b}) % {P}) AS mh{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    parts = [
+        f"{_sql_shingle_cte(3)}".strip().lstrip(","),
+        f"sig AS MATERIALIZED (SELECT doc_id, {mins} FROM hx GROUP BY doc_id)",
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id)",
+    ]
+    selects = []
+    for b in SWEEP_BANDS:
+        rows = 32 // b
+        band_selects = "\n  UNION ALL\n  ".join(
+            "SELECT doc_id, {k} AS band, {key} AS key FROM sig".format(
+                k=k,
+                key=" || '|' || ".join(
+                    f"CAST(mh{k * rows + r} AS VARCHAR)" for r in range(rows)
+                ),
+            )
+            for k in range(b)
+        )
+        parts.append(
+            f"""bands{b} AS (
+  {band_selects}
+),
+cand{b} AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands{b} a JOIN bands{b} b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+conf{b} AS (
+  SELECT COUNT(*) AS n FROM (
+    SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS i
+    FROM cand{b} c
+    JOIN hx a ON a.doc_id = c.doc_id_a
+    JOIN hx x ON x.doc_id = c.doc_id_b AND x.h = a.h
+    GROUP BY 1, 2
+  ) j
+  JOIN sizes sa ON sa.doc_id = j.doc_id_a
+  JOIN sizes sb ON sb.doc_id = j.doc_id_b
+  WHERE ROUND(j.i * 1.0 / (sa.n + sb.n - j.i), 6) >= {SWEEP_JACCARD}
+)""",
+        )
+        selects.append(
+            f"""SELECT {b} AS bands, {rows} AS rows_per_band,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{b}) AS n_candidates,
+       (SELECT CAST(n AS BIGINT) FROM conf{b}) AS n_confirmed,
+       CAST(CASE WHEN (SELECT COUNT(*) FROM cand{b}) = 0 THEN 0
+                 ELSE (SELECT n FROM conf{b}) * 1000000
+                      // (SELECT COUNT(*) FROM cand{b}) END AS BIGINT)
+         AS precision_ppm"""
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(bands AS INTEGER) AS bands,
+       CAST(rows_per_band AS INTEGER) AS rows_per_band,
+       n_candidates, n_confirmed, precision_ppm
+FROM (
+{union}
+) ORDER BY bands
+"""
+    )
+
+
 QUERIES["x_soft_dedup_weights"] = x_soft_dedup_weights
 ORACLES["x_soft_dedup_weights"] = _soft_dedup_sql()
+QUERIES["x_minhash_band_sweep"] = x_minhash_band_sweep
+ORACLES["x_minhash_band_sweep"] = _band_sweep_sql()
