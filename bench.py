@@ -146,6 +146,7 @@ EXTENSION_HEADLINE = [
     "x_soft_dedup_weights",
     "g_butterflies",
     "x_minhash_band_sweep",
+    "x_normalized_dedup",
 ]
 
 

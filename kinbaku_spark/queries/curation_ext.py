@@ -331,5 +331,54 @@ FROM (
 
 QUERIES["x_soft_dedup_weights"] = x_soft_dedup_weights
 ORACLES["x_soft_dedup_weights"] = _soft_dedup_sql()
+# -- x_normalized_dedup: normalization's effect on exact dedup ----------------
+
+def x_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row normalization audit: how many exact-dup groups exist on the
+    raw text vs after canonical normalization (lowercase, whitespace
+    collapse, trim) — `extra_merged` is the number of distinct raw texts
+    that normalization folds together, i.e. the dup mass raw-exact dedup
+    would MISS. The canonical pre-dedup pass every curation pipeline runs
+    first; one projection + one aggregate, rides the scan at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        docs.select(
+            F.md5(norm).alias("norm_hash"), F.md5(F.col("text")).alias("raw_hash")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("raw_hash").alias("raw_distinct"),
+            F.countDistinct("norm_hash").alias("norm_distinct"),
+        )
+        .select(
+            "n_docs",
+            "raw_distinct",
+            "norm_distinct",
+            (F.col("n_docs") - F.col("raw_distinct")).alias("raw_dup_docs"),
+            (F.col("raw_distinct") - F.col("norm_distinct")).alias("extra_merged"),
+        )
+    )
+
+
+X_NORMALIZED_DEDUP_SQL = r"""
+WITH h AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash,
+         md5(text) AS raw_hash
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT raw_hash) AS BIGINT) AS raw_distinct,
+       CAST(COUNT(DISTINCT norm_hash) AS BIGINT) AS norm_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT raw_hash) AS BIGINT) AS raw_dup_docs,
+       CAST(COUNT(DISTINCT raw_hash) - COUNT(DISTINCT norm_hash) AS BIGINT)
+         AS extra_merged
+FROM h
+"""
+
+
 QUERIES["x_minhash_band_sweep"] = x_minhash_band_sweep
 ORACLES["x_minhash_band_sweep"] = _band_sweep_sql()
+QUERIES["x_normalized_dedup"] = x_normalized_dedup
+ORACLES["x_normalized_dedup"] = X_NORMALIZED_DEDUP_SQL
