@@ -46,7 +46,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from kinbaku_spark.functions.hashing import md5_long, sql_md5_long
 from kinbaku_spark.operators.dedup import shingle_hashes
-from kinbaku_spark.operators.text import TOKEN_PATTERN  # noqa: F401 (doc parity)
 from kinbaku_spark.sources.tables import load_table
 
 QUERIES: dict = {}
