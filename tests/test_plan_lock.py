@@ -38,7 +38,7 @@ def test_plan_signatures_match_lock(spark, sf_dir):
     # STRINGS without changing any plan. Rebuild that state from scratch so
     # signatures are computed exactly as scripts/update_plan_lock.py does
     # in a fresh session.
-    from kinbaku_spark.queries import graph_queries
+    from kinbaku_spark.queries import extensions, graph_queries
 
     for nodes, edges, extra in graph_queries._CACHE.values():
         for df in [nodes, edges, *[v for v in extra.values() if hasattr(v, "unpersist")]]:
@@ -47,6 +47,14 @@ def test_plan_signatures_match_lock(spark, sf_dir):
             except Exception:
                 pass
     graph_queries._CACHE.clear()
+    # the near-dup label cache is the same class of shared state: drop the
+    # stale handles so consumers re-plan over a freshly persisted build
+    for df in extensions._CLUSTER_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    extensions._CLUSTER_CACHE.clear()
     spark.catalog.clearCache()
 
     missing = sorted(set(QUERIES) - set(LOCK))
