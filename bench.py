@@ -147,6 +147,8 @@ EXTENSION_HEADLINE = [
     "g_butterflies",
     "x_minhash_band_sweep",
     "x_normalized_dedup",
+    "x_vocab_growth",
+    "x_zipf_check",
 ]
 
 

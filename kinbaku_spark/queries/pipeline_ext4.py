@@ -249,8 +249,139 @@ ORDER BY lang
 """
 
 
+# -- x_vocab_growth: Heaps'-law vocabulary growth curve -----------------------
+
+VOCAB_DECILES = 10
+
+
+def x_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law curve: cumulative distinct vocabulary after each tenth
+    of the corpus (by doc_id order) — the growth curve that predicts how
+    much NEW vocabulary another 10× of data buys, sizing tokenizer vocab
+    and OOV budgets before training.
+
+    One explode + one groupBy(word) computes each word's FIRST document;
+    the curve is a 10-row cumulative sum over the first-seen buckets —
+    the corpus is never scanned per decile.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    tok = docs.select(
+        "doc_id", F.explode(F.filter(words, lambda x: x != "")).alias("t")
+    )
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    first = (
+        tok.groupBy(F.lower(F.col("t")).alias("w"))
+        .agg(F.min("doc_id").alias("first_doc"))
+        .crossJoin(F.broadcast(mx))
+        # decile 1..10 by first-seen doc position (exact integer bounds)
+        .select(
+            F.expr(
+                f"least({VOCAB_DECILES}, first_doc * {VOCAB_DECILES}"
+                f" div (mx + 1) + 1)"
+            ).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        first.select(
+            F.col("decile").cast("int").alias("decile"),
+            "new_words",
+            F.sum("new_words").over(w).cast("long").alias("cum_vocab"),
+        )
+        .orderBy("decile")
+    )
+
+
+X_VOCAB_GROWTH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+first AS (
+  SELECT lower(t) AS w, MIN(doc_id) AS first_doc FROM tok GROUP BY 1
+),
+bucketed AS (
+  SELECT LEAST({VOCAB_DECILES}, first_doc * {VOCAB_DECILES} // (mx.mx + 1) + 1)
+           AS decile
+  FROM first CROSS JOIN mx
+),
+agg AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS new_words
+  FROM bucketed GROUP BY decile
+)
+SELECT CAST(decile AS INTEGER) AS decile, new_words,
+       CAST(SUM(new_words) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_vocab
+FROM agg
+ORDER BY decile
+"""
+
+
+# -- x_zipf_check: rank-frequency law audit -----------------------------------
+
+ZIPF_TOP_K = 100
+
+
+def x_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 words by frequency with their rank·frequency product — the
+    Zipf audit (r·f ≈ const for natural text; a flat or erratic product
+    flags synthetic/templated corpora). One explode + one groupBy(word) +
+    a k-bounded top-k; the rank window runs over 100 rows.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    freq = (
+        docs.select(F.explode(F.filter(words, lambda x: x != "")).alias("t"))
+        .groupBy(F.lower(F.col("t")).alias("w"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "w")
+        .limit(ZIPF_TOP_K)
+    )
+    rk = Window.orderBy(F.desc("freq"), "w")
+    return freq.select(
+        F.row_number().over(rk).alias("rank"),
+        "w",
+        "freq",
+        (F.row_number().over(rk) * F.col("freq")).cast("long").alias("rf"),
+    ).orderBy("rank")
+
+
+X_ZIPF_SQL = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+freq AS (
+  SELECT lower(t) AS w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM tok GROUP BY 1
+  ORDER BY freq DESC, w LIMIT {ZIPF_TOP_K}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS INTEGER) AS rank,
+       w, freq,
+       CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, w) * freq AS BIGINT) AS rf
+FROM freq
+ORDER BY rank
+"""
+
+
 QUERIES["x_window_dedup"] = x_window_dedup
 ORACLES["x_window_dedup"] = _window_dedup_sql()
+QUERIES["x_vocab_growth"] = x_vocab_growth
+ORACLES["x_vocab_growth"] = X_VOCAB_GROWTH_SQL
+QUERIES["x_zipf_check"] = x_zipf_check
+ORACLES["x_zipf_check"] = X_ZIPF_SQL
 QUERIES["x_dsir_weights"] = x_dsir_weights
 ORACLES["x_dsir_weights"] = X_DSIR_SQL
 QUERIES["x_tokenizer_fertility"] = x_tokenizer_fertility
