@@ -149,6 +149,10 @@ EXTENSION_HEADLINE = [
     "x_normalized_dedup",
     "x_vocab_growth",
     "x_zipf_check",
+    "x_shard_skew_audit",
+    "x_packing_waste",
+    "x_ann_pq_adc",
+    "x_coreset_kcenter",
 ]
 
 

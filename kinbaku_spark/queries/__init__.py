@@ -21,10 +21,12 @@ from kinbaku_spark.queries import (  # noqa: F401
     mining_ext,
     mining_ext2,
     mlprep_ext,
+    mlprep_ext2,
     pipeline_ext,
     pipeline_ext2,
     pipeline_ext3,
     pipeline_ext4,
+    pipeline_ext5,
     profiling_ext,
     relational,
     relational_ext,
@@ -67,10 +69,12 @@ for mod in (
     mining_ext,
     mining_ext2,
     mlprep_ext,
+    mlprep_ext2,
     pipeline_ext,
     pipeline_ext2,
     pipeline_ext3,
     pipeline_ext4,
+    pipeline_ext5,
     profiling_ext,
     reshape,
     retrieval_ext,
