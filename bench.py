@@ -153,6 +153,10 @@ EXTENSION_HEADLINE = [
     "x_packing_waste",
     "x_ann_pq_adc",
     "x_coreset_kcenter",
+    "g_boruvka_mst",
+    "g_greedy_matching",
+    "x_bootstrap_ci",
+    "x_vocab_size_sweep",
 ]
 
 

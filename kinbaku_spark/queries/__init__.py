@@ -17,6 +17,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     graph_queries,
     graphmetrics_ext,
     graphmetrics_ext2,
+    graphmetrics_ext3,
     linalg_ext,
     mining_ext,
     mining_ext2,
@@ -38,6 +39,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     stats_ext,
     stats_ext2,
     stats_ext3,
+    stats_ext4,
     summary_ext,
     sql_surface,
     temporal,
@@ -65,6 +67,7 @@ for mod in (
     graph_queries,
     graphmetrics_ext,
     graphmetrics_ext2,
+    graphmetrics_ext3,
     linalg_ext,
     mining_ext,
     mining_ext2,
@@ -83,6 +86,7 @@ for mod in (
     stats_ext,
     stats_ext2,
     stats_ext3,
+    stats_ext4,
     summary_ext,
     sql_surface,
     temporal,

@@ -1,0 +1,326 @@
+"""Bounded Borůvka minimum spanning forest and deterministic greedy
+maximal matching — the two classic distributed edge-selection operators
+(cluster backbones / assignment problems) over the same weighted
+supplier→part graph the §2 queries use.
+
+The reference (kerighan/kinbaku) stores edge weights (graph.py edge
+records) but has no weighted-graph algorithms at all; these extend the
+graph-analytics family.
+
+- Borůvka rounds: every component selects its minimum-weight outgoing
+  edge, selected edges merge components (bounded min-label rounds over
+  the COMPONENT graph — star contraction), repeat. `MST_ROUNDS` fixed
+  rounds keep the oracle an exact SQL replay; full Borůvka needs
+  O(log V) rounds, and each bounded round is the exact prefix of it.
+- greedy matching: every live node proposes its minimum-weight incident
+  edge; an edge joins the matching iff BOTH endpoints proposed it
+  (the Israeli–Itai handshake, made deterministic by total-ordering
+  proposals on (weight, u, v)); matched nodes leave, repeat.
+
+Shuffle shapes (the 100 TB story):
+
+- Borůvka: per round, the edge list joins the |V|-sized label vector
+  twice (broadcast — the label table is the small side by construction)
+  and aggregates per-component minima with map-side partials; the merge
+  rounds run on the COMPONENT graph (≤ one edge per component — strictly
+  smaller each round), never the corpus-sized edge list. This is the
+  textbook MST-at-scale shape (GraphX/Pregel Borůvka).
+- matching: per round, one groupBy(node) min-proposal aggregate + one
+  (a, b)-keyed handshake aggregate; matched nodes leave via broadcast
+  anti-joins. Every shuffle key is a node or canonical edge — no
+  quadratic products anywhere.
+
+Determinism: weights quantized to integer micro-units
+(floor(w·10⁶ + 0.5) — the weight column is already rounded to 6dp, so
+this is exact), ALL argmins total-ordered on (w, a, b); label merges are
+MIN over strings (order-free). The DuckDB oracle replays every round
+bit-for-bit via MATERIALIZED CTE chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+MST_ROUNDS = 2
+MERGE_ROUNDS = 4  # min-label rounds over the component graph per Borůvka round
+MATCH_ROUNDS = 3
+
+_W_INT = "CAST(floor(weight * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def _weighted_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized weighted edges (u, v, w, a, b): w in exact micro-units,
+    (a, b) the canonical undirected form (a < b)."""
+    from kinbaku_spark.queries.graph_queries import _graph
+
+    g = _graph(spark, sf_dir)
+    e = g.edges_df.select(
+        "src", "dst", F.expr(_W_INT).alias("w")
+    )
+    both = e.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), "w"
+    ).unionAll(e.select(F.col("dst"), F.col("src"), "w"))
+    return both.select(
+        "u",
+        "v",
+        "w",
+        F.least("u", "v").alias("a"),
+        F.greatest("u", "v").alias("b"),
+    )
+
+
+# -- g_boruvka_mst: bounded Borůvka minimum spanning forest --------------------
+
+def g_boruvka_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`MST_ROUNDS` Borůvka rounds over the weighted undirected graph:
+    per round, every component's minimum-weight outgoing edge joins the
+    spanning forest and components merge (bounded `MERGE_ROUNDS`
+    min-label star contraction on the component graph).
+
+    Output: one row per round — edges added, their total weight in
+    micro-units, and the component count after the merge.
+    """
+    from kinbaku_spark.queries.graph_queries import _graph
+
+    wed = _weighted_und(spark, sf_dir)
+    g = _graph(spark, sf_dir)
+    lab = g.nodes_df.select("key", F.col("key").alias("label"))
+
+    out = []
+    for r in range(1, MST_ROUNDS + 1):
+        el = (
+            wed.join(
+                F.broadcast(lab.select(F.col("key").alias("uk"), F.col("label").alias("cu"))),
+                wed.u == F.col("uk"),
+            )
+            .join(
+                F.broadcast(lab.select(F.col("key").alias("vk"), F.col("label").alias("cv"))),
+                wed.v == F.col("vk"),
+            )
+            .filter(F.col("cu") != F.col("cv"))
+        )
+        pick = (
+            el.groupBy("cu")
+            .agg(F.min(F.struct("w", "a", "b", "cv")).alias("m"))
+            .select("cu", "m.w", "m.a", "m.b", "m.cv")
+        ).localCheckpoint(eager=False)
+        chosen = pick.select("a", "b", "w").distinct()
+
+        # star contraction: min-label rounds over the COMPONENT graph
+        comp = pick.select(F.col("cu").alias("x"), F.col("cv").alias("y")).unionAll(
+            pick.select(F.col("cv"), F.col("cu"))
+        )
+        clab = (
+            lab.select(F.col("label").alias("c"))
+            .distinct()
+            .select("c", F.col("c").alias("nc"))
+        )
+        for _ in range(MERGE_ROUNDS):
+            nb = (
+                comp.join(
+                    F.broadcast(clab.select(F.col("c").alias("x2"), "nc")),
+                    comp.x == F.col("x2"),
+                )
+                .groupBy("y")
+                .agg(F.min("nc").alias("mn"))
+            )
+            clab = (
+                clab.join(F.broadcast(nb), clab.c == nb.y, "left")
+                .select(
+                    "c",
+                    F.least(
+                        F.col("nc"), F.coalesce("mn", F.col("nc"))
+                    ).alias("nc"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        lab = (
+            lab.join(F.broadcast(clab), lab.label == clab.c)
+            .select("key", F.col("nc").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+
+        st = chosen.agg(
+            F.count(F.lit(1)).alias("edges_added"),
+            F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("weight_added_micro"),
+        )
+        nc_df = lab.agg(F.countDistinct("label").alias("n_components"))
+        out.append(
+            st.crossJoin(nc_df).select(
+                F.lit(r).alias("mst_round"),
+                "edges_added",
+                "weight_added_micro",
+                "n_components",
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionAll(df)
+    return res.orderBy("mst_round")
+
+
+def _boruvka_sql() -> str:
+    from kinbaku_spark.queries.graph_queries import GRAPH_CTE
+
+    parts = [
+        f"""wed AS MATERIALIZED (
+  SELECT u, v, w, LEAST(u, v) AS a, GREATEST(u, v) AS b FROM (
+    SELECT src AS u, dst AS v, {_W_INT} AS w FROM g_edges
+    UNION ALL
+    SELECT dst, src, {_W_INT} FROM g_edges
+  )
+)""",
+        "lab1 AS MATERIALIZED (SELECT key, key AS label FROM g_nodes)",
+    ]
+    for r in range(1, MST_ROUNDS + 1):
+        parts.append(
+            f"""el{r} AS MATERIALIZED (
+  SELECT e.w, e.a, e.b, lu.label AS cu, lv.label AS cv
+  FROM wed e
+  JOIN lab{r} lu ON lu.key = e.u
+  JOIN lab{r} lv ON lv.key = e.v
+  WHERE lu.label <> lv.label
+),
+pick{r} AS MATERIALIZED (
+  SELECT cu, w, a, b, cv FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cu ORDER BY w, a, b, cv) AS rn
+    FROM el{r}
+  ) WHERE rn = 1
+),
+clab{r}_0 AS MATERIALIZED (
+  SELECT DISTINCT label AS c, label AS nc FROM lab{r}
+)"""
+        )
+        for j in range(MERGE_ROUNDS):
+            parts.append(
+                f"""nb{r}_{j} AS MATERIALIZED (
+  SELECT t.y, MIN(l.nc) AS mn FROM (
+    SELECT cu AS x, cv AS y FROM pick{r}
+    UNION ALL SELECT cv, cu FROM pick{r}
+  ) t JOIN clab{r}_{j} l ON l.c = t.x GROUP BY t.y
+),
+clab{r}_{j + 1} AS MATERIALIZED (
+  SELECT l.c, LEAST(l.nc, COALESCE(n.mn, l.nc)) AS nc
+  FROM clab{r}_{j} l LEFT JOIN nb{r}_{j} n ON n.y = l.c
+)"""
+            )
+        parts.append(
+            f"""lab{r + 1} AS MATERIALIZED (
+  SELECT l.key, m.nc AS label
+  FROM lab{r} l JOIN clab{r}_{MERGE_ROUNDS} m ON m.c = l.label
+),
+stats{r} AS MATERIALIZED (
+  SELECT {r} AS mst_round,
+         CAST(COUNT(*) AS BIGINT) AS edges_added,
+         CAST(COALESCE(SUM(w), 0) AS BIGINT) AS weight_added_micro,
+         (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM lab{r + 1})
+           AS n_components
+  FROM (SELECT DISTINCT a, b, w FROM pick{r})
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT * FROM stats{r}" for r in range(1, MST_ROUNDS + 1)
+    )
+    return (
+        GRAPH_CTE.rstrip()
+        + ", "
+        + ",\n".join(parts)
+        + "\n"
+        + unions
+        + "\nORDER BY mst_round"
+    )
+
+
+# -- g_greedy_matching: deterministic maximal matching -------------------------
+
+def g_greedy_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`MATCH_ROUNDS` handshake rounds of greedy matching: each live
+    node proposes its minimum-(w, a, b) incident edge; edges proposed by
+    BOTH endpoints join the matching; matched nodes leave. Returns the
+    matched edges (match_round, a, b, w).
+    """
+    wed = _weighted_und(spark, sf_dir)
+    live = wed
+    matched = []
+    for r in range(1, MATCH_ROUNDS + 1):
+        prop = (
+            live.groupBy("u")
+            .agg(F.min(F.struct("w", "a", "b")).alias("m"))
+            .select("u", "m.w", "m.a", "m.b")
+        )
+        hand = (
+            prop.groupBy("a", "b", "w")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") == 2)
+            .select("a", "b", "w")
+        ).localCheckpoint(eager=False)
+        matched.append(
+            hand.select(F.lit(r).alias("match_round"), "a", "b", "w")
+        )
+        gone = hand.select(F.col("a").alias("k")).unionAll(
+            hand.select(F.col("b"))
+        ).distinct()
+        live = (
+            live.join(F.broadcast(gone), live.u == gone.k, "left_anti")
+            .join(F.broadcast(gone), live.v == gone.k, "left_anti")
+            .localCheckpoint(eager=False)
+        )
+    res = matched[0]
+    for df in matched[1:]:
+        res = res.unionAll(df)
+    return res.orderBy("match_round", "a", "b")
+
+
+def _matching_sql() -> str:
+    from kinbaku_spark.queries.graph_queries import GRAPH_CTE
+
+    parts = [
+        f"""live1 AS MATERIALIZED (
+  SELECT u, v, w, LEAST(u, v) AS a, GREATEST(u, v) AS b FROM (
+    SELECT src AS u, dst AS v, {_W_INT} AS w FROM g_edges
+    UNION ALL
+    SELECT dst, src, {_W_INT} FROM g_edges
+  )
+)"""
+    ]
+    for r in range(1, MATCH_ROUNDS + 1):
+        parts.append(
+            f"""prop{r} AS MATERIALIZED (
+  SELECT u, w, a, b FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY u ORDER BY w, a, b) AS rn
+    FROM live{r}
+  ) WHERE rn = 1
+),
+hand{r} AS MATERIALIZED (
+  SELECT a, b, w FROM prop{r} GROUP BY a, b, w HAVING COUNT(*) = 2
+),
+gone{r} AS MATERIALIZED (
+  SELECT a AS k FROM hand{r} UNION SELECT b FROM hand{r}
+),
+live{r + 1} AS MATERIALIZED (
+  SELECT l.* FROM live{r} l
+  WHERE l.u NOT IN (SELECT k FROM gone{r})
+    AND l.v NOT IN (SELECT k FROM gone{r})
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS match_round, a, b, w FROM hand{r}"
+        for r in range(1, MATCH_ROUNDS + 1)
+    )
+    return (
+        GRAPH_CTE.rstrip()
+        + ", "
+        + ",\n".join(parts)
+        + "\n"
+        + unions
+        + "\nORDER BY match_round, a, b"
+    )
+
+
+QUERIES["g_boruvka_mst"] = g_boruvka_mst
+ORACLES["g_boruvka_mst"] = _boruvka_sql()
+QUERIES["g_greedy_matching"] = g_greedy_matching
+ORACLES["g_greedy_matching"] = _matching_sql()
