@@ -157,6 +157,8 @@ EXTENSION_HEADLINE = [
     "g_greedy_matching",
     "x_bootstrap_ci",
     "x_vocab_size_sweep",
+    "x_dedup_probe",
+    "x_quality_dup_matrix",
 ]
 
 

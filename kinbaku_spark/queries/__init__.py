@@ -11,6 +11,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     audit_ext,
     behavioral_ext,
     curation_ext,
+    curation_ext2,
     dedup_ext,
     drift_ext,
     eval_ext,
@@ -61,6 +62,7 @@ for mod in (
     audit_ext,
     behavioral_ext,
     curation_ext,
+    curation_ext2,
     dedup_ext,
     drift_ext,
     eval_ext,
