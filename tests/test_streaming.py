@@ -462,3 +462,72 @@ def test_stream_stream_outer_join_parity(spark, event_files):
     got = spark.table("t_sjoin_outer")
     assert null_rows, "fixture must exercise the null-emission path"
     assert _rows(got, ["user_id", "a_event", "b_event"]) == expected
+
+
+def test_streaming_ann_ingest_matches_sequential_replay(spark, sf_dir):
+    """The streaming ANN-ingest loop (foreachBatch probing a persistent
+    IVF index, search-then-insert) must produce exactly the results a
+    direct sequential replay of the same batches produces, and every
+    reported neighbor must have been indexed in an EARLIER batch."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kinbaku_spark.sources.tables import load_table
+    from kinbaku_spark.streaming import (
+        ann_ingest_batch,
+        ann_ingest_to_parquet,
+        seed_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = seed_centroids(emb, k=8)
+    d = tempfile.mkdtemp(prefix="kb_ann_ingest_")
+    try:
+        emb.repartitionByRange(4, "vec_id").write.mode("overwrite").parquet(
+            f"{d}/vecs"
+        )
+        files = sorted(glob.glob(f"{d}/vecs/part-*"))
+        for i, p in enumerate(files):
+            os.utime(p, (2_000_000 + i, 2_000_000 + i))
+
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/vecs")
+        )
+        q = ann_ingest_to_parquet(
+            stream, f"{d}/index", f"{d}/results", f"{d}/ckpt", cents
+        )
+        q.awaitTermination(180)
+        got = sorted(
+            (r.vec_id, r.rank, r.neighbor_id, r.dot)
+            for r in spark.read.parquet(f"{d}/results").collect()
+        )
+
+        for p in files:
+            ann_ingest_batch(
+                spark.read.parquet(p), f"{d}/index2", f"{d}/results2", cents
+            )
+        want = sorted(
+            (r.vec_id, r.rank, r.neighbor_id, r.dot)
+            for r in spark.read.parquet(f"{d}/results2").collect()
+        )
+        assert got == want
+        assert got, "expected some ANN results after the first batch"
+
+        # search-then-insert: a neighbor must come from a STRICTLY earlier batch
+        batch_of = {}
+        for i, p in enumerate(files):
+            for r in spark.read.parquet(p).collect():
+                batch_of[r.vec_id] = i
+        for vec_id, _rank, neighbor_id, _dot in got:
+            assert batch_of[neighbor_id] < batch_of[vec_id]
+
+        # the index holds every ingested vector exactly once
+        idx = spark.read.parquet(f"{d}/index")
+        assert idx.count() == emb.count()
+        assert idx.select("vec_id").distinct().count() == emb.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
