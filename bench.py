@@ -159,6 +159,7 @@ EXTENSION_HEADLINE = [
     "x_vocab_size_sweep",
     "x_dedup_probe",
     "x_quality_dup_matrix",
+    "x_ann_pq_recall",
 ]
 
 

@@ -119,6 +119,18 @@ def x_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     readout). Scoring is a map-only projection: M array lookups per
     vector, never a d-dim dot against the corpus.
     """
+    scored = _pq_scored(spark, sf_dir)
+    if scored is None:
+        return spark.createDataFrame(
+            [], "vec_id long, adc_dot long, exact_dot long"
+        )
+    return scored.orderBy(F.desc("adc_dot"), "vec_id").limit(PQ_TOPK)
+
+
+def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """The full PQ-scored corpus (vec_id, adc_dot, exact_dot) for the
+    vec_id-0 query — shared by the top-k query and the recall eval.
+    None when the corpus is empty (no seeds / no query vector)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.select("vec_id", F.expr(_INT_VEC).alias("q"))
     wide = qv.select(
@@ -137,9 +149,7 @@ def x_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qrow = wide.filter(F.col("vec_id") == 0).select("q").collect()
     if not seed_rows or not qrow:
-        return spark.createDataFrame(
-            [], "vec_id long, adc_dot long, exact_dot long"
-        )
+        return None
     seeds = {
         m: sorted(
             (int(r["vec_id"]), [int(x) for x in r[f"s{m}"]]) for r in seed_rows
@@ -201,19 +211,14 @@ def x_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = lut_at(0)
     for m in range(1, PQ_M):
         adc = adc + lut_at(m)
-    return (
-        wide.filter(F.col("vec_id") != 0)
-        .select(
-            "vec_id",
-            adc.cast("long").alias("adc_dot"),
-            _dot_lit(F.col("q"), query).cast("long").alias("exact_dot"),
-        )
-        .orderBy(F.desc("adc_dot"), "vec_id")
-        .limit(PQ_TOPK)
+    return wide.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        adc.cast("long").alias("adc_dot"),
+        _dot_lit(F.col("q"), query).cast("long").alias("exact_dot"),
     )
 
 
-def _pq_sql() -> str:
+def _pq_prefix() -> str:
     return f"""
 WITH qv AS (
   SELECT vec_id, {_SQL_INT_VEC} AS q FROM embeddings
@@ -271,17 +276,71 @@ adc AS (
   SELECT k.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_dot
   FROM codes k JOIN lut l USING (m, code)
   GROUP BY k.vec_id
-)
-SELECT v.vec_id, a.adc_dot, {_sql_idot('v.q', 'qq.q')} AS exact_dot
-FROM qv v JOIN adc a USING (vec_id) CROSS JOIN qq
-WHERE v.vec_id <> 0
-ORDER BY a.adc_dot DESC, v.vec_id
+),
+scored AS (
+  SELECT v.vec_id, a.adc_dot, {_sql_idot('v.q', 'qq.q')} AS exact_dot
+  FROM qv v JOIN adc a USING (vec_id) CROSS JOIN qq
+  WHERE v.vec_id <> 0
+)"""
+
+
+def _pq_sql() -> str:
+    return (
+        _pq_prefix()
+        + f"""
+SELECT vec_id, adc_dot, exact_dot FROM scored
+ORDER BY adc_dot DESC, vec_id
 LIMIT {PQ_TOPK}
 """
+    )
+
+
+def _pq_recall_sql() -> str:
+    return (
+        _pq_prefix()
+        + f""",
+truth AS (SELECT vec_id FROM scored ORDER BY exact_dot DESC, vec_id
+          LIMIT {PQ_TOPK}),
+pqtop AS (SELECT vec_id FROM scored ORDER BY adc_dot DESC, vec_id
+          LIMIT {PQ_TOPK})
+SELECT {PQ_TOPK} AS k, CAST(COUNT(*) AS BIGINT) AS hits,
+       CAST(COUNT(*) * 1000000 // {PQ_TOPK} AS BIGINT) AS recall_ppm
+FROM truth JOIN pqtop USING (vec_id)
+HAVING (SELECT COUNT(*) FROM qq) > 0
+"""
+    )
+
+
+def x_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ-ADC ranking against the exact-dot brute-force
+    truth for the same query — the quantization-quality gate you check
+    before trusting compressed codes at scale. One row: k, overlap
+    count, recall in ppm.
+    """
+    scored = _pq_scored(spark, sf_dir)
+    if scored is None:
+        return spark.createDataFrame([], "k int, hits long, recall_ppm long")
+    truth = (
+        scored.orderBy(F.desc("exact_dot"), "vec_id")
+        .limit(PQ_TOPK)
+        .select("vec_id")
+    )
+    pqtop = (
+        scored.orderBy(F.desc("adc_dot"), "vec_id")
+        .limit(PQ_TOPK)
+        .select("vec_id")
+    )
+    return truth.join(pqtop, "vec_id").agg(
+        F.lit(PQ_TOPK).alias("k"),
+        F.count(F.lit(1)).alias("hits"),
+        F.expr(f"count(1) * 1000000 div {PQ_TOPK}").alias("recall_ppm"),
+    )
 
 
 QUERIES["x_ann_pq_adc"] = x_ann_pq_adc
 ORACLES["x_ann_pq_adc"] = _pq_sql()
+QUERIES["x_ann_pq_recall"] = x_ann_pq_recall
+ORACLES["x_ann_pq_recall"] = _pq_recall_sql()
 
 
 # -- x_coreset_kcenter: greedy k-center data selection -------------------------
