@@ -160,6 +160,8 @@ EXTENSION_HEADLINE = [
     "x_dedup_probe",
     "x_quality_dup_matrix",
     "x_ann_pq_recall",
+    "x_vocab_drift",
+    "x_topic_diversity",
 ]
 
 

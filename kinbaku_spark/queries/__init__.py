@@ -14,6 +14,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     curation_ext2,
     dedup_ext,
     drift_ext,
+    drift_ext2,
     eval_ext,
     graph_queries,
     graphmetrics_ext,
@@ -65,6 +66,7 @@ for mod in (
     curation_ext2,
     dedup_ext,
     drift_ext,
+    drift_ext2,
     eval_ext,
     graph_queries,
     graphmetrics_ext,
