@@ -162,6 +162,7 @@ EXTENSION_HEADLINE = [
     "x_ann_pq_recall",
     "x_vocab_drift",
     "x_topic_diversity",
+    "x_join_size_estimate",
 ]
 
 

@@ -25,6 +25,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     mining_ext2,
     mlprep_ext,
     mlprep_ext2,
+    optimizer_ext,
     pipeline_ext,
     pipeline_ext2,
     pipeline_ext3,
@@ -77,6 +78,7 @@ for mod in (
     mining_ext2,
     mlprep_ext,
     mlprep_ext2,
+    optimizer_ext,
     pipeline_ext,
     pipeline_ext2,
     pipeline_ext3,

@@ -28,7 +28,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from kinbaku_spark.functions.hashing import sql_md5_long
+from kinbaku_spark.functions.hashing import (
+    HASH_PRIME,
+    minhash_coeffs,
+    sql_md5_long,
+)
 from kinbaku_spark.sources.tables import load_table
 
 QUERIES: dict = {}
@@ -66,22 +70,32 @@ def x_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     One row out: replica count, mean of replica means, CI bounds.
     """
     o = load_table(spark, sf_dir, "orders")
-    fan = o.select(
-        "o_orderkey",
+    # ONE md5 per row, then a universal hash per replica — 16 integer ops
+    # instead of 16 md5s on the ×B fan-out (the MinHash coefficient trick)
+    base = o.select(
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % HASH_PRIME
+        ).alias("h0"),
     )
-    h = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("b"), F.col("o_orderkey"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 10000
+    coeffs = minhash_coeffs(BOOT_B, seed=77)
+    fan = base.select(
+        "cents",
+        "h0",
+        F.explode(F.array(*[F.lit(b) for b in range(BOOT_B)])).alias("b"),
     )
-    w = _pois_weight_spark(h)
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
+    c_arr = F.array(*[F.lit(c).cast("long") for _, c in coeffs])
+    hb = (
+        F.element_at(a_arr, F.col("b") + 1) * F.col("h0")
+        + F.element_at(c_arr, F.col("b") + 1)
+    ) % HASH_PRIME % 10000
+    w = _pois_weight_spark(hb)
     reps = (
         fan.select("b", (w * F.col("cents")).alias("wc"), w.alias("w"))
         .groupBy("b")
@@ -111,20 +125,22 @@ def x_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("n_replicas") > 0)
 
 
-_BOOT_H = (
-    sql_md5_long("(CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR))")
-    + " % 10000"
+_BOOT_COEFFS = minhash_coeffs(BOOT_B, seed=77)
+_BOOT_VALUES = ", ".join(
+    f"({b}, {a}, {c})" for b, (a, c) in enumerate(_BOOT_COEFFS)
 )
+_BOOT_HB = f"(co.a * base.h0 + co.c) % {HASH_PRIME} % 10000"
 
 X_BOOTSTRAP_SQL = f"""
-WITH fan AS (
-  SELECT o_orderkey,
-         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
-         unnest(range({BOOT_B})) AS b
+WITH base AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         {sql_md5_long("CAST(o_orderkey AS VARCHAR)")} % {HASH_PRIME} AS h0
   FROM orders
 ),
+co AS (SELECT * FROM (VALUES {_BOOT_VALUES}) AS t(b, a, c)),
 weighted AS (
-  SELECT b, cents, {_pois_weight_sql('(' + _BOOT_H + ')')} AS w FROM fan
+  SELECT co.b, base.cents, {_pois_weight_sql('(' + _BOOT_HB + ')')} AS w
+  FROM base CROSS JOIN co
 ),
 reps AS (
   SELECT b, CAST(SUM(w * cents) AS BIGINT) // CAST(SUM(w) AS BIGINT)
