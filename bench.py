@@ -163,6 +163,7 @@ EXTENSION_HEADLINE = [
     "x_vocab_drift",
     "x_topic_diversity",
     "x_join_size_estimate",
+    "x_ndcg_eval",
 ]
 
 

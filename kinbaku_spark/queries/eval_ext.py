@@ -258,3 +258,148 @@ QUERIES["x_mrr_eval"] = x_mrr_eval
 ORACLES["x_mrr_eval"] = _mrr_sql()
 QUERIES["x_winsorized_stats"] = x_winsorized_stats
 ORACLES["x_winsorized_stats"] = X_WINSORIZED_SQL
+
+
+# -- x_ndcg_eval: nDCG@k with a fixed integer discount table ------------------
+#
+# The log2 discounts are PRECOMPUTED Python constants rendered as literals
+# into both engines (floor(10^6 / log2(rank+1))), so the metric stays
+# integer-exact end-to-end — no cross-engine transcendental drift. Binary
+# relevance = same label as the anchor (the MRR eval's convention).
+
+NDCG_K = 10
+NDCG_N_ANCHORS = 8
+NDCG_DISCOUNT_PPM = [
+    1000000, 630929, 500000, 430676, 386852,
+    356207, 333333, 315464, 301029, 289064,
+]
+NDCG_IDEAL_PREFIX = [
+    sum(NDCG_DISCOUNT_PPM[:i]) for i in range(NDCG_K + 1)
+]  # IDEAL_PREFIX[r] = best possible DCG with r relevant docs in the top k
+
+
+def x_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@`NDCG_K` of the raw embedding space for the first
+    `NDCG_N_ANCHORS` vectors: cosine-rank the corpus per anchor, credit
+    same-label hits in the top k with the fixed integer log2-discount
+    table, and normalize by the ideal DCG given how many same-label docs
+    exist (capped at k). Anchors with no same-label doc are skipped in
+    both engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < NDCG_N_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("avec"),
+    )
+    label_n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    cand = (
+        F.broadcast(anchors)
+        .crossJoin(emb.select("vec_id", "label", "embedding"))
+        .where(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "label",
+            F.round(cosine(F.col("avec"), F.col("embedding")), 6).alias("sim"),
+            F.col("vec_id"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), "vec_id")
+    disc = F.array(*[F.lit(d).cast("long") for d in NDCG_DISCOUNT_PPM])
+    ideal = F.array(*[F.lit(d).cast("long") for d in NDCG_IDEAL_PREFIX])
+    dcg = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= NDCG_K)
+        .groupBy("anchor_id", "anchor_label")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("label") == F.col("anchor_label"),
+                    F.element_at(disc, F.col("rank")),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("dcg_ppm")
+        )
+    )
+    return (
+        dcg.join(
+            F.broadcast(label_n),
+            dcg.anchor_label == label_n.label,
+        )
+        .select(
+            "anchor_id",
+            F.least(F.col("n_label") - 1, F.lit(NDCG_K))
+            .cast("int")
+            .alias("n_rel"),
+            "dcg_ppm",
+            F.element_at(
+                ideal,
+                (F.least(F.col("n_label") - 1, F.lit(NDCG_K)) + 1).cast("int"),
+            ).alias("idcg_ppm"),
+        )
+        .where(F.col("idcg_ppm") > 0)
+        .select(
+            "anchor_id",
+            "n_rel",
+            "dcg_ppm",
+            "idcg_ppm",
+            F.expr(
+                "CAST(CAST(dcg_ppm AS DECIMAL(38,0)) * 1000000"
+                " div idcg_ppm AS BIGINT)"
+            ).alias("ndcg_ppm"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+def _ndcg_sql() -> str:
+    from kinbaku_spark.queries.extensions import _sql_cosine
+
+    disc_arr = "[" + ", ".join(str(d) for d in NDCG_DISCOUNT_PPM) + "]"
+    ideal_arr = "[" + ", ".join(str(d) for d in NDCG_IDEAL_PREFIX) + "]"
+    return f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS avec
+  FROM embeddings WHERE vec_id < {NDCG_N_ANCHORS}
+),
+label_n AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label
+  FROM embeddings GROUP BY label
+),
+cand AS (
+  SELECT a.anchor_id, a.anchor_label, e.label, e.vec_id,
+         ROUND({_sql_cosine('a.avec', 'e.embedding')}, 6) AS sim
+  FROM anchors a CROSS JOIN embeddings e
+  WHERE e.vec_id <> a.anchor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                               ORDER BY sim DESC, vec_id) AS rank
+  FROM cand
+),
+dcg AS (
+  SELECT anchor_id, anchor_label,
+         CAST(SUM(CASE WHEN label = anchor_label
+                       THEN ({disc_arr})[rank] ELSE 0 END) AS BIGINT)
+           AS dcg_ppm
+  FROM ranked WHERE rank <= {NDCG_K}
+  GROUP BY anchor_id, anchor_label
+)
+SELECT d.anchor_id,
+       CAST(LEAST(l.n_label - 1, {NDCG_K}) AS INTEGER) AS n_rel,
+       d.dcg_ppm,
+       CAST(({ideal_arr})[LEAST(l.n_label - 1, {NDCG_K}) + 1] AS BIGINT)
+         AS idcg_ppm,
+       CAST(CAST(d.dcg_ppm AS HUGEINT) * 1000000
+            // ({ideal_arr})[LEAST(l.n_label - 1, {NDCG_K}) + 1]
+            AS BIGINT) AS ndcg_ppm
+FROM dcg d JOIN label_n l ON l.label = d.anchor_label
+WHERE ({ideal_arr})[LEAST(l.n_label - 1, {NDCG_K}) + 1] > 0
+ORDER BY d.anchor_id
+"""
+
+
+QUERIES["x_ndcg_eval"] = x_ndcg_eval
+ORACLES["x_ndcg_eval"] = _ndcg_sql()
