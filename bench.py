@@ -164,6 +164,7 @@ EXTENSION_HEADLINE = [
     "x_topic_diversity",
     "x_join_size_estimate",
     "x_ndcg_eval",
+    "x_linkage_agreement_lift",
 ]
 
 

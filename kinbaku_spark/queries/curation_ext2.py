@@ -285,3 +285,130 @@ QUERIES["x_dedup_probe"] = x_dedup_probe
 ORACLES["x_dedup_probe"] = _probe_sql()
 QUERIES["x_quality_dup_matrix"] = x_quality_dup_matrix
 ORACLES["x_quality_dup_matrix"] = X_QUALITY_DUP_SQL
+
+
+# -- x_linkage_agreement_lift: Fellegi-Sunter-style field weights --------------
+#
+# The u-probability side of probabilistic record linkage, computed WITHOUT
+# enumerating a single pair: P(field agrees | pair in same nation block)
+# vs P(field agrees | random pair) from contingency counts alone —
+# Σ C(n_{block,value}, 2) over Σ C(N_block, 2), etc. At 100 TB every term
+# is a small-dim groupBy with map-side partials; the pair space (10²³ at
+# that scale) is never materialized. Fields whose block-agreement lift is
+# high are informative matchers; lift ≈ 10⁶ means the field is
+# independent of the block and adds no linkage evidence.
+
+_LINK_FIELDS = [
+    ("mktsegment", "c_mktsegment"),
+    ("bal_sign", "CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END"),
+    ("bal_kbucket", "CAST(CAST(floor(c_acctbal) AS BIGINT) // 1000 AS VARCHAR)"),
+]
+
+
+def x_linkage_agreement_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field agreement rates among same-nation-block customer pairs
+    vs all pairs, and the block lift (ppm of the overall rate) — the
+    field-informativeness table a Fellegi-Sunter linker is seeded with.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    spark_exprs = {
+        "mktsegment": F.col("c_mktsegment"),
+        "bal_sign": F.when(F.col("c_acctbal") < 0, "neg").otherwise("pos"),
+        "bal_kbucket": F.expr(
+            "CAST(CAST(floor(c_acctbal) AS BIGINT) div 1000 AS STRING)"
+        ),
+    }
+    d38 = "decimal(38,0)"
+    pairs2 = lambda c: (F.col(c).cast(d38) * (F.col(c) - 1))  # noqa: E731
+
+    total = cust.agg(F.count(F.lit(1)).alias("n"))
+    block_tot = (
+        cust.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .agg(F.sum(F.expr("CAST(nb AS DECIMAL(38,0)) * (nb - 1)")).alias("bp2"))
+    )
+
+    out = []
+    for fname, _sql in _LINK_FIELDS:
+        val = spark_exprs[fname].alias("v")
+        by_val = (
+            cust.select(val)
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(pairs2("c")).alias("agree_all2"))
+        )
+        by_block_val = (
+            cust.select("c_nationkey", val)
+            .groupBy("c_nationkey", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(pairs2("c")).alias("agree_block2"))
+        )
+        out.append(
+            by_block_val.crossJoin(by_val)
+            .crossJoin(F.broadcast(block_tot))
+            .crossJoin(F.broadcast(total))
+            .filter(
+                (F.col("bp2") > 0)
+                & (F.col("n") >= 2)
+                & (F.col("agree_all2") > 0)
+            )
+            .select(
+                F.lit(fname).alias("field"),
+                F.expr(
+                    "CAST(agree_block2 * 1000000 div bp2 AS BIGINT)"
+                ).alias("block_agree_ppm"),
+                F.expr(
+                    "CAST(agree_all2 * 1000000 div"
+                    " (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"
+                ).alias("overall_agree_ppm"),
+                F.expr(
+                    "CAST((agree_block2 * 1000000 div bp2) * 1000000 div"
+                    " (agree_all2 * 1000000 div"
+                    "  (CAST(n AS DECIMAL(38,0)) * (n - 1))) AS BIGINT)"
+                ).alias("lift_ppm"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionAll(df)
+    return res.orderBy("field")
+
+
+def _linkage_sql() -> str:
+    blocks = []
+    for fname, sql_expr in _LINK_FIELDS:
+        blocks.append(
+            f"""
+SELECT '{fname}' AS field,
+       CAST(ab.agree_block2 * 1000000 // bt.bp2 AS BIGINT)
+         AS block_agree_ppm,
+       CAST(aa.agree_all2 * 1000000 // (CAST(t.n AS HUGEINT) * (t.n - 1))
+            AS BIGINT) AS overall_agree_ppm,
+       CAST((ab.agree_block2 * 1000000 // bt.bp2) * 1000000 //
+            (aa.agree_all2 * 1000000 // (CAST(t.n AS HUGEINT) * (t.n - 1)))
+            AS BIGINT) AS lift_ppm
+FROM (
+  SELECT SUM(CAST(c AS HUGEINT) * (c - 1)) AS agree_block2 FROM (
+    SELECT c_nationkey, {sql_expr} AS v, COUNT(*) AS c
+    FROM customer GROUP BY 1, 2
+  )
+) ab
+CROSS JOIN (
+  SELECT SUM(CAST(c AS HUGEINT) * (c - 1)) AS agree_all2 FROM (
+    SELECT {sql_expr} AS v, COUNT(*) AS c FROM customer GROUP BY 1
+  )
+) aa
+CROSS JOIN (
+  SELECT SUM(CAST(nb AS HUGEINT) * (nb - 1)) AS bp2 FROM (
+    SELECT c_nationkey, COUNT(*) AS nb FROM customer GROUP BY 1
+  )
+) bt
+CROSS JOIN (SELECT COUNT(*) AS n FROM customer) t
+WHERE bt.bp2 > 0 AND t.n >= 2 AND aa.agree_all2 > 0
+"""
+        )
+    return "\nUNION ALL\n".join(blocks) + "\nORDER BY field"
+
+
+QUERIES["x_linkage_agreement_lift"] = x_linkage_agreement_lift
+ORACLES["x_linkage_agreement_lift"] = _linkage_sql()
