@@ -28,6 +28,10 @@ PICKS = [
     "x_kmeans_clusters",
     "g_node2vec_walks",
     "q_window_top_orders",
+    "x_ann_pq_adc",
+    "g_boruvka_mst",
+    "x_bootstrap_ci",
+    "x_coreset_kcenter",
 ]
 
 
