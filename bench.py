@@ -165,6 +165,7 @@ EXTENSION_HEADLINE = [
     "x_join_size_estimate",
     "x_ndcg_eval",
     "x_linkage_agreement_lift",
+    "x_hist_quantile_accuracy",
 ]
 
 

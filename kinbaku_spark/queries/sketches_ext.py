@@ -369,3 +369,138 @@ ORACLES = {
     "x_hll_distinct": X_HLL_SQL,
     "x_bloom_prune": X_BLOOM_SQL,
 }
+
+
+# -- x_hist_quantile_accuracy: mergeable histogram quantile sketch vs exact ---
+#
+# The mergeable-quantile-sketch pattern (t-digest/KLL's job) in its
+# simplest exactly-replayable form: a fixed 64-bucket equi-width histogram
+# (bucket counts ADD across partitions/batches — that is the mergeability)
+# answers p50/p90/p99 as the lower edge of the first bucket whose
+# cumulative count reaches ceil(q·n/100); the exact answer comes from the
+# distinct-value histogram (the winsorized-stats pattern — no global row
+# sort). The error column is the sketch's resolution cost: width/est
+# trade-off you size the bucket count with.
+#
+# Shuffle shape: one 64-group aggregate with map-side partials for the
+# sketch; one value-domain-bounded distinct aggregate for the truth. At
+# 100 TB you keep ONLY the sketch branch (64 rows per partition merge).
+
+HQ_BUCKETS = 64
+HQ_QS = [50, 90, 99]
+
+
+def x_hist_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of order value estimated from a mergeable 64-bucket
+    histogram vs the exact quantile, with the absolute error in cents —
+    the accuracy readout that sizes a quantile sketch before trusting it
+    corpus-wide."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    stats = cents.agg(
+        F.min("c").alias("mn"),
+        F.max("c").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    hist = (
+        cents.crossJoin(F.broadcast(stats))
+        .select(
+            F.expr(f"(c - mn) * {HQ_BUCKETS} div (mx - mn + 1)").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bucket", F.sum("bn").over(wcum).alias("cum"))
+    qs = spark.createDataFrame([(q,) for q in HQ_QS], "q_pct int")
+    est = (
+        qs.crossJoin(cum)
+        .crossJoin(F.broadcast(stats))
+        .filter(F.expr("cum >= (q_pct * n + 99) div 100"))
+        .groupBy("q_pct")
+        .agg(
+            F.min("bucket").alias("b"),
+            F.first("mn").alias("mn"),
+            F.first("mx").alias("mx"),
+        )
+        .select(
+            "q_pct",
+            F.expr(
+                f"mn + (b * (mx - mn + 1) + {HQ_BUCKETS - 1}) div {HQ_BUCKETS}"
+            ).alias("est_cents"),
+        )
+    )
+    dv = cents.groupBy("c").agg(F.count(F.lit(1)).alias("vn"))
+    wv = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    dcum = dv.select("c", F.sum("vn").over(wv).alias("cum"))
+    exact = (
+        qs.crossJoin(dcum)
+        .crossJoin(F.broadcast(stats.select("n")))
+        .filter(F.expr("cum >= (q_pct * n + 99) div 100"))
+        .groupBy("q_pct")
+        .agg(F.min("c").alias("exact_cents"))
+    )
+    return (
+        est.join(exact, "q_pct")
+        .select(
+            "q_pct",
+            "est_cents",
+            "exact_cents",
+            F.abs(F.col("est_cents") - F.col("exact_cents")).alias(
+                "abs_err_cents"
+            ),
+        )
+        .orderBy("q_pct")
+    )
+
+
+X_HIST_QUANTILE_SQL = f"""
+WITH cents AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c FROM orders
+),
+stats AS (SELECT MIN(c) AS mn, MAX(c) AS mx, CAST(COUNT(*) AS BIGINT) AS n
+          FROM cents),
+hist AS (
+  SELECT ((c - mn) * {HQ_BUCKETS}) // (mx - mn + 1) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS bn
+  FROM cents CROSS JOIN stats
+  GROUP BY 1
+),
+cum AS (
+  SELECT bucket, SUM(bn) OVER (ORDER BY bucket
+                               ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+qs AS (SELECT unnest([{", ".join(str(q) for q in HQ_QS)}]) AS q_pct),
+est AS (
+  SELECT q.q_pct,
+         s.mn + (MIN(c.bucket) * (s.mx - s.mn + 1) + {HQ_BUCKETS - 1})
+                  // {HQ_BUCKETS} AS est_cents
+  FROM qs q CROSS JOIN cum c CROSS JOIN stats s
+  WHERE c.cum >= (q.q_pct * s.n + 99) // 100
+  GROUP BY q.q_pct, s.mn, s.mx
+),
+dv AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS vn FROM cents GROUP BY c),
+dcum AS (
+  SELECT c, SUM(vn) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum
+  FROM dv
+),
+exact AS (
+  SELECT q.q_pct, MIN(d.c) AS exact_cents
+  FROM qs q CROSS JOIN dcum d CROSS JOIN stats s
+  WHERE d.cum >= (q.q_pct * s.n + 99) // 100
+  GROUP BY q.q_pct
+)
+SELECT e.q_pct, e.est_cents, x.exact_cents,
+       ABS(e.est_cents - x.exact_cents) AS abs_err_cents
+FROM est e JOIN exact x USING (q_pct)
+ORDER BY e.q_pct
+"""
+
+
+QUERIES["x_hist_quantile_accuracy"] = x_hist_quantile_accuracy
+ORACLES["x_hist_quantile_accuracy"] = X_HIST_QUANTILE_SQL
