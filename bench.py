@@ -166,6 +166,7 @@ EXTENSION_HEADLINE = [
     "x_ndcg_eval",
     "x_linkage_agreement_lift",
     "x_hist_quantile_accuracy",
+    "g_motif_brokers",
 ]
 
 

@@ -324,3 +324,73 @@ QUERIES["g_boruvka_mst"] = g_boruvka_mst
 ORACLES["g_boruvka_mst"] = _boruvka_sql()
 QUERIES["g_greedy_matching"] = g_greedy_matching
 ORACLES["g_greedy_matching"] = _matching_sql()
+
+
+# -- g_motif_brokers: Graph.find() open triads through the oracle gate --------
+
+MOTIF_TOP = 10
+
+
+def g_motif_brokers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-hole brokers on the tight co-supplier backbone: the
+    nodes heading the most OPEN triads a→b→c with no a→c closure,
+    found with the GraphFrames-style motif surface
+    (``Graph.find("(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")``) — the
+    multi-hop pattern query the reference has no surface for, compiled
+    to Catalyst join chains and verified against a NOT EXISTS oracle.
+    Top `MOTIF_TOP` by open-triad count.
+    """
+    from kinbaku_spark.graph import Graph
+    from kinbaku_spark.queries.graphmetrics_ext2 import _truss_proj
+
+    proj = _truss_proj(spark, sf_dir).localCheckpoint(eager=True)
+    edges = proj.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst")
+    ).unionAll(proj.select(F.col("s2"), F.col("s1")))
+    g = Graph.from_edges(edges)
+    triads = g.find("(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+    return (
+        triads.filter(F.col("a") != F.col("c"))
+        .groupBy(F.col("a").alias("broker"))
+        .agg(F.count(F.lit(1)).alias("open_triads"))
+        .orderBy(F.desc("open_triads"), "broker")
+        .limit(MOTIF_TOP)
+    )
+
+
+def _motif_sql() -> str:
+    from kinbaku_spark.queries.graph_queries import GRAPH_CTE
+
+    return (
+        GRAPH_CTE.rstrip()
+        + f""",
+sp AS (SELECT DISTINCT src, dst FROM g_edges),
+shared AS MATERIALIZED (
+  SELECT a.src AS s1, b.src AS s2, COUNT(*) AS shared_parts
+  FROM sp a JOIN sp b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+),
+thr AS (SELECT CAST(CEIL(AVG(shared_parts)) AS BIGINT) AS t,
+               CAST(MAX(shared_parts) AS BIGINT) AS mx FROM shared),
+e0 AS MATERIALIZED (
+  SELECT s1, s2 FROM shared
+  WHERE shared_parts >= (SELECT t + (mx - t) // 3 FROM thr)),
+und AS MATERIALIZED (
+  SELECT s1 AS u, s2 AS v FROM e0 UNION ALL SELECT s2, s1 FROM e0),
+triads AS (
+  SELECT DISTINCT ab.u AS a, ab.v AS b, bc.v AS c
+  FROM und ab JOIN und bc ON bc.u = ab.v
+  WHERE ab.u <> bc.v
+    AND NOT EXISTS (SELECT 1 FROM und ac
+                    WHERE ac.u = ab.u AND ac.v = bc.v)
+)
+SELECT a AS broker, CAST(COUNT(*) AS BIGINT) AS open_triads
+FROM triads GROUP BY a
+ORDER BY open_triads DESC, broker
+LIMIT {MOTIF_TOP}
+"""
+    )
+
+
+QUERIES["g_motif_brokers"] = g_motif_brokers
+ORACLES["g_motif_brokers"] = _motif_sql()
