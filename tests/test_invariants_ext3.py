@@ -196,3 +196,43 @@ def test_topic_diversity_bounds(run):
     for r in run("x_topic_diversity"):
         assert 0 <= r.simpson_ppm <= 1_000_000
         assert r.n_docs >= 2
+
+
+def test_linkage_lift_fields_and_bounds(run):
+    rows = run("x_linkage_agreement_lift")
+    assert {r.field for r in rows} == {"mktsegment", "bal_sign", "bal_kbucket"}
+    for r in rows:
+        assert 0 <= r.block_agree_ppm <= 1_000_000
+        assert 0 < r.overall_agree_ppm <= 1_000_000
+        assert r.lift_ppm >= 0
+
+
+def test_hist_quantile_within_one_bucket(run, spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kinbaku_spark.queries.sketches_ext import HQ_BUCKETS
+    from kinbaku_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    st = o.agg(
+        F.min(F.floor(F.col("o_totalprice") * 100)).alias("mn"),
+        F.max(F.floor(F.col("o_totalprice") * 100)).alias("mx"),
+    ).collect()[0]
+    width = (st.mx - st.mn + 1 + HQ_BUCKETS - 1) // HQ_BUCKETS
+    rows = sorted(run("x_hist_quantile_accuracy"), key=lambda r: r.q_pct)
+    assert [r.q_pct for r in rows] == [50, 90, 99]
+    ests = [r.est_cents for r in rows]
+    assert all(a <= b for a, b in zip(ests, ests[1:])), "est must be monotone"
+    for r in rows:
+        assert r.abs_err_cents <= width, (r, width)
+
+
+def test_motif_brokers_are_backbone_nodes(run, spark, sf_dir):
+    from kinbaku_spark.queries.graphmetrics_ext2 import _truss_proj
+
+    proj = _truss_proj(spark, sf_dir).collect()
+    nodes = {r.s1 for r in proj} | {r.s2 for r in proj}
+    rows = run("g_motif_brokers")
+    for r in rows:
+        assert r.broker in nodes
+        assert r.open_triads >= 1
