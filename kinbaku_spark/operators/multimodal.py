@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas pipelines.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-``decode_image``/``decode_audio`` raise NotImplementedError unless the
-deterministic fake decoder is selected. Everything around the stub — schema,
-mapInPandas batch shape, partitioning behavior — is real and tested, so
-swapping in PIL/torchaudio later is a one-function change.
+The decode step is REAL for every format the stdlib can express
+(operators/codecs.py): full PNG pixel decode (zlib inflate + all five
+scanline filters), uncompressed BMP, JPEG/GIF header dims, 16-bit PCM WAV.
+``fake=True`` keeps the deterministic size-derived stand-in for corpora
+whose payloads aren't real media (e.g. the synthetic test tables). Video
+decode remains stubbed — compressed video genuinely needs a codec library
+(pyav/opencv) that this container doesn't have; the frame-sampling
+plumbing (1→N Arrow batch expansion) is real and tested.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row pickling); binary
 payloads never hit the driver; feature extraction is embarrassingly parallel
@@ -30,11 +33,20 @@ AUDIO_FEATURE_SCHEMA = (
 
 
 def decode_image(payload: bytes) -> tuple[int, int]:
-    """Real decoder stub — requires an imaging library not present here."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv; use fake=True for the "
-        "deterministic stand-in decoder"
-    )
+    """Real image decode → (width, height). PNG/BMP get a full pixel
+    decode, JPEG/GIF a header decode (operators/codecs.py). Raises
+    ValueError on unrecognized magic bytes."""
+    from kinbaku_spark.operators.codecs import CODECS
+
+    return CODECS["image_dims"](payload)
+
+
+def decode_audio(payload: bytes):
+    """Real audio decode → (sample_rate, n_frames, int16 samples) for
+    16-bit PCM WAV (stdlib ``wave``)."""
+    from kinbaku_spark.operators.codecs import CODECS
+
+    return CODECS["decode_wav"](payload)
 
 
 def _fake_image_dims(n_bytes: int) -> tuple[int, int]:
@@ -62,9 +74,19 @@ def image_features(
     payload_col: str = "payload",
     fake: bool = True,
 ) -> DataFrame:
-    """Extract per-image features via Arrow-batched mapInPandas."""
+    """Extract per-image features via Arrow-batched mapInPandas.
+
+    ``fake=False`` runs the REAL decoder (full PNG/BMP pixel decode,
+    JPEG/GIF header decode — operators/codecs.py); ``fake=True`` keeps the
+    deterministic size-derived stand-in for non-media payloads."""
     if not fake:
-        decode_image(b"")  # raises NotImplementedError with guidance
+        from kinbaku_spark.operators.codecs import make_media_codecs
+
+        # bind the nested closure (pickled BY VALUE by cloudpickle), not the
+        # module-level name, so executors don't need kinbaku_spark importable
+        _dims = make_media_codecs()["image_dims"]
+    else:
+        _dims = None
 
     # NOTE: the closure must be self-contained (no references to module-level
     # helpers) — cloudpickle would otherwise serialize them by reference and
@@ -75,7 +97,10 @@ def image_features(
         for pdf in batches:
             payloads = pdf[payload_col]
             n_bytes = payloads.map(len)
-            dims = n_bytes.map(lambda n: (n % 512 + 16, (n // 7) % 512 + 16))
+            if _dims is not None:
+                dims = payloads.map(_dims)
+            else:
+                dims = n_bytes.map(lambda n: (n % 512 + 16, (n // 7) % 512 + 16))
             out = _pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -101,17 +126,27 @@ def audio_features(
     payload_col: str = "payload",
     fake: bool = True,
 ) -> DataFrame:
-    """Audio twin of image_features (decode stubbed the same way)."""
+    """Audio twin of image_features. ``fake=False`` runs the REAL 16-bit
+    PCM WAV decoder (stdlib ``wave`` via operators/codecs.py)."""
     if not fake:
-        raise NotImplementedError("audio decoding requires torchaudio/librosa")
+        from kinbaku_spark.operators.codecs import make_media_codecs
+
+        _wav = make_media_codecs()["decode_wav"]
+    else:
+        _wav = None
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
         for pdf in batches:
             n_bytes = pdf[payload_col].map(len)
-            sr = (n_bytes % 3).map({0: 16000, 1: 22050, 2: 44100})
-            frames = n_bytes * 4
+            if _wav is not None:
+                decoded = pdf[payload_col].map(lambda b: _wav(b)[:2])
+                sr = decoded.map(lambda t: t[0])
+                frames = decoded.map(lambda t: t[1])
+            else:
+                sr = (n_bytes % 3).map({0: 16000, 1: 22050, 2: 44100})
+                frames = n_bytes * 4
             out = _pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],

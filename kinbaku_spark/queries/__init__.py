@@ -21,6 +21,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     graphmetrics_ext2,
     graphmetrics_ext3,
     linalg_ext,
+    media_ext,
     mining_ext,
     mining_ext2,
     mlprep_ext,
@@ -74,6 +75,7 @@ for mod in (
     graphmetrics_ext2,
     graphmetrics_ext3,
     linalg_ext,
+    media_ext,
     mining_ext,
     mining_ext2,
     mlprep_ext,
@@ -172,6 +174,10 @@ _PRIORITY = [
     "x_lang_id",
     "x_token_count",
     "x_pii_scrub",
+    # multimodal REAL decode (round-2: stdlib PNG/BMP/WAV codecs proven
+    # through the exact-hash oracle — the round-1 stub item, closed)
+    "x_image_decode_real",
+    "x_audio_decode_real",
     # curation / packing / contamination
     "x_curate_corpus",
     "x_seq_packing",
