@@ -167,6 +167,9 @@ EXTENSION_HEADLINE = [
     "x_linkage_agreement_lift",
     "x_hist_quantile_accuracy",
     "g_motif_brokers",
+    "x_image_decode_real",
+    "x_audio_decode_real",
+    "x_dedup_edit_distance",
 ]
 
 

@@ -13,6 +13,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     curation_ext,
     curation_ext2,
     dedup_ext,
+    dedup_ext2,
     drift_ext,
     drift_ext2,
     eval_ext,
@@ -67,6 +68,7 @@ for mod in (
     curation_ext,
     curation_ext2,
     dedup_ext,
+    dedup_ext2,
     drift_ext,
     drift_ext2,
     eval_ext,

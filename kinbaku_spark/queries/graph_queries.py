@@ -1132,9 +1132,15 @@ def g_sssp_bounded(spark, sf_dir):
     und = extra["und_weighted"]
     dist = spark.createDataFrame([(SSSP_SOURCE, 0.0)], "key string, dist double")
     for _ in range(SSSP_ROUNDS):
+        # broadcast the distance table (bounded by the reached vertex set,
+        # far below the edge count) so the persisted edge table is scanned
+        # in place per round instead of re-shuffled; past the broadcast
+        # threshold AQE falls back to the shuffled join on its own
         cand = (
             und.join(
-                dist.select(F.col("key").alias("u2"), F.col("dist").alias("du")),
+                F.broadcast(
+                    dist.select(F.col("key").alias("u2"), F.col("dist").alias("du"))
+                ),
                 und.u == F.col("u2"),
             )
             .select(F.col("v").alias("key"), (F.col("du") + F.col("weight")).alias("dist"))

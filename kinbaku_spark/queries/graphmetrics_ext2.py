@@ -159,16 +159,24 @@ def g_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     frontier = depths
     for d in range(1, ECC_MAX_DEPTH + 1):
+        # broadcast the frontier (landmark-bounded: <= N_LANDMARKS * |V|
+        # rows, a few thousand here) so the big persisted edge table is
+        # scanned in place each round instead of re-shuffled; at corpus
+        # scale AQE would make the same call from the checkpointed stats,
+        # and the hint degrades to a plain shuffled join past the
+        # autoBroadcastJoinThreshold
         neighbors = (
             und.join(
-                frontier.select("lm", F.col("key").alias("u2")),
+                F.broadcast(frontier.select("lm", F.col("key").alias("u2"))),
                 und.u == F.col("u2"),
             )
             .select("lm", F.col("v").alias("key"))
             .distinct()
         )
         new = (
-            neighbors.join(depths.select("lm", "key"), ["lm", "key"], "left_anti")
+            neighbors.join(
+                F.broadcast(depths.select("lm", "key")), ["lm", "key"], "left_anti"
+            )
             .select("lm", "key", F.lit(d).cast("int").alias("depth"))
             .localCheckpoint(eager=True)
         )
@@ -400,10 +408,23 @@ def g_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("pv").isNotNull(), F.lit(N2V_W_LOCAL))
             .otherwise(F.lit(N2V_W_EXPLORE))
         )
+        # both joins stay broadcast-shaped: the frontier (one row per live
+        # walk) broadcasts against the edge list, and the prev-adjacency is
+        # pre-filtered to the frontier's prev nodes (frontier × avg-degree
+        # rows) before broadcasting — the big edge table is scanned in
+        # place twice per step, never shuffled
+        prev_adj = adj.join(
+            F.broadcast(
+                cur.filter(F.col("prev").isNotNull())
+                .select(F.col("prev").alias("pu"))
+                .distinct()
+            ),
+            "pu",
+        )
         scored = (
-            cur.join(und, und.u == cur.node)
+            und.join(F.broadcast(cur), und.u == cur.node)
             .join(
-                adj,
+                F.broadcast(prev_adj),
                 (F.col("pu") == F.col("prev")) & (F.col("pv") == F.col("v")),
                 "left",
             )

@@ -351,9 +351,13 @@ def x_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-selected set" — the classic 2-approximation cover that data-
     pruning pipelines use to pick a diverse training subset.
 
-    Each round is a map-only projection (min over ≤ K selected LITERAL
-    centers) plus a 1-row TakeOrdered argmax — no shuffle ever touches
-    the corpus; the collected state is K rows by construction.
+    The min-distance state is INCREMENTAL (the classic farthest-first
+    recurrence): d2_new(v) = min(d2_old(v), ||v - latest_center||²), kept
+    as a checkpointed (vec_id, q, d2) table. Each round is therefore one
+    map-only projection with a SINGLE literal-center distance (constant
+    O(dim) expression size — not the O(K·dim) least-of-K tree that made
+    round K's codegen quadratic) plus a 1-row TakeOrdered argmax. No
+    shuffle ever touches the corpus; the collected state is 1 row/round.
 
     Output: (pick_round, vec_id, d2) — d2 is the pick's exact integer
     squared distance to its nearest previously-selected center.
@@ -364,22 +368,34 @@ def x_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not seed:
         return spark.createDataFrame([], "pick_round int, vec_id long, d2 long")
     picks: list[tuple[int, int]] = [(0, 0)]  # (vec_id, d2)
-    centers: list[list[int]] = [[int(x) for x in seed[0]["q"]]]
-    for _ in range(1, KC_PICKS):
-        chosen = [p for p, _ in picks]
-        dists = [_l2_lit(F.col("q"), c) for c in centers]
-        d2 = dists[0] if len(dists) == 1 else F.least(*dists)
-        row = (
-            qv.filter(~F.col("vec_id").isin(chosen))
-            .select("vec_id", d2.cast("long").alias("d2"), "q")
-            .orderBy(F.desc("d2"), "vec_id")
-            .limit(1)
-            .collect()
+    seed_q = [int(x) for x in seed[0]["q"]]
+    state = (
+        qv.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id", "q", _l2_lit(F.col("q"), seed_q).cast("long").alias("d2")
         )
+        .localCheckpoint(eager=True)
+    )
+    for r in range(1, KC_PICKS):
+        row = state.orderBy(F.desc("d2"), "vec_id").limit(1).collect()
         if not row:
             break
-        picks.append((int(row[0]["vec_id"]), int(row[0]["d2"])))
-        centers.append([int(x) for x in row[0]["q"]])
+        vid = int(row[0]["vec_id"])
+        picks.append((vid, int(row[0]["d2"])))
+        if r == KC_PICKS - 1:
+            break  # no next round to relax distances for
+        cq = [int(x) for x in row[0]["q"]]
+        state = (
+            state.filter(F.col("vec_id") != vid)
+            .select(
+                "vec_id",
+                "q",
+                F.least(F.col("d2"), _l2_lit(F.col("q"), cq))
+                .cast("long")
+                .alias("d2"),
+            )
+            .localCheckpoint(eager=True)
+        )
     return spark.createDataFrame(
         [(r, v, d) for r, (v, d) in enumerate(picks)],
         "pick_round int, vec_id long, d2 long",
