@@ -116,6 +116,8 @@ def minhash_near_duplicates(
     bands: int = 8,
     shingle_n: int = 3,
     seed: int = 42,
+    sh: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH + exact-Jaccard verification.
 
@@ -123,13 +125,16 @@ def minhash_near_duplicates(
     Deterministic end-to-end: same shingles, same universal-hash coefficients,
     same verification arithmetic in Spark and the SQL oracle.
     """
-    # NOTE: no .persist() on the shingle table — its three consumers
-    # (signatures, set sizes, pair intersection) share identical shuffle
-    # subplans that Spark's ReusedExchange already dedups; a cache barrier
-    # measured ~2x slower at sf0.1. At 100 TB the shingle index would be a
-    # materialized table instead.
-    sh = shingle_hashes(docs, id_col, text_col, shingle_n)
-    sig = minhash_signatures(sh, id_col, n_hashes, seed)
+    # NOTE: no .persist() on an inline-built shingle table — its three
+    # consumers (signatures, set sizes, pair intersection) share identical
+    # shuffle subplans that Spark's ReusedExchange already dedups; a cache
+    # barrier measured ~2x slower at sf0.1. Callers with a MATERIALIZED
+    # shingle index (queries/dedup_state.py — the 100 TB shape) inject it
+    # via sh/sig instead.
+    if sh is None:
+        sh = shingle_hashes(docs, id_col, text_col, shingle_n)
+    if sig is None:
+        sig = minhash_signatures(sh, id_col, n_hashes, seed)
     candidates = minhash_band_candidates(sig, id_col, n_hashes, bands)
     return _jaccard_verify(candidates, sh, id_col, threshold)
 
@@ -231,6 +236,7 @@ def jaccard_near_duplicates(
     text_col: str = "text",
     threshold: float = 0.8,
     shingle_n: int = 3,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs >= threshold via prefix-filtered
     candidates (see prefix_filter_candidates) + exact verify.
@@ -243,10 +249,12 @@ def jaccard_near_duplicates(
     inverted-index self-join; only the candidate generator changes.
     """
     # THREE consumers (df counts, ranked postings, verify sets) — eager
-    # checkpoint or the shingling regex+hash scan re-runs per consumer
-    sh = shingle_hashes(docs, id_col, text_col, shingle_n).localCheckpoint(
-        eager=True
-    )
+    # checkpoint or the shingling regex+hash scan re-runs per consumer;
+    # an injected sh (queries/dedup_state.py) is already persisted
+    if sh is None:
+        sh = shingle_hashes(docs, id_col, text_col, shingle_n).localCheckpoint(
+            eager=True
+        )
     frac = 2.0 * threshold / (1.0 + threshold)
     keep = F.col("r") <= F.col("n") - F.floor(F.lit(frac) * F.col("n")) + 1
     size_cond = F.col("n_f") * F.lit(threshold) <= F.col("n_p") + F.lit(0.5)

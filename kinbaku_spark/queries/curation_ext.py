@@ -222,13 +222,10 @@ def x_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinbaku_spark.operators.dedup import (
         _jaccard_verify,
         minhash_band_candidates,
-        minhash_signatures,
-        shingle_hashes,
     )
+    from kinbaku_spark.queries.dedup_state import shingle_state
 
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_hashes(docs, "doc_id", "text", 3).localCheckpoint(eager=True)
-    sig = minhash_signatures(sh, "doc_id", 32).localCheckpoint(eager=True)
+    sh, sig = shingle_state(spark, sf_dir)
     per_config = []
     for b in SWEEP_BANDS:
         cand = minhash_band_candidates(sig, "doc_id", 32, b).localCheckpoint(

@@ -74,9 +74,9 @@ def x_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     one band self-join; a production point-probe skips it (the caller
     has the id) and touches only the probe's own band buckets.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_hashes(docs, "doc_id", "text", 3)
-    sig = minhash_signatures(sh, "doc_id", _N_HASHES, 42)
+    from kinbaku_spark.queries.dedup_state import shingle_state
+
+    sh, sig = shingle_state(spark, sf_dir)
     banded = _banded(sig)
 
     other = banded.select(

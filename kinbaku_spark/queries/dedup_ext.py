@@ -45,10 +45,12 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotation duplication that symmetric Jaccard misses (a 10x-longer
     superset document caps Jaccard at ~0.1 but containment at 1.0).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # three consumers (df counts, ranked postings, verify sets): checkpoint
-    # the shingle scan once instead of re-running regex+hash per consumer
-    sh = shingle_hashes(docs, "doc_id", "text", 3).localCheckpoint(eager=True)
+    from kinbaku_spark.queries.dedup_state import shingle_state
+
+    # three consumers (df counts, ranked postings, verify sets) share the
+    # session-persisted shingle index (dedup_state.py) — the materialized
+    # table every dedup query scans instead of re-shingling the corpus
+    sh, _ = shingle_state(spark, sf_dir)
 
     # Exact prefix filtering (operators/dedup.py prefix_filter_candidates):
     # for containment >= t the smaller set's required overlap is

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from kinbaku_spark.operators.dedup import minhash_band_candidates, minhash_signatures, shingle_hashes
+from kinbaku_spark.operators.dedup import minhash_band_candidates
 from kinbaku_spark.sources.tables import load_table
 
 QUERIES: dict = {}
@@ -44,11 +44,11 @@ def x_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator as x_dedup_minhash), verified by relative Levenshtein —
     ed <= 20% of the longer document's length. Output: the pair, the
     exact edit distance, and the relative distance in ppm."""
+    from kinbaku_spark.queries.dedup_state import shingle_state
     from kinbaku_spark.queries.extensions import N_BANDS, N_HASHES
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_hashes(docs, "doc_id", "text", 3)
-    sig = minhash_signatures(sh, "doc_id", N_HASHES, 42)
+    _, sig = shingle_state(spark, sf_dir)
     cand = minhash_band_candidates(sig, "doc_id", N_HASHES, N_BANDS)
     texts = docs.select("doc_id", "text")
     ed = F.levenshtein("text_a", "text_b")

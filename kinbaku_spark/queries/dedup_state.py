@@ -1,0 +1,62 @@
+"""Session-persisted dedup index state: the 3-shingle hash postings and
+the 32-hash MinHash signature table over `documents`, built ONCE per
+sf_dir and shared by every dedup-family consumer (pair dedup, banding
+sweep, point probe, edit-distance verify, containment).
+
+Rationale — the same "stored engine state" framing as the derived graph
+(graph_queries._CACHE) and the near-dup labels (extensions._CLUSTER_CACHE):
+a production dedup engine does not re-shingle and re-sign the corpus per
+query; the shingle index and signatures are materialized index-build
+artifacts, refreshed on ingest (see streaming/windows.dedup_ingest_batch,
+which maintains exactly this state incrementally). At 100 TB these are
+stored tables; in the session engine they are persisted DataFrames.
+
+The per-query plans then scan two warm tables instead of replaying the
+regex-tokenize → explode → md5 → 32-way min aggregation subtree — the
+single largest repeated subplan across the dedup suite.
+
+NOTE the intra-query tradeoff documented in operators/dedup.py (a cache
+barrier between the shingle scan and ONE consumer measured slower than
+ReusedExchange) is about caching mid-plan; this is cross-QUERY reuse of
+final index tables, where persist wins by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kinbaku_spark.operators.dedup import minhash_signatures, shingle_hashes
+from kinbaku_spark.sources.tables import load_table
+
+SHINGLE_N = 3
+SIG_HASHES = 32
+SIG_SEED = 42
+
+_STATE: dict[str, tuple[DataFrame, DataFrame]] = {}
+
+
+def shingle_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(shingles, signatures) for the documents corpus — both persisted.
+
+    shingles: (doc_id, h) distinct 60-bit word-3-gram hashes.
+    signatures: (doc_id, mh0..mh31) universal-hash minima.
+    """
+    if sf_dir not in _STATE:
+        docs = load_table(spark, sf_dir, "documents")
+        sh = shingle_hashes(docs, "doc_id", "text", SHINGLE_N).persist()
+        sig = minhash_signatures(sh, "doc_id", SIG_HASHES, SIG_SEED).persist()
+        sig.count()  # one pass materializes sh (its only input) and sig
+        sh.count()
+        _STATE[sf_dir] = (sh, sig)
+    return _STATE[sf_dir]
+
+
+def reset() -> None:
+    """Drop the persisted index state (tests rebuilding hermetic plans)."""
+    for sh, sig in _STATE.values():
+        for df in (sh, sig):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    _STATE.clear()

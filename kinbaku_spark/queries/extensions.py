@@ -137,12 +137,17 @@ JOIN (SELECT MIN(doc_id) AS doc_id FROM documents
 # ---------------------------------------------------------------------------
 
 def x_dedup_minhash(spark, sf_dir):
+    from kinbaku_spark.queries.dedup_state import shingle_state
+
     docs = load_table(spark, sf_dir, "documents")
+    sh, sig = shingle_state(spark, sf_dir)
     return minhash_near_duplicates(
         docs,
         threshold=MINHASH_THRESHOLD,
         n_hashes=N_HASHES,
         bands=N_BANDS,
+        sh=sh,
+        sig=sig,
     )
 
 
@@ -178,8 +183,11 @@ cand AS (
 # ---------------------------------------------------------------------------
 
 def x_dedup_ngram_jaccard(spark, sf_dir):
+    from kinbaku_spark.queries.dedup_state import shingle_state
+
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_near_duplicates(docs, threshold=JACCARD_THRESHOLD)
+    sh, _ = shingle_state(spark, sf_dir)
+    return jaccard_near_duplicates(docs, threshold=JACCARD_THRESHOLD, sh=sh)
 
 
 X_JACCARD_SQL = f"""
@@ -499,9 +507,17 @@ def dup_cluster_labels(spark, sf_dir):
     if sf_dir not in _CLUSTER_CACHE:
         from kinbaku_spark.operators.dedup import duplicate_clusters
 
+        from kinbaku_spark.queries.dedup_state import shingle_state
+
         docs = load_table(spark, sf_dir, "documents")
+        sh, sig = shingle_state(spark, sf_dir)
         pairs = minhash_near_duplicates(
-            docs, threshold=MINHASH_THRESHOLD, n_hashes=N_HASHES, bands=N_BANDS
+            docs,
+            threshold=MINHASH_THRESHOLD,
+            n_hashes=N_HASHES,
+            bands=N_BANDS,
+            sh=sh,
+            sig=sig,
         )
         labels = duplicate_clusters(docs, pairs).persist()
         labels.count()

@@ -294,11 +294,14 @@ def x_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         N_HASHES,
     )
 
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < DEDUP_EVAL_N
-    )
-    sh = shingle_hashes(docs, "doc_id", "text", 3)
-    sig = minhash_signatures(sh, "doc_id", N_HASHES, 42)
+    from kinbaku_spark.queries.dedup_state import shingle_state
+
+    # the eval corpus is a doc_id prefix: shingles/signatures are per-doc,
+    # so filtering the session-persisted index equals re-deriving on the
+    # filtered corpus
+    sh_full, sig_full = shingle_state(spark, sf_dir)
+    sh = sh_full.filter(F.col("doc_id") < DEDUP_EVAL_N)
+    sig = sig_full.filter(F.col("doc_id") < DEDUP_EVAL_N)
     cand = minhash_band_candidates(sig, "doc_id", N_HASHES, N_BANDS).select(
         F.col("doc_id_a").alias("da"), F.col("doc_id_b").alias("db")
     )
@@ -825,11 +828,14 @@ def x_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kinbaku_spark.queries.extensions import N_BANDS, N_HASHES
 
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < DEDUP_EVAL_N
-    )
-    sh = shingle_hashes(docs, "doc_id", "text", 3)
-    sig = minhash_signatures(sh, "doc_id", N_HASHES, 42)
+    from kinbaku_spark.queries.dedup_state import shingle_state
+
+    # the eval corpus is a doc_id prefix: shingles/signatures are per-doc,
+    # so filtering the session-persisted index equals re-deriving on the
+    # filtered corpus
+    sh_full, sig_full = shingle_state(spark, sf_dir)
+    sh = sh_full.filter(F.col("doc_id") < DEDUP_EVAL_N)
+    sig = sig_full.filter(F.col("doc_id") < DEDUP_EVAL_N)
     cand = minhash_band_candidates(sig, "doc_id", N_HASHES, N_BANDS)
     sa = sig.select(
         F.col("doc_id").alias("doc_id_a"),

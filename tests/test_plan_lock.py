@@ -55,6 +55,19 @@ def test_plan_signatures_match_lock(spark, sf_dir):
         except Exception:
             pass
     extensions._CLUSTER_CACHE.clear()
+    # same again for the shingle/signature dedup index state
+    from kinbaku_spark.queries import dedup_state
+
+    dedup_state.reset()
+    # same again for the PQ-scored corpus cache
+    from kinbaku_spark.queries import mlprep_ext2
+
+    for df in mlprep_ext2._PQ_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    mlprep_ext2._PQ_CACHE.clear()
     spark.catalog.clearCache()
 
     missing = sorted(set(QUERIES) - set(LOCK))
