@@ -293,6 +293,7 @@ def simhash_near_duplicates(
     shingle_n: int = 3,
     banded: bool = False,
     bands: int = 4,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming.
 
@@ -301,7 +302,8 @@ def simhash_near_duplicates(
     100 TB. banded=False: all-pairs compare, used when the threshold exceeds
     band reach (still one signature row per doc, so n^2 over docs, not rows).
     """
-    sh = shingle_hashes(docs, id_col, text_col, shingle_n)
+    if sh is None:
+        sh = shingle_hashes(docs, id_col, text_col, shingle_n)
     # both compare sides (2 consumers; 2·bands when banded) read the
     # signature table — checkpoint it or the shingle scan + 60-sum
     # aggregate re-run per consumer

@@ -206,8 +206,11 @@ cand AS (
 # ---------------------------------------------------------------------------
 
 def x_dedup_simhash(spark, sf_dir):
+    from kinbaku_spark.queries.dedup_state import shingle_state
+
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, max_hamming=SIMHASH_MAX_HAMMING)
+    sh, _ = shingle_state(spark, sf_dir)
+    return simhash_near_duplicates(docs, max_hamming=SIMHASH_MAX_HAMMING, sh=sh)
 
 
 def _simhash_sql() -> str:
