@@ -283,11 +283,7 @@ def x_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall says what the pigeonhole misses, precision says how much work
     verification must absorb. Ratios in integer ppm (exact replay).
     """
-    from kinbaku_spark.operators.dedup import (
-        minhash_band_candidates,
-        minhash_signatures,
-        shingle_hashes,
-    )
+    from kinbaku_spark.operators.dedup import minhash_band_candidates
     from kinbaku_spark.queries.extensions import (
         MINHASH_THRESHOLD,
         N_BANDS,
@@ -821,11 +817,7 @@ def x_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     RECALL, this one grades the ESTIMATOR the candidates are ranked by.
     Everything is integer arithmetic (agreement counts, ppm floors).
     """
-    from kinbaku_spark.operators.dedup import (
-        minhash_band_candidates,
-        minhash_signatures,
-        shingle_hashes,
-    )
+    from kinbaku_spark.operators.dedup import minhash_band_candidates
     from kinbaku_spark.queries.extensions import N_BANDS, N_HASHES
 
     from kinbaku_spark.queries.dedup_state import shingle_state

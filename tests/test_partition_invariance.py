@@ -32,6 +32,9 @@ PICKS = [
     "g_boruvka_mst",
     "x_bootstrap_ci",
     "x_coreset_kcenter",
+    "x_dedup_edit_distance",
+    "x_image_decode_real",
+    "x_audio_decode_real",
 ]
 
 
