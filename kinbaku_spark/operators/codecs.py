@@ -237,14 +237,18 @@ def make_media_codecs():
     # --------------------------------------------------------------- sniff
 
     def image_dims(payload: bytes):
-        """Sniff the format by magic bytes and decode (width, height).
-        PNG/BMP get a full pixel decode; JPEG/GIF a header decode."""
+        """Sniff the format by magic bytes and decode (width, height) from
+        the HEADER only — constant-time metadata extraction (PNG IHDR, BMP
+        DIB, JPEG SOF, GIF screen descriptor), never a pixel decode. Use
+        image_pixels when the pixel array is actually needed."""
         if payload[:8] == _PNG_MAGIC:
-            w, h, _ = decode_png(payload)
-            return w, h
+            if payload[12:16] != b"IHDR":
+                raise ValueError("PNG: first chunk is not IHDR")
+            w, h = struct.unpack_from(">II", payload, 16)
+            return int(w), int(h)
         if payload[:2] == b"BM":
-            w, h, _ = decode_bmp(payload)
-            return w, h
+            w, h = struct.unpack_from("<ii", payload, 18)
+            return int(w), abs(int(h))
         if payload[:2] == b"\xff\xd8":
             return decode_jpeg_dims(payload)
         if payload[:4] == b"GIF8":

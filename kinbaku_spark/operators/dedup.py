@@ -135,6 +135,16 @@ def minhash_near_duplicates(
         sh = shingle_hashes(docs, id_col, text_col, shingle_n)
     if sig is None:
         sig = minhash_signatures(sh, id_col, n_hashes, seed)
+    else:
+        # injection contract: the banding below reads mh0..mh{n-1}; a
+        # signature table built with a different width would silently band
+        # a prefix of differently-built minima
+        got = sum(1 for c in sig.columns if c.startswith("mh"))
+        if got != n_hashes:
+            raise ValueError(
+                f"injected sig has {got} minhash columns, caller asked for"
+                f" {n_hashes}"
+            )
     candidates = minhash_band_candidates(sig, id_col, n_hashes, bands)
     return _jaccard_verify(candidates, sh, id_col, threshold)
 

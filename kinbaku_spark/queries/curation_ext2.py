@@ -33,7 +33,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from kinbaku_spark.functions.hashing import minhash_coeffs, sql_md5_long
-from kinbaku_spark.operators.dedup import minhash_signatures, shingle_hashes
 from kinbaku_spark.sources.tables import load_table
 
 QUERIES: dict = {}

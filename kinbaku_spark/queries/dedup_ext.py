@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from kinbaku_spark.operators.dedup import prefix_filter_candidates, shingle_hashes
+from kinbaku_spark.operators.dedup import prefix_filter_candidates
 from kinbaku_spark.sources.tables import load_table
 
 QUERIES: dict = {}

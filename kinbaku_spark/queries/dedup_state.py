@@ -26,10 +26,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from kinbaku_spark.operators.dedup import minhash_signatures, shingle_hashes
+from kinbaku_spark.queries.extensions import N_HASHES as SIG_HASHES
 from kinbaku_spark.sources.tables import load_table
 
+# single source of truth: the signature width is extensions.N_HASHES (the
+# same constant every band consumer and SQL oracle is generated from);
+# shingle width and seed match _sql_shingle_cte / minhash_coeffs defaults
 SHINGLE_N = 3
-SIG_HASHES = 32
 SIG_SEED = 42
 
 _STATE: dict[str, tuple[DataFrame, DataFrame]] = {}

@@ -1130,17 +1130,18 @@ def g_sssp_bounded(spark, sf_dir):
             .persist()
         )
     und = extra["und_weighted"]
+    # the distance table is bounded by the reached vertex set (<= |V|):
+    # while |V| is broadcastable, ship it to every executor so the
+    # persisted edge table is scanned in place per round instead of
+    # re-shuffled; past ~5M nodes drop the hint (an EXPLICIT broadcast
+    # hint is always honored — AQE never demotes it — so gating on |V|
+    # is the scale safety, same pattern as g_pagerank)
+    hint = F.broadcast if g.nodes_df.count() < 5_000_000 else (lambda d: d)
     dist = spark.createDataFrame([(SSSP_SOURCE, 0.0)], "key string, dist double")
     for _ in range(SSSP_ROUNDS):
-        # broadcast the distance table (bounded by the reached vertex set,
-        # far below the edge count) so the persisted edge table is scanned
-        # in place per round instead of re-shuffled; past the broadcast
-        # threshold AQE falls back to the shuffled join on its own
         cand = (
             und.join(
-                F.broadcast(
-                    dist.select(F.col("key").alias("u2"), F.col("dist").alias("du"))
-                ),
+                hint(dist.select(F.col("key").alias("u2"), F.col("dist").alias("du"))),
                 und.u == F.col("u2"),
             )
             .select(F.col("v").alias("key"), (F.col("du") + F.col("weight")).alias("dist"))

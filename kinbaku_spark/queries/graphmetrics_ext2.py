@@ -157,17 +157,21 @@ def g_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     depths = lm.select(
         "lm", F.col("lm").alias("key"), F.lit(0).cast("int").alias("depth")
     ).localCheckpoint(eager=True)
+    # frontier/depths are bounded by N_LANDMARKS * |V| rows: broadcast
+    # them while that bound is broadcastable so the big persisted edge
+    # table is scanned in place each round instead of re-shuffled. The
+    # gate matters because an EXPLICIT broadcast hint is always honored
+    # (AQE promotes SMJ->BHJ but never demotes a hint): past ~5M
+    # landmark-rows, fall back to shuffled joins (g_pagerank pattern).
+    from kinbaku_spark.queries.graph_queries import _graph
+
+    n_bound = N_LANDMARKS * _graph(spark, sf_dir).nodes_df.count()
+    hint = F.broadcast if n_bound < 5_000_000 else (lambda d: d)
     frontier = depths
     for d in range(1, ECC_MAX_DEPTH + 1):
-        # broadcast the frontier (landmark-bounded: <= N_LANDMARKS * |V|
-        # rows, a few thousand here) so the big persisted edge table is
-        # scanned in place each round instead of re-shuffled; at corpus
-        # scale AQE would make the same call from the checkpointed stats,
-        # and the hint degrades to a plain shuffled join past the
-        # autoBroadcastJoinThreshold
         neighbors = (
             und.join(
-                F.broadcast(frontier.select("lm", F.col("key").alias("u2"))),
+                hint(frontier.select("lm", F.col("key").alias("u2"))),
                 und.u == F.col("u2"),
             )
             .select("lm", F.col("v").alias("key"))
@@ -175,7 +179,7 @@ def g_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         new = (
             neighbors.join(
-                F.broadcast(depths.select("lm", "key")), ["lm", "key"], "left_anti"
+                hint(depths.select("lm", "key")), ["lm", "key"], "left_anti"
             )
             .select("lm", "key", F.lit(d).cast("int").alias("depth"))
             .localCheckpoint(eager=True)
@@ -399,6 +403,17 @@ def g_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = cur.select("walk_id", F.lit(0).alias("step"), "node")
     adj = und.select(F.col("u").alias("pu"), F.col("v").alias("pv"))
+    # walker state is one row per walk (= per supplier) and the filtered
+    # prev-adjacency is frontier × avg-degree rows: broadcast both while
+    # that bound is broadcastable so the big edge table is scanned in
+    # place twice per step, never shuffled. Gate on the walker count —
+    # an EXPLICIT broadcast hint is always honored (AQE never demotes
+    # it), so past ~1M walkers fall back to shuffled joins.
+    hint = (
+        F.broadcast
+        if cur.count() * 64 < 5_000_000  # walks × a generous avg-degree
+        else (lambda d: d)
+    )
     for i in range(1, N2V_STEPS + 1):
         h = md5_long(
             F.concat_ws(":", F.col("walk_id"), F.lit(str(i)), F.col("v"))
@@ -408,13 +423,8 @@ def g_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("pv").isNotNull(), F.lit(N2V_W_LOCAL))
             .otherwise(F.lit(N2V_W_EXPLORE))
         )
-        # both joins stay broadcast-shaped: the frontier (one row per live
-        # walk) broadcasts against the edge list, and the prev-adjacency is
-        # pre-filtered to the frontier's prev nodes (frontier × avg-degree
-        # rows) before broadcasting — the big edge table is scanned in
-        # place twice per step, never shuffled
         prev_adj = adj.join(
-            F.broadcast(
+            hint(
                 cur.filter(F.col("prev").isNotNull())
                 .select(F.col("prev").alias("pu"))
                 .distinct()
@@ -422,9 +432,9 @@ def g_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pu",
         )
         scored = (
-            und.join(F.broadcast(cur), und.u == cur.node)
+            und.join(hint(cur), und.u == cur.node)
             .join(
-                F.broadcast(prev_adj),
+                hint(prev_adj),
                 (F.col("pu") == F.col("prev")) & (F.col("pv") == F.col("v")),
                 "left",
             )

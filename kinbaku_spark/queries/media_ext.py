@@ -46,7 +46,7 @@ def x_image_decode_real(spark, sf_dir):
 
     codecs = make_media_codecs()
     _enc_png, _enc_bmp = codecs["encode_png"], codecs["encode_bmp"]
-    _dims, _pixels = codecs["image_dims"], codecs["image_pixels"]
+    _pixels = codecs["image_pixels"]
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
@@ -63,12 +63,13 @@ def x_image_decode_real(spark, sf_dir):
                     payload, fmt = _enc_png(arr), "png"
                 else:
                     payload, fmt = _enc_bmp(arr), "bmp"
-                dw, dh = _dims(payload)  # real decode, not the encode params
+                # ONE real decode (sniff + inflate + unfilter); dims come
+                # from the decoded array, not the encode params
                 px = _pixels(payload)
                 ids.append(int(doc_id))
                 fmts.append(fmt)
-                ws.append(dw)
-                hs.append(dh)
+                ws.append(int(px.shape[1]))
+                hs.append(int(px.shape[0]))
                 sums.append(int(px.astype(_np.int64).sum()))
             yield _pd.DataFrame(
                 {

@@ -146,4 +146,4 @@ def test_kcenter_picks_are_true_farthest_first(run, spark, sf_dir):
             d = sum((a - b) ** 2 for a, b in zip(emb[v], emb[best]))
             if d < d2[v]:
                 d2[v] = d
-    assert len(chosen) == min(KC_PICKS, len(emb) + 1)
+    assert len(chosen) == min(KC_PICKS, len(emb))

@@ -3,11 +3,14 @@ with a different spark.sql.shuffle.partitions must produce IDENTICAL
 rows — the failure class where per-partition float accumulation order or
 partition-id-dependent logic leaks into results (the round-2 ids bug).
 
-Queries touching session-persisted engine state (co_shared, cluster
-labels, geo_fwd) are excluded: their cache would mask the re-partitioned
-run. The picks below cover the sensitive arithmetic paths: decimal sums,
-minhash aggregation, exact-integer Gram partial aggs, k-means centroid
-sums, hash-argmin walks, window ranking.
+Session-persisted engine state (co_shared, cluster labels, geo_fwd,
+the shingle/signature index, the PQ-scored corpus) would mask the
+re-partitioned run, so the resettable caches are DROPPED between the
+reference and alternate runs (graph-module state queries stay excluded —
+their cache lives with the persisted graph itself). The picks cover the
+sensitive arithmetic paths: decimal sums, minhash aggregation,
+exact-integer Gram partial aggs, k-means centroid sums, hash-argmin
+walks, window ranking.
 """
 
 from __future__ import annotations
@@ -54,13 +57,38 @@ def _norm(pdf):
     )
 
 
+def _drop_resettable_state():
+    """Drop the session-persisted derived state that is NOT part of the
+    stored graph, so the alternate run truly recomputes it under the new
+    partitioning (otherwise the cache masks the very aggregation paths
+    these picks exist to stress)."""
+    from kinbaku_spark.queries import dedup_state, extensions, mlprep_ext2
+
+    dedup_state.reset()
+    for df in extensions._CLUSTER_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    extensions._CLUSTER_CACHE.clear()
+    for df in mlprep_ext2._PQ_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    mlprep_ext2._PQ_CACHE.clear()
+
+
 @pytest.mark.parametrize("name", PICKS)
 def test_result_is_partition_count_invariant(name, spark, sf_dir):
     base = spark.conf.get("spark.sql.shuffle.partitions")
+    _drop_resettable_state()
     ref = _norm(QUERIES[name](spark, sf_dir).toPandas())
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "3")
+        _drop_resettable_state()
         alt = _norm(QUERIES[name](spark, sf_dir).toPandas())
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", base)
+        _drop_resettable_state()
     assert ref == alt, f"{name}: result depends on shuffle partition count"
