@@ -3,6 +3,10 @@ from kinbaku_spark.streaming.ann_ingest import (
     ann_ingest_to_parquet,
     seed_centroids,
 )
+from kinbaku_spark.streaming.media_ingest import (
+    decode_audio_stream,
+    decode_image_stream,
+)
 from kinbaku_spark.streaming.windows import (
     correlate_event_pairs,
     correlate_event_pairs_outer,
@@ -24,6 +28,8 @@ __all__ = [
     "ann_ingest_batch",
     "ann_ingest_to_parquet",
     "seed_centroids",
+    "decode_audio_stream",
+    "decode_image_stream",
     "correlate_event_pairs",
     "correlate_event_pairs_outer",
     "dedup_events",

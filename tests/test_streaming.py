@@ -531,3 +531,59 @@ def test_streaming_ann_ingest_matches_sequential_replay(spark, sf_dir):
         assert idx.select("vec_id").distinct().count() == emb.count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_media_decode_matches_batch(spark):
+    """Real PNG/BMP decode over a readStream source must produce exactly
+    the batch operator's features (mapInPandas is stateless 1→1, so batch
+    and micro-batch plans are the same stage)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from kinbaku_spark.operators.codecs import CODECS
+    from kinbaku_spark.operators.multimodal import image_features
+    from kinbaku_spark.streaming import decode_image_stream
+
+    rows = []
+    for i in range(8):
+        arr = np.full((i % 5 + 2, i % 7 + 3, 3), i * 11 % 251, np.uint8)
+        payload = CODECS["encode_png"](arr) if i % 2 == 0 else CODECS["encode_bmp"](arr)
+        rows.append((i, bytearray(payload)))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    d = tempfile.mkdtemp(prefix="kb_media_stream_")
+    try:
+        df.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(
+            f"{d}/payloads"
+        )
+        for i, p in enumerate(sorted(glob.glob(f"{d}/payloads/part-*"))):
+            os.utime(p, (2_000_000 + i, 2_000_000 + i))
+        stream = (
+            spark.readStream.schema("doc_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/payloads")
+        )
+        q = (
+            decode_image_stream(stream)
+            .writeStream.format("memory")
+            .queryName("media_decode_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            tuple(r) for r in spark.sql("SELECT * FROM media_decode_stream").collect()
+        )
+        want = sorted(tuple(r) for r in image_features(df, fake=False).collect())
+        assert got == want
+        assert len(got) == 8
+        # spot-check one decoded dimension against the synthesis params
+        by_id = {t[0]: t for t in got}
+        assert (by_id[3][2], by_id[3][3]) == (3 % 7 + 3, 3 % 5 + 2)  # (w, h)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
