@@ -170,6 +170,7 @@ EXTENSION_HEADLINE = [
     "x_image_decode_real",
     "x_audio_decode_real",
     "x_dedup_edit_distance",
+    "x_image_resize_real",
 ]
 
 

@@ -156,12 +156,96 @@ FROM p
 """
 
 
+RESIZE_TO = 16  # output side length (square) for the resize stage
+
+IMAGE_RESIZE_SCHEMA = (
+    "doc_id bigint, src_w int, src_h int, out_w int, out_h int, resized_sum bigint"
+)
+
+
+def x_image_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode→RESIZE pipeline, real end-to-end: synthesize a PNG whose
+    pixel value at (x, y) is (x + y) % 251 (position-dependent, so resize
+    indexing is actually exercised), decode it back with the real PNG
+    decoder, nearest-neighbor-resize the decoded array to 16×16 (the
+    standard thumbnail/feature-prep stage), and emit the exact resized
+    pixel sum. The DuckDB oracle replays the NN index math —
+    src(floor(x'·w/16), floor(y'·h/16)) — in pure SQL.
+
+    Scale notes: one mapInPandas pass, payloads never shuffle; resize is
+    O(out_pixels) numpy fancy-indexing per image — the embarrassingly
+    parallel decode-and-transform shape."""
+    from kinbaku_spark.operators.codecs import make_media_codecs
+
+    codecs = make_media_codecs()
+    _enc_png, _pixels = codecs["encode_png"], codecs["image_pixels"]
+    out_n = RESIZE_TO
+
+    def pipeline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, sws, shs, sums = [], [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(n_chars) % 31 + 1
+                h = int(n_chars) % 17 + 1
+                arr = _np.fromfunction(
+                    lambda y, x, c: (x + y) % 251, (h, w, 3), dtype=_np.int64
+                ).astype(_np.uint8)
+                px = _pixels(_enc_png(arr))  # real decode
+                # nearest-neighbor resize: out(y', x') = src(y'*h//N, x'*w//N)
+                ys = (_np.arange(out_n) * px.shape[0]) // out_n
+                xs = (_np.arange(out_n) * px.shape[1]) // out_n
+                resized = px[ys][:, xs]
+                ids.append(int(doc_id))
+                sws.append(int(px.shape[1]))
+                shs.append(int(px.shape[0]))
+                sums.append(int(resized.astype(_np.int64).sum()))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "src_w": _pd.Series(sws, dtype="int32"),
+                    "src_h": _pd.Series(shs, dtype="int32"),
+                    "out_w": _pd.Series([out_n] * len(ids), dtype="int32"),
+                    "out_h": _pd.Series([out_n] * len(ids), dtype="int32"),
+                    "resized_sum": _pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return docs.mapInPandas(pipeline, IMAGE_RESIZE_SCHEMA)
+
+
+X_IMAGE_RESIZE_REAL_SQL = f"""
+WITH p AS (
+  SELECT doc_id, n_chars % 31 + 1 AS w, n_chars % 17 + 1 AS h FROM documents
+),
+grid AS (
+  SELECT p.doc_id, p.w, p.h, yy.y AS y, xx.x AS x
+  FROM p
+  CROSS JOIN (SELECT unnest(generate_series(0, {RESIZE_TO - 1})) AS y) yy
+  CROSS JOIN (SELECT unnest(generate_series(0, {RESIZE_TO - 1})) AS x) xx
+)
+SELECT doc_id,
+  CAST(MAX(w) AS INT) AS src_w,
+  CAST(MAX(h) AS INT) AS src_h,
+  CAST({RESIZE_TO} AS INT) AS out_w,
+  CAST({RESIZE_TO} AS INT) AS out_h,
+  CAST(SUM(3 * ((((x * w) // {RESIZE_TO}) + ((y * h) // {RESIZE_TO})) % 251)) AS BIGINT)
+    AS resized_sum
+FROM grid GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "x_image_decode_real": x_image_decode_real,
     "x_audio_decode_real": x_audio_decode_real,
+    "x_image_resize_real": x_image_resize_real,
 }
 
 ORACLES = {
     "x_image_decode_real": X_IMAGE_DECODE_REAL_SQL,
     "x_audio_decode_real": X_AUDIO_DECODE_REAL_SQL,
+    "x_image_resize_real": X_IMAGE_RESIZE_REAL_SQL,
 }

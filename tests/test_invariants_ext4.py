@@ -147,3 +147,28 @@ def test_kcenter_picks_are_true_farthest_first(run, spark, sf_dir):
             if d < d2[v]:
                 d2[v] = d
     assert len(chosen) == min(KC_PICKS, len(emb))
+
+
+def test_image_resize_real_replayed_in_python(run, spark, sf_dir):
+    """Replay the decode->NN-resize pipeline in pure Python (no numpy
+    fancy-indexing, no Spark) for every document."""
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    from kinbaku_spark.queries.media_ext import RESIZE_TO
+
+    rows = run("x_image_resize_real")
+    assert len(rows) == len(docs)
+    for r in rows:
+        n = docs[r.doc_id]
+        w, h = n % 31 + 1, n % 17 + 1
+        assert (r.src_w, r.src_h) == (w, h)
+        total = 0
+        for yy in range(RESIZE_TO):
+            for xx in range(RESIZE_TO):
+                sx, sy = xx * w // RESIZE_TO, yy * h // RESIZE_TO
+                total += 3 * ((sx + sy) % 251)
+        assert r.resized_sum == total
