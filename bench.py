@@ -171,6 +171,7 @@ EXTENSION_HEADLINE = [
     "x_audio_decode_real",
     "x_dedup_edit_distance",
     "x_image_resize_real",
+    "x_curate_corpus",
 ]
 
 

@@ -28,16 +28,28 @@ def curate_corpus(
     n_hashes: int = 32,
     bands: int = 8,
     id_col: str = "doc_id",
+    sh: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Returns the curated corpus: quality-filtered, near-dup-collapsed
     (cluster representative = min doc id), with the quality score attached.
+
+    sh/sig: optional full-corpus shingle/signature index tables
+    (queries/dedup_state.py) — both are per-doc, so semi-joining them to
+    the quality-filtered ids equals re-deriving them on the filtered
+    corpus, and the tokenize+hash+min-agg pass is skipped entirely.
     """
     quality = text_quality(docs).select(id_col, "quality_score")
     filtered = docs.join(
         quality.filter(F.col("quality_score") >= min_quality), id_col
-    )
+    ).localCheckpoint(eager=True)  # 3 consumers: shingles, signatures, output
+    if sh is not None and sig is not None:
+        ids = filtered.select(id_col)
+        sh = sh.join(ids, id_col, "left_semi")
+        sig = sig.join(ids, id_col, "left_semi")
     pairs = minhash_near_duplicates(
-        filtered, threshold=dup_threshold, n_hashes=n_hashes, bands=bands
+        filtered, threshold=dup_threshold, n_hashes=n_hashes, bands=bands,
+        sh=sh, sig=sig,
     )
     clusters = duplicate_clusters(filtered, pairs, id_col)
     representatives = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(

@@ -662,13 +662,17 @@ MIN_QUALITY = 0.72
 
 def x_curate_corpus(spark, sf_dir):
     from kinbaku_spark.operators.pipeline import curate_corpus
+    from kinbaku_spark.queries.dedup_state import shingle_state
 
+    sh, sig = shingle_state(spark, sf_dir)
     return curate_corpus(
         load_table(spark, sf_dir, "documents"),
         min_quality=MIN_QUALITY,
         dup_threshold=MINHASH_THRESHOLD,
         n_hashes=N_HASHES,
         bands=N_BANDS,
+        sh=sh,
+        sig=sig,
     )
 
 

@@ -1,0 +1,168 @@
+"""10x-corpus scale drill for the LLM-pipeline operators.
+
+Builds a 50,000-document / 20,000-vector corpus (10x sf0.1) in /tmp as
+TEN DISJOINT SHARDS, each isomorphic to sf0.1:
+
+- documents: copy k suffixes every word with `§k` — an injective
+  word renaming, so WITHIN a copy every shingle-set size, intersection,
+  and exact-equality relation is preserved bit-for-bit, while ACROSS
+  copies shingle sets are disjoint (zero cross-copy similarity).
+- embeddings: copy k rolls the 64 dims by k — an orthogonal transform,
+  so within-copy dot products and norms are exact.
+
+Because the shards are isomorphic and disjoint, the set-based dedup
+operators have PROVABLE 10x output cardinality: exact-dedup keeps,
+MinHash-verified pairs, and containment pairs at 10x must equal exactly
+10x their sf0.1 counts — a correctness check under scale, not just a
+timing. Runtimes are then the linearity readout: a plan with a hidden
+quadratic (all-pairs, hot-key bucket) blows past 10x wall-clock; the
+banded/prefix-filtered plans should stay near-linear (modulo fixed
+per-job floors, which REDUCE the ratio on small inputs).
+
+Usage: python scripts/stress_pipeline_10x.py
+Writes a summary table to stdout and STRESS_PIPELINE_10X.md.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+os.environ.setdefault("KB_CACHE_TABLES", "1")
+
+from pyspark.sql import functions as F
+
+from kinbaku_spark.queries import QUERIES
+from kinbaku_spark.session import get_spark
+from kinbaku_spark.sources.tables import load_table
+
+BASE = "/root/testdata/sf0.1"
+TENX = "/tmp/kb_stress_10x"
+COPIES = 10
+ID_STRIDE = 10_000_000
+
+PICKS = [
+    "x_dedup_exact",
+    "x_dedup_minhash",
+    "x_dedup_simhash",
+    "x_dedup_containment",
+    "x_dedup_edit_distance",
+    "x_text_quality",
+    "x_lang_id",
+    "x_curate_corpus",
+    "x_ann_cosine_topk",
+    "x_ann_ivf_topk",
+    "x_semantic_dedup",
+]
+
+# operators whose output cardinality is provably EXACTLY 10x under the
+# disjoint-isomorphic-shards construction
+EXACT_10X = {"x_dedup_exact", "x_dedup_minhash", "x_dedup_containment"}
+
+
+def build_tenx(spark) -> None:
+    if os.path.exists(TENX):
+        shutil.rmtree(TENX)
+    os.makedirs(TENX)
+    docs = load_table(spark, BASE, "documents")
+    parts = []
+    for k in range(COPIES):
+        suffixed = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(w, F.lit(f"§{k}")),
+            ),
+            " ",
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * ID_STRIDE)).alias("doc_id"),
+                suffixed.alias("text"),
+                "lang",
+                "source",
+                F.length(suffixed).alias("n_chars"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.coalesce(8).write.mode("overwrite").parquet(f"{TENX}/documents.parquet")
+
+    emb = load_table(spark, BASE, "embeddings")
+    eparts = []
+    for k in range(COPIES):
+        rolled = F.expr(
+            f"concat(slice(embedding, {k % 64 + 1}, {64 - (k % 64)}),"
+            f" slice(embedding, 1, {k % 64}))"
+        )
+        eparts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * ID_STRIDE)).alias("vec_id"),
+                rolled.alias("embedding"),
+                "label",
+            )
+        )
+    eout = eparts[0]
+    for p in eparts[1:]:
+        eout = eout.unionByName(p)
+    eout.coalesce(8).write.mode("overwrite").parquet(f"{TENX}/embeddings.parquet")
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def timed(name: str, sf_dir: str) -> tuple[float, int]:
+    best, rows = float("inf"), -1
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        rows = df.count()
+        best = min(best, time.perf_counter() - t0)
+    return best, rows
+
+
+if __name__ == "__main__":
+    spark = get_spark(app_name="kb_stress_10x")
+    t0 = time.perf_counter()
+    build_tenx(spark)
+    print(f"built 10x corpus in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    lines = [
+        "# 10x-corpus scale drill (scripts/stress_pipeline_10x.py)",
+        "",
+        f"sf0.1 (5,000 docs / 2,000 vecs) vs 10 disjoint isomorphic shards "
+        f"(50,000 docs / 20,000 vecs), local[32], warm min-of-2.",
+        "",
+        "| query | sf0.1 s | 10x s | time ratio | sf0.1 rows | 10x rows | exact-10x rows |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    ok = True
+    for name in PICKS:
+        tb, rb = timed(name, BASE)
+        tx, rx = timed(name, TENX)
+        exact = "n/a"
+        if name in EXACT_10X:
+            exact = "PASS" if rx == 10 * rb else f"FAIL ({rx} != 10*{rb})"
+            ok = ok and rx == 10 * rb
+        lines.append(
+            f"| {name} | {tb:.2f} | {tx:.2f} | {tx / tb:.1f}x | {rb} | {rx} | {exact} |"
+        )
+        print(lines[-1], flush=True)
+    lines += [
+        "",
+        "Reading: `time ratio` ~<= 10x means the plan scales linearly in the",
+        "corpus (fixed per-job floors make small-input ratios look BETTER",
+        "than linear); the exact-10x row-count checks prove the dedup",
+        "semantics are shard-local (no cross-shard artifacts) under the",
+        "injective-renaming construction.",
+    ]
+    with open(os.path.join(ROOT, "STRESS_PIPELINE_10X.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("exact-10x invariants:", "ALL PASS" if ok else "FAILURES", flush=True)
+    sys.exit(0 if ok else 1)
