@@ -201,16 +201,37 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """All pairs with cosine >= threshold (verification baseline; the scale
     path buckets by LSH signature first — pairs above a high threshold land
-    in the same or adjacent buckets with overwhelming probability)."""
-    a = corpus.select(F.col(id_col).alias(f"{id_col}_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias(f"{id_col}_b"), F.col(vec_col).alias("vb"))
+    in the same or adjacent buckets with overwhelming probability).
+
+    Norms are precomputed ONCE PER ROW before the pair join (the cosine
+    denominator na*nb is algebraically and bit-identically the same as
+    folding both norms per pair, since each norm is a deterministic
+    function of its own vector) — the per-pair work drops from three
+    interpreted higher-order folds to one. (An unrolled 64-term codegen
+    sum was measured 3x SLOWER than the fold here — the 190-node
+    expression tree falls out of whole-stage codegen — so the fold is
+    the fast exact form.)"""
+    a = corpus.select(
+        F.col(id_col).alias(f"{id_col}_a"),
+        F.col(vec_col).alias("va"),
+        norm_double(F.col(vec_col)).alias("na"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias(f"{id_col}_b"),
+        F.col(vec_col).alias("vb"),
+        norm_double(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
         .select(
             f"{id_col}_a",
             f"{id_col}_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+            F.round(
+                dot_double(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

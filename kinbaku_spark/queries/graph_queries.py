@@ -1289,6 +1289,11 @@ def g_hits(spark, sf_dir):
     edges = g.edges_df.select("src", "dst")
 
     def normalize(df, col):
+        # pin the raw scores first: the max-aggregate AND the division both
+        # consume df, and each subsequent round consumes the result twice
+        # more — without the checkpoint the edge-join lineage re-executes
+        # a compounding 2^rounds times (measured 30 s -> 3 s at sf0.1)
+        df = df.localCheckpoint(eager=True)
         mx = df.agg(F.max(col).alias("mx"))
         return df.crossJoin(F.broadcast(mx)).select(
             "key", (F.col(col) / F.col("mx")).alias(col)
