@@ -1212,12 +1212,16 @@ def g_random_walks(spark, sf_dir):
         .select(F.col("key").alias("walk_id"), F.col("key").alias("node"))
     )
     out = cur.select("walk_id", F.lit(0).alias("step"), "node")
+    # walker state is one row per walk: broadcast it while broadcastable so
+    # the edge table is scanned in place per step (explicit hints are never
+    # demoted by AQE, hence the count gate — g_pagerank pattern)
+    hint = F.broadcast if cur.count() < 1_000_000 else (lambda d: d)
     for i in range(1, WALK_STEPS + 1):
         h = md5_long(
             F.concat_ws(":", F.col("walk_id"), F.lit(str(i)), F.col("v"))
         )
         cur = (
-            cur.join(und, und.u == cur.node)
+            und.join(hint(cur), und.u == cur.node)
             .select("walk_id", "v", h.alias("h"))
             .groupBy("walk_id")
             .agg(F.min_by("v", "h").alias("node"))
