@@ -43,6 +43,8 @@ def curate_corpus(
     filtered = docs.join(
         quality.filter(F.col("quality_score") >= min_quality), id_col
     ).localCheckpoint(eager=True)  # 3 consumers: shingles, signatures, output
+    if (sh is None) != (sig is None):
+        raise ValueError("curate_corpus: pass both sh and sig or neither")
     if sh is not None and sig is not None:
         ids = filtered.select(id_col)
         sh = sh.join(ids, id_col, "left_semi")

@@ -10,11 +10,17 @@ TEN DISJOINT SHARDS, each isomorphic to sf0.1:
 - embeddings: copy k rolls the 64 dims by k — an orthogonal transform,
   so within-copy dot products and norms are exact.
 
-Because the shards are isomorphic and disjoint, the set-based dedup
-operators have PROVABLE 10x output cardinality: exact-dedup keeps,
-MinHash-verified pairs, and containment pairs at 10x must equal exactly
-10x their sf0.1 counts — a correctness check under scale, not just a
-timing. Runtimes are then the linearity readout: a plan with a hidden
+Because the shards are isomorphic and disjoint, the hash-independent
+dedup operators have PROVABLE 10x output cardinality: exact-dedup keeps
+(md5 equality of equal strings) and containment pairs (lossless prefix
+filter + exact set verify, both invariant under injective word renaming)
+at 10x must equal exactly 10x their sf0.1 counts — a correctness check
+under scale, not just a timing. MinHash pair counts are reported but NOT
+asserted exact: banding recall is a function of the shingle hashes, and
+the renaming changes every hash, so a borderline pair can legitimately
+gain/lose a band collision across copies.
+
+Runtimes are then the linearity readout: a plan with a hidden
 quadratic (all-pairs, hot-key bucket) blows past 10x wall-clock; the
 banded/prefix-filtered plans should stay near-linear (modulo fixed
 per-job floors, which REDUCE the ratio on small inputs).
@@ -60,8 +66,9 @@ PICKS = [
 ]
 
 # operators whose output cardinality is provably EXACTLY 10x under the
-# disjoint-isomorphic-shards construction
-EXACT_10X = {"x_dedup_exact", "x_dedup_minhash", "x_dedup_containment"}
+# disjoint-isomorphic-shards construction (hash-independent semantics
+# only — MinHash banding recall is hash-dependent, see module docstring)
+EXACT_10X = {"x_dedup_exact", "x_dedup_containment"}
 
 
 def build_tenx(spark) -> None:
@@ -112,18 +119,19 @@ def build_tenx(spark) -> None:
     eout.coalesce(8).write.mode("overwrite").parquet(f"{TENX}/embeddings.parquet")
 
 
-def _force(df) -> int:
+def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
-    return -1
 
 
 def timed(name: str, sf_dir: str) -> tuple[float, int]:
-    best, rows = float("inf"), -1
+    # time the noop-sink write (full materialization — a count() would let
+    # the optimizer column-prune the timed plan); count rows untimed after
+    best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        rows = df.count()
+        _force(QUERIES[name](spark, sf_dir))
         best = min(best, time.perf_counter() - t0)
+    rows = QUERIES[name](spark, sf_dir).count()
     return best, rows
 
 

@@ -575,7 +575,7 @@ def test_streaming_media_decode_matches_batch(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not drain within 120s"
         got = sorted(
             tuple(r) for r in spark.sql("SELECT * FROM media_decode_stream").collect()
         )
