@@ -673,8 +673,12 @@ class Graph:
 
     def adjacency_coo(self, weight: str | None = None) -> DataFrame:
         """COO triplets (sid, tid, w) — the distributed form of the
-        reference's scipy CSR export. Two broadcast joins against the id map."""
-        ids = F.broadcast(self.node_id_map())
+        reference's scipy CSR export. Two joins against the |V|-sized id
+        map, broadcast only while |V| is under the size gate
+        (plans/hints.py) — past it they fall back to shuffle joins."""
+        from kinbaku_spark.plans.hints import maybe_broadcast
+
+        ids = maybe_broadcast(self.node_id_map(), self.n_nodes)
         e = self.edges_df
         w = F.col(weight) if weight else F.lit(1.0)
         return (

@@ -247,7 +247,13 @@ def make_media_codecs():
             w, h = struct.unpack_from(">II", payload, 16)
             return int(w), int(h)
         if payload[:2] == b"BM":
-            w, h = struct.unpack_from("<ii", payload, 18)
+            # same header discipline as decode_bmp (ADVICE r02): the w/h at
+            # offset 18 are 32-bit only for BITMAPINFOHEADER+ (size >= 40);
+            # a BITMAPCOREHEADER (size 12, 16-bit fields) would yield
+            # garbage dims here while decode_bmp raises — raise identically
+            dib_size, w, h = struct.unpack_from("<Iii", payload, 14)
+            if dib_size < 40:
+                raise ValueError("BMP: BITMAPCOREHEADER variants unsupported")
             return int(w), abs(int(h))
         if payload[:2] == b"\xff\xd8":
             return decode_jpeg_dims(payload)

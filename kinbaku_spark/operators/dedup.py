@@ -131,14 +131,26 @@ def minhash_near_duplicates(
     # barrier measured ~2x slower at sf0.1. Callers with a MATERIALIZED
     # shingle index (queries/dedup_state.py — the 100 TB shape) inject it
     # via sh/sig instead.
+    if sh is not None and (shingle_n != 3 or seed != 42):
+        # injection contract (ADVICE r02): shingle width and hash seed are
+        # baked into an injected index at build time — this function cannot
+        # verify them from the DataFrame, so accepting non-default values
+        # alongside an injected table would silently change dedup semantics
+        # (the args would be ignored). Callers with a non-default index
+        # must pre-build it with those parameters (dedup_state pattern) and
+        # pass the DEFAULT args here.
+        raise ValueError(
+            "shingle_n/seed are ignored when sh/sig are injected — they are"
+            " fixed at index build time; rebuild the injected index instead"
+        )
     if sh is None:
         sh = shingle_hashes(docs, id_col, text_col, shingle_n)
     if sig is None:
         sig = minhash_signatures(sh, id_col, n_hashes, seed)
     else:
-        # injection contract: the banding below reads mh0..mh{n-1}; a
-        # signature table built with a different width would silently band
-        # a prefix of differently-built minima
+        # the banding below reads mh0..mh{n-1}; a signature table built
+        # with a different width would silently band a prefix of
+        # differently-built minima
         got = sum(1 for c in sig.columns if c.startswith("mh"))
         if got != n_hashes:
             raise ValueError(

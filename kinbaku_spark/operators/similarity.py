@@ -23,6 +23,7 @@ wall-clock at 16 planes x 64 dims.
 
 from __future__ import annotations
 
+import functools
 import math
 import random
 
@@ -231,6 +232,91 @@ def embedding_near_duplicates(
                 dot_double(F.col("va"), F.col("vb"))
                 / (F.col("na") * F.col("nb")),
                 6,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def embedding_near_duplicates_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    bands: int = 4,
+) -> DataFrame:
+    """Scale path for embedding near-duplicate pairs (the canonical form —
+    VERDICT r02 #2): hyperplane-LSH banded candidate generation, then exact
+    cosine verification over the candidates only.
+
+    Shape: one signature pass over the corpus (len(planes) sign-of-
+    projection bits per row), the signature split into ``bands`` contiguous
+    bit-bands, a self-equi-join per band on (band, band_key), and the exact
+    rounded-6dp cosine computed only for pairs that collide in >= 1 band.
+    At 100 TB the signature table is stored engine state, each band join is
+    a hash-partitioned equi-join (AQE skew-splittable), and candidate
+    volume is Σ_buckets |bucket|² per band instead of n² — with
+    2^(planes/bands) buckets per band the expected bucket occupancy stays
+    constant as the plane count grows with log(n).
+
+    Recall tradeoff (documented, inherent to LSH): a pair at cosine s
+    collides in one band with probability (1 - acos(s)/π)^(planes/bands);
+    pairs above the threshold that never collide are missed. The all-pairs
+    :func:`embedding_near_duplicates` stays registered as the exhaustive
+    verification baseline. The DuckDB oracle replays the IDENTICAL planes
+    and banding, so the output (candidate ∩ cosine >= threshold) is
+    deterministic and engine-independent.
+    """
+    planes = planes or random_hyperplanes(dim=64)
+    if len(planes) % bands != 0:
+        raise ValueError("len(planes) must be divisible by bands")
+    width = len(planes) // bands
+    mask = (1 << width) - 1
+    # the signature scan feeds 2*bands join sides — pin it or the
+    # len(planes)x dim-dot projection re-runs per consumer
+    sigged = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm_double(F.col(vec_col)).alias("nrm"),
+        lsh_signature(vec_col, planes).alias("sig"),
+    ).localCheckpoint(eager=True)
+    keys_a = sigged.select(F.col(id_col).alias(f"{id_col}_a"), F.col("sig").alias("sig_a"))
+    keys_b = sigged.select(F.col(id_col).alias(f"{id_col}_b"), F.col("sig").alias("sig_b"))
+    pieces = []
+    for k in range(bands):
+        la = keys_a.select(
+            f"{id_col}_a",
+            F.lit(k).alias("band"),
+            F.shiftright(F.col("sig_a"), k * width).bitwiseAND(F.lit(mask)).alias("bk"),
+        )
+        lb = keys_b.select(
+            f"{id_col}_b",
+            F.lit(k).alias("band"),
+            F.shiftright(F.col("sig_b"), k * width).bitwiseAND(F.lit(mask)).alias("bk"),
+        )
+        pieces.append(la.join(lb, ["band", "bk"]).drop("band", "bk"))
+    cand = (
+        functools.reduce(lambda x, y: x.unionByName(y), pieces)
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .distinct()
+    )
+    # verify join carries only the candidate ids; vectors + precomputed
+    # norms (once per ROW, not per pair) attach from the pinned sig table
+    va = sigged.select(
+        F.col(id_col).alias(f"{id_col}_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
+    )
+    vb = sigged.select(
+        F.col(id_col).alias(f"{id_col}_b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        cand.join(va, f"{id_col}_a")
+        .join(vb, f"{id_col}_b")
+        .select(
+            f"{id_col}_a",
+            f"{id_col}_b",
+            F.round(
+                dot_double(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
             ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)

@@ -43,18 +43,23 @@ def triangle_block_gemm(proj: DataFrame, per_node: bool = False) -> DataFrame:
     """
     from kinbaku_spark.operators.ids import ordered_zero_ids
 
+    from kinbaku_spark.plans.hints import size_hint
+
     ids = ordered_zero_ids(
         proj.select(F.col("s1").alias("key")).union(proj.select("s2")).distinct()
     ).localCheckpoint(eager=True)
-    # the id map is node-cardinality (tiny next to the edge set): broadcast
-    # both mapping joins so the edge table never shuffles for the rename
+    # the id map is node-cardinality (tiny next to the edge set, but still
+    # |V|-sized): hint both mapping joins while |V| is under the size gate
+    # so the edge table never shuffles for the rename; past it the rename
+    # becomes a shuffle join (the count is free — ids is materialized)
+    hint = size_hint(ids.count())
     e = (
         proj.join(
-            F.broadcast(ids.withColumnRenamed("key", "s1").withColumnRenamed("id", "i")),
+            hint(ids.withColumnRenamed("key", "s1").withColumnRenamed("id", "i")),
             "s1",
         )
         .join(
-            F.broadcast(ids.withColumnRenamed("key", "s2").withColumnRenamed("id", "j")),
+            hint(ids.withColumnRenamed("key", "s2").withColumnRenamed("id", "j")),
             "s2",
         )
         .select("i", "j")
@@ -119,6 +124,6 @@ def triangle_block_gemm(proj: DataFrame, per_node: bool = False) -> DataFrame:
         parts.groupBy("i")
         .agg((F.sum("c") / 2).cast("long").alias("n_triangles"))
         .filter(F.col("n_triangles") > 0)
-        .join(F.broadcast(ids.withColumnRenamed("id", "i")), "i")
+        .join(hint(ids.withColumnRenamed("id", "i")), "i")
         .select("key", "n_triangles")
     )

@@ -121,72 +121,76 @@ except ImportError:  # extensions land incrementally
 # operators (graph reads R1-R22, mutations M1-M7, bulk forms) and one
 # representative per major extension family so any prefix sample covers the
 # actual parity bar first. Everything else keeps its module order after.
+# Round-3 rotation (VERDICT r02 next-round #4): rounds 1+2 drove 97 unique
+# entries green — every §2 read/mutation operator, the TPC-H headliners,
+# and one representative per LLM-pipeline family. Those stay green by the
+# local replica of the same gate (tests/test_oracle_parity.py); this
+# round's prefix front-loads (a) the queries whose semantics changed this
+# round (banded SimHash + LSH embedding dedup as the new canonical forms,
+# SemDeDup with the cell cap), (b) the full multimodal family (VERDICT #8),
+# and (c) ~40 never-driver-checked entries across the families the judge
+# named: iterative graph metrics (ext2/ext3), sketches, temporal/timeseries,
+# the streaming surrogate, the UDF and SQL surfaces.
 _PRIORITY = [
-    # §2.1 read operators R1-R22
-    "g_node_lookup",
-    "g_edge_lookup",
-    "g_exists",
-    "g_neighbors",
-    "g_predecessors",
-    "g_neighbors_from",
-    "g_predecessors_from",
-    "g_common_neighbors",
-    "g_common_predecessors",
-    "g_out_degrees",
-    "g_in_degrees",
-    "g_nodes_table",
-    "g_edges_table",
-    "g_counts",
-    "g_batch_nodes_page2",
-    "g_batch_edges_page2",
-    "g_adjacency_coo",
-    "g_subgraph_coo",
-    "g_degree_histogram",
-    # §2.2 mutation operators M1-M7 + bulk scale path
-    "m_add_node_upsert",
-    "m_add_edge_autocreate",
-    "m_remove_edge",
-    "m_remove_node_cascade",
-    "m_set_neighbors",
-    "m_set_predecessors",
-    "m_bulk_add_edges",
-    "m_bulk_remove_nodes",
-    # TPC-H headliners
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    # LLM-pipeline families: dedup
-    "x_dedup_exact",
-    "x_dedup_minhash",
-    "x_dedup_simhash",
-    "x_dedup_ngram_jaccard",
-    "x_dedup_containment",
-    "x_dedup_clusters",
-    "x_dedup_incremental",
+    # changed/new this round — must be (re-)driver-checked
+    "x_dedup_simhash_banded",
+    "x_dedup_embedding_lsh",
     "x_semantic_dedup",
-    "x_dedup_embedding",
-    # similarity search
-    "x_ann_cosine_topk",
-    "x_ann_lsh_topk",
-    "x_ann_ivf_topk",
-    "x_ann_recall",
-    "x_knn_hubness",
-    # text analysis
-    "x_text_quality",
-    "x_lang_id",
-    "x_token_count",
-    "x_pii_scrub",
-    # multimodal REAL decode (round-2: stdlib PNG/BMP/WAV codecs proven
-    # through the exact-hash oracle — the round-1 stub item, closed)
-    "x_image_decode_real",
-    "x_audio_decode_real",
-    # curation / packing / contamination
+    # multimodal family (VERDICT #8)
+    "x_multimodal_image",
+    "x_image_phash_dedup",
+    "x_image_resize_real",
+    "x_multimodal_audio",
+    "x_multimodal_video",
+    # r02 priority tail the 50-sample never reached
     "x_curate_corpus",
     "x_seq_packing",
     "x_contamination",
-    # multimodal plumbing
-    "x_multimodal_image",
-    "x_image_phash_dedup",
+    # iterative / derived graph metrics
+    "g_pagerank",
+    "g_bfs_depths",
+    "g_kcore",
+    "g_triangles",
+    "g_hits",
+    "g_label_propagation",
+    "g_modularity",
+    "g_assortativity",
+    "g_sssp_bounded",
+    "g_random_walks",
+    "g_node2vec_walks",
+    "g_boruvka_mst",
+    "g_truss_bounded",
+    "g_eccentricity",
+    "g_betweenness_bounded",
+    "g_butterflies",
+    "g_greedy_matching",
+    "g_motif_brokers",
+    "g_rich_club",
+    "g_geodesic_counts",
+    "g_graph_summary",
+    # sketches
+    "x_hll_distinct",
+    "x_hll_merge_sources",
+    "x_kmv_distinct",
+    "x_kmv_intersect",
+    "x_countmin_freq",
+    "x_bloom_prune",
+    # temporal / timeseries
+    "x_asof_join",
+    "x_range_join",
+    "x_hypertable_rollup",
+    "x_gapfill",
+    "x_moving_agg",
+    "x_funnel_conversion",
+    # streaming surrogate
+    "x_window_dedup",
+    # UDF surface
+    "x_udf_token_count",
+    "x_udtf_sentences",
+    "x_ann_pandas_topk",
+    # SQL surface
+    "q_sql_grouping_sets",
+    "q_pivot_orders",
 ]
 
 _missing = [k for k in _PRIORITY if k not in QUERIES]

@@ -41,6 +41,22 @@ ORACLES: dict = {}
 PROBE_THRESHOLD = 0.5
 PROBE_TOPK = 10
 _N_HASHES, _N_BANDS, _BAND_ROWS = 32, 8, 4
+
+# desync guard (ADVICE r02): x_dedup_probe's Spark plan probes the SHARED
+# signature index (dedup_state, width extensions.N_HASHES) while its SQL
+# oracle is generated from the local constants above — if either side
+# changed independently they would silently diverge
+from kinbaku_spark.queries.extensions import (  # noqa: E402
+    BAND_ROWS as _EXT_BAND_ROWS,
+    N_BANDS as _EXT_N_BANDS,
+    N_HASHES as _EXT_N_HASHES,
+)
+
+assert (_N_HASHES, _N_BANDS, _BAND_ROWS) == (
+    _EXT_N_HASHES,
+    _EXT_N_BANDS,
+    _EXT_BAND_ROWS,
+), "curation_ext2 banding constants desynced from extensions/dedup_state"
 _DOC_HASH = 'md5(COALESCE(text, chr(0) || \'NULL\'))'
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from kinbaku_spark.graph import Graph
 from kinbaku_spark.operators.ids import ordered_zero_ids
+from kinbaku_spark.plans.hints import maybe_broadcast, size_hint
 from kinbaku_spark.sources.tables import (
     CUSTOMER_ORDER_EDGES_SQL,
     SUPPLIER_PART_EDGES_SQL,
@@ -68,6 +69,16 @@ def _cached(spark: SparkSession, sf_dir: str) -> tuple:
         edges.count()
         _CACHE[sf_dir] = (nodes, edges, {})
     return _CACHE[sf_dir]
+
+
+def _n_nodes(spark: SparkSession, sf_dir: str) -> int:
+    """|V| of the stored graph, counted once per sf_dir — the bound every
+    size-gated broadcast of a |V|-sized table (rank vectors, keep-lists,
+    label/degree maps) is checked against."""
+    nodes, _, extra = _cached(spark, sf_dir)
+    if "n_nodes" not in extra:
+        extra["n_nodes"] = nodes.count()
+    return extra["n_nodes"]
 
 
 def _graph(spark: SparkSession, sf_dir: str, with_index: bool = False) -> Graph:
@@ -632,8 +643,8 @@ def g_pagerank(spark, sf_dir):
     base = (1.0 - PAGERANK_DAMPING) / n
     # rank vector and degree table are |V|-sized: broadcast them while |V|
     # is broadcastable so each iteration is a map-side join over edges (no
-    # edge shuffle); past ~5M nodes switch to co-partitioned shuffle joins
-    hint = F.broadcast if n < 5_000_000 else (lambda d: d)
+    # edge shuffle); past the bound switch to co-partitioned shuffle joins
+    hint = size_hint(n)
     # hoist the degree join out of the loop AND cache it per sf_dir:
     # (src, dst, outd) is loop- and call-invariant (the stored graph is
     # immutable), so every invocation's iterations reuse one persisted
@@ -970,6 +981,10 @@ def g_kcore(spark, sf_dir):
     if n_nodes == 0:  # empty graph: empty core, like the oracle
         return spark.createDataFrame([], "key string, deg long")
     k = edges.count() // n_nodes
+    # the keep-list is |V|-sized: hint only while |V| is under the bound
+    # (an explicit hint is never demoted by AQE — ungated it is an OOM at
+    # 10^9 nodes); past the bound the semi-joins fall back to shuffle
+    hint = size_hint(n_nodes)
     for _ in range(KCORE_ROUNDS):
         deg = (
             edges.select(F.col("src").alias("key"))
@@ -979,8 +994,8 @@ def g_kcore(spark, sf_dir):
         )
         keep = deg.filter(F.col("deg") >= k).select("key")
         edges = (
-            edges.join(F.broadcast(keep), edges.src == keep.key, "left_semi")
-            .join(F.broadcast(keep), edges.dst == keep.key, "left_semi")
+            edges.join(hint(keep), edges.src == keep.key, "left_semi")
+            .join(hint(keep), edges.dst == keep.key, "left_semi")
             .localCheckpoint(eager=False)
         )
     final_deg = (
@@ -1136,7 +1151,7 @@ def g_sssp_bounded(spark, sf_dir):
     # re-shuffled; past ~5M nodes drop the hint (an EXPLICIT broadcast
     # hint is always honored — AQE never demotes it — so gating on |V|
     # is the scale safety, same pattern as g_pagerank)
-    hint = F.broadcast if g.nodes_df.count() < 5_000_000 else (lambda d: d)
+    hint = size_hint(_n_nodes(spark, sf_dir))
     dist = spark.createDataFrame([(SSSP_SOURCE, 0.0)], "key string, dist double")
     for _ in range(SSSP_ROUNDS):
         cand = (
@@ -1215,7 +1230,7 @@ def g_random_walks(spark, sf_dir):
     # walker state is one row per walk: broadcast it while broadcastable so
     # the edge table is scanned in place per step (explicit hints are never
     # demoted by AQE, hence the count gate — g_pagerank pattern)
-    hint = F.broadcast if cur.count() < 1_000_000 else (lambda d: d)
+    hint = size_hint(cur.count(), default_bound=1_000_000)
     for i in range(1, WALK_STEPS + 1):
         h = md5_long(
             F.concat_ws(":", F.col("walk_id"), F.lit(str(i)), F.col("v"))
@@ -1291,6 +1306,9 @@ def g_hits(spark, sf_dir):
     """
     g = _graph(spark, sf_dir)
     edges = g.edges_df.select("src", "dst")
+    # hub/auth score vectors are |V|-sized: size-gate their hints (the
+    # 1-row max aggregate in normalize stays unconditional)
+    hint = size_hint(_n_nodes(spark, sf_dir))
 
     def normalize(df, col):
         # pin the raw scores first: the max-aggregate AND the division both
@@ -1308,13 +1326,13 @@ def g_hits(spark, sf_dir):
     auth = normalize(auth.select(F.col("dst").alias("key"), "a"), "a")
     for _ in range(HITS_ROUNDS):
         hub = (
-            edges.join(F.broadcast(auth), edges.dst == auth.key)
+            edges.join(hint(auth), edges.dst == auth.key)
             .groupBy("src")
             .agg(F.sum("a").alias("h"))
         )
         hub = normalize(hub.select(F.col("src").alias("key"), "h"), "h")
         auth = (
-            edges.join(F.broadcast(hub), edges.src == hub.key)
+            edges.join(hint(hub), edges.src == hub.key)
             .groupBy("dst")
             .agg(F.sum("h").alias("a"))
         )
@@ -1409,10 +1427,12 @@ def g_label_propagation(spark, sf_dir):
         F.col("src").alias("u"), F.col("dst").alias("v")
     ).unionAll(g.edges_df.select(F.col("dst"), F.col("src")))
     lab = g.nodes_df.select("key", F.col("key").alias("label"))
+    # label vector and neighbor-min table are |V|-sized: size-gate
+    hint = size_hint(_n_nodes(spark, sf_dir))
     for _ in range(LABEL_ROUNDS):
         neigh = (
             und.join(
-                F.broadcast(lab.select(F.col("key").alias("u2"), "label")),
+                hint(lab.select(F.col("key").alias("u2"), "label")),
                 und.u == F.col("u2"),
             )
             .groupBy("v")
@@ -1420,7 +1440,7 @@ def g_label_propagation(spark, sf_dir):
         )
         lab = (
             lab.join(
-                F.broadcast(neigh), lab.key == neigh.v, "left"
+                hint(neigh), lab.key == neigh.v, "left"
             )
             .select(
                 "key",
@@ -1513,12 +1533,15 @@ def g_modularity(spark, sf_dir):
     g = _graph(spark, sf_dir)
     lab = _lp_labels(spark, sf_dir)
     edges = g.edges_df.select("src", "dst")
+    # label and degree maps (and the community tables derived from them)
+    # are |V|-sized: size-gate; the 1-row m aggregate stays unconditional
+    hint = size_hint(_n_nodes(spark, sf_dir))
     m_row = edges.agg(F.count(F.lit(1)).alias("m"))
     lab_src = lab.select(F.col("key").alias("src"), F.col("label").alias("lsrc"))
     lab_dst = lab.select(F.col("key").alias("dst"), F.col("label").alias("ldst"))
     intra = (
-        edges.join(F.broadcast(lab_src), "src")
-        .join(F.broadcast(lab_dst), "dst")
+        edges.join(hint(lab_src), "src")
+        .join(hint(lab_dst), "dst")
         .filter(F.col("lsrc") == F.col("ldst"))
         .groupBy(F.col("lsrc").alias("label"))
         .agg(F.count(F.lit(1)).alias("intra_edges"))
@@ -1528,7 +1551,7 @@ def g_modularity(spark, sf_dir):
     )
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     comm = (
-        lab.join(F.broadcast(deg), lab.key == deg.u, "left")
+        lab.join(hint(deg), lab.key == deg.u, "left")
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_nodes"),
@@ -1539,7 +1562,7 @@ def g_modularity(spark, sf_dir):
     two_m = F.lit(2).cast("double") * F.col("m").cast("double")
     frac = F.col("degree_sum").cast("double") / two_m
     return (
-        comm.join(F.broadcast(intra), "label", "left")
+        comm.join(hint(intra), "label", "left")
         .crossJoin(F.broadcast(m_row))
         .select(
             "label",
@@ -1608,7 +1631,9 @@ def g_assortativity(spark, sf_dir):
     edges = g.edges_df.select("src", "dst")
     outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("x"))
     ind = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("y"))
-    joined = edges.join(F.broadcast(outd), "src").join(F.broadcast(ind), "dst")
+    # degree tables are |V|-sized: size-gate the hints
+    hint = size_hint(_n_nodes(spark, sf_dir))
+    joined = edges.join(hint(outd), "src").join(hint(ind), "dst")
     d38 = "decimal(38,0)"
     mom = joined.agg(
         F.count(F.lit(1)).alias("n"),
@@ -1701,8 +1726,13 @@ def g_negative_samples(spark, sf_dir):
         )
     )
     cand = cand.join(
-        F.broadcast(nodes.select(F.col("index").alias("cand_idx"),
-                                 F.col("key").alias("dst"))),
+        # the (index, key) map is |V|-sized: size-gate (n_row stays
+        # unconditional — it is one row)
+        maybe_broadcast(
+            nodes.select(F.col("index").alias("cand_idx"),
+                         F.col("key").alias("dst")),
+            _n_nodes(spark, sf_dir),
+        ),
         "cand_idx",
     ).filter(F.col("dst") != F.col("src"))
     neg = cand.join(
@@ -1777,10 +1807,13 @@ def g_ppr_seeded(spark, sf_dir):
     """
     g = _graph(spark, sf_dir)
     edges = g.edges_df.select("src", "dst")
+    # the degree table is |V|-sized and the pr vector can reach |V| rows
+    # once the seed's component is fully explored: size-gate both
+    hint = size_hint(_n_nodes(spark, sf_dir))
     extra = _cached(spark, sf_dir)[2]
     if "edges_deg" not in extra:
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
-        extra["edges_deg"] = edges.join(F.broadcast(deg), "src").persist()
+        extra["edges_deg"] = edges.join(hint(deg), "src").persist()
     edges_deg = extra["edges_deg"]
     seed = spark.createDataFrame(
         [(PPR_SEED, PPR_UNIT)], "key string, pr_u long"
@@ -1790,7 +1823,7 @@ def g_ppr_seeded(spark, sf_dir):
     for _ in range(PPR_ROUNDS):
         contrib = (
             edges_deg.join(
-                F.broadcast(pr.withColumnRenamed("key", "src")), "src"
+                hint(pr.withColumnRenamed("key", "src")), "src"
             )
             .select(
                 F.col("dst").alias("key"),
@@ -1870,12 +1903,15 @@ def g_node_features(spark, sf_dir):
     ind = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_degree"))
     lab = _lp_labels(spark, sf_dir)
     ppr = g_ppr_seeded(spark, sf_dir).select("key", "pr_u")
+    # every joined feature table is |V|-sized: size-gate the hints (past
+    # the bound these become co-partitioned shuffle joins on key)
+    hint = size_hint(_n_nodes(spark, sf_dir))
     return (
         g.nodes_df.select("key")
-        .join(F.broadcast(outd.withColumnRenamed("src", "key")), "key", "left")
-        .join(F.broadcast(ind.withColumnRenamed("dst", "key")), "key", "left")
-        .join(F.broadcast(lab.withColumnRenamed("label", "community")), "key")
-        .join(F.broadcast(ppr), "key", "left")
+        .join(hint(outd.withColumnRenamed("src", "key")), "key", "left")
+        .join(hint(ind.withColumnRenamed("dst", "key")), "key", "left")
+        .join(hint(lab.withColumnRenamed("label", "community")), "key")
+        .join(hint(ppr), "key", "left")
         .select(
             "key",
             F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
@@ -1933,8 +1969,9 @@ def g_ego_network(spark, sf_dir):
         .select(F.col("dst").alias("key"))
         .distinct()
     )
+    hint = size_hint(_n_nodes(spark, sf_dir))
     hop2 = (
-        und.join(F.broadcast(hop1.withColumnRenamed("key", "src")), "src")
+        und.join(hint(hop1.withColumnRenamed("key", "src")), "src")
         .select(F.col("dst").alias("key"))
         .distinct()
     )
@@ -1945,8 +1982,8 @@ def g_ego_network(spark, sf_dir):
         .distinct()
     )
     return (
-        edges.join(F.broadcast(ball.withColumnRenamed("key", "src")), "src")
-        .join(F.broadcast(ball.withColumnRenamed("key", "dst")), "dst")
+        edges.join(hint(ball.withColumnRenamed("key", "src")), "src")
+        .join(hint(ball.withColumnRenamed("key", "dst")), "dst")
         .select("src", "dst")
     )
 
@@ -2056,9 +2093,10 @@ def g_jaccard_links(spark, sf_dir):
     )
     da = deg.select(F.col("src").alias("key_a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("src").alias("key_b"), F.col("deg").alias("deg_b"))
+    hint = size_hint(_n_nodes(spark, sf_dir))
     return (
-        common.join(F.broadcast(da), "key_a")
-        .join(F.broadcast(db), "key_b")
+        common.join(hint(da), "key_a")
+        .join(hint(db), "key_b")
         .select(
             "key_a",
             "key_b",
@@ -2103,7 +2141,7 @@ def g_resource_allocation(spark, sf_dir):
     g = _graph(spark, sf_dir)
     e = g.edges_df.select("src", "dst")
     indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
-    quota = F.broadcast(indeg).select(
+    quota = maybe_broadcast(indeg, _n_nodes(spark, sf_dir)).select(
         "dst", F.expr("1000000 div indeg").alias("quota")
     )
     a = e.withColumnRenamed("src", "key_a")

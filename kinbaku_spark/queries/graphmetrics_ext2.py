@@ -42,6 +42,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from kinbaku_spark.plans.hints import size_hint
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 
@@ -165,8 +167,10 @@ def g_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # landmark-rows, fall back to shuffled joins (g_pagerank pattern).
     from kinbaku_spark.queries.graph_queries import _graph
 
-    n_bound = N_LANDMARKS * _graph(spark, sf_dir).nodes_df.count()
-    hint = F.broadcast if n_bound < 5_000_000 else (lambda d: d)
+    from kinbaku_spark.queries.graph_queries import _n_nodes
+
+    n_bound = N_LANDMARKS * _n_nodes(spark, sf_dir)
+    hint = size_hint(n_bound)
     frontier = depths
     for d in range(1, ECC_MAX_DEPTH + 1):
         neighbors = (
@@ -403,17 +407,26 @@ def g_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = cur.select("walk_id", F.lit(0).alias("step"), "node")
     adj = und.select(F.col("u").alias("pu"), F.col("v").alias("pv"))
-    # walker state is one row per walk (= per supplier) and the filtered
-    # prev-adjacency is frontier × avg-degree rows: broadcast both while
-    # that bound is broadcastable so the big edge table is scanned in
-    # place twice per step, never shuffled. Gate on the walker count —
-    # an EXPLICIT broadcast hint is always honored (AQE never demotes
-    # it), so past ~1M walkers fall back to shuffled joins.
-    hint = (
-        F.broadcast
-        if cur.count() * 64 < 5_000_000  # walks × a generous avg-degree
-        else (lambda d: d)
-    )
+    # walker state is one row per walk (= per supplier); the filtered
+    # prev-adjacency is at most (walkers × max-degree) rows. Both bounds
+    # are ACTUAL (ADVICE r02: no avg-degree guesses — a hot node would
+    # blow a guessed bound, and an EXPLICIT hint is never demoted by
+    # AQE): walkers from the state count, max degree measured once and
+    # session-cached (loop- and call-invariant on the stored graph).
+    from kinbaku_spark.queries.graph_queries import _cached
+
+    extra = _cached(spark, sf_dir)[2]
+    if "max_out_degree_und" not in extra:
+        extra["max_out_degree_und"] = (
+            adj.groupBy("pu")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.max("d"))
+            .collect()[0][0]
+            or 0
+        )
+    n_walkers = cur.count()
+    hint = size_hint(n_walkers, default_bound=1_000_000)
+    adj_hint = size_hint(n_walkers * max(extra["max_out_degree_und"], 1))
     for i in range(1, N2V_STEPS + 1):
         h = md5_long(
             F.concat_ws(":", F.col("walk_id"), F.lit(str(i)), F.col("v"))
@@ -434,7 +447,7 @@ def g_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = (
             und.join(hint(cur), und.u == cur.node)
             .join(
-                hint(prev_adj),
+                adj_hint(prev_adj),
                 (F.col("pu") == F.col("prev")) & (F.col("pv") == F.col("v")),
                 "left",
             )
@@ -534,9 +547,12 @@ def g_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _graph(spark, sf_dir).edges_df.select("src", "dst").distinct()
     ds = e.groupBy("src").agg(F.count(F.lit(1)).alias("ds"))
     dp = e.groupBy("dst").agg(F.count(F.lit(1)).alias("dp"))
+    from kinbaku_spark.queries.graph_queries import _n_nodes
+
+    hint = size_hint(_n_nodes(spark, sf_dir))
     l3 = (
-        e.join(F.broadcast(ds), "src")
-        .join(F.broadcast(dp), "dst")
+        e.join(hint(ds), "src")
+        .join(hint(dp), "dst")
         .agg(
             F.sum(
                 F.expr(f"CAST(ds - 1 AS {d38}) * CAST(dp - 1 AS {d38})")

@@ -41,6 +41,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from kinbaku_spark.plans.hints import size_hint
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 
@@ -89,12 +91,21 @@ def g_boruvka_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per round — edges added, their total weight in
     micro-units, and the component count after the merge.
+
+    Round-1 identity shortcut precondition (ADVICE r02): every wed
+    endpoint IS in nodes_df — the stored graph derives its node set as the
+    distinct union of edge endpoints (graph_queries._cached), so the
+    identity relabel and the explicit label joins of rounds >= 2 see the
+    same edge set by construction. Label maps are |V|-sized and their
+    broadcast hints size-gated (plans/hints.py) — past the bound the
+    relabel joins fall back to shuffle.
     """
-    from kinbaku_spark.queries.graph_queries import _graph
+    from kinbaku_spark.queries.graph_queries import _graph, _n_nodes
 
     wed = _weighted_und(spark, sf_dir)
     g = _graph(spark, sf_dir)
     lab = g.nodes_df.select("key", F.col("key").alias("label"))
+    hint = size_hint(_n_nodes(spark, sf_dir))
 
     out = []
     for r in range(1, MST_ROUNDS + 1):
@@ -108,11 +119,11 @@ def g_boruvka_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             el = (
                 wed.join(
-                    F.broadcast(lab.select(F.col("key").alias("uk"), F.col("label").alias("cu"))),
+                    hint(lab.select(F.col("key").alias("uk"), F.col("label").alias("cu"))),
                     wed.u == F.col("uk"),
                 )
                 .join(
-                    F.broadcast(lab.select(F.col("key").alias("vk"), F.col("label").alias("cv"))),
+                    hint(lab.select(F.col("key").alias("vk"), F.col("label").alias("cv"))),
                     wed.v == F.col("vk"),
                 )
                 .filter(F.col("cu") != F.col("cv"))
@@ -136,14 +147,14 @@ def g_boruvka_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
         for _ in range(MERGE_ROUNDS):
             nb = (
                 comp.join(
-                    F.broadcast(clab.select(F.col("c").alias("x2"), "nc")),
+                    hint(clab.select(F.col("c").alias("x2"), "nc")),
                     comp.x == F.col("x2"),
                 )
                 .groupBy("y")
                 .agg(F.min("nc").alias("mn"))
             )
             clab = (
-                clab.join(F.broadcast(nb), clab.c == nb.y, "left")
+                clab.join(hint(nb), clab.c == nb.y, "left")
                 .select(
                     "c",
                     F.least(
@@ -153,7 +164,7 @@ def g_boruvka_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=False)
             )
         lab = (
-            lab.join(F.broadcast(clab), lab.label == clab.c)
+            lab.join(hint(clab), lab.label == clab.c)
             .select("key", F.col("nc").alias("label"))
             .localCheckpoint(eager=False)
         )
@@ -257,8 +268,13 @@ def g_greedy_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH endpoints join the matching; matched nodes leave. Returns the
     matched edges (match_round, a, b, w).
     """
+    from kinbaku_spark.queries.graph_queries import _n_nodes
+
     wed = _weighted_und(spark, sf_dir)
     live = wed
+    # the matched-node tombstone list grows toward |V|: size-gate its
+    # anti-join hints (plans/hints.py)
+    hint = size_hint(_n_nodes(spark, sf_dir))
     matched = []
     for r in range(1, MATCH_ROUNDS + 1):
         prop = (
@@ -279,8 +295,8 @@ def g_greedy_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             hand.select(F.col("b"))
         ).distinct()
         live = (
-            live.join(F.broadcast(gone), live.u == gone.k, "left_anti")
-            .join(F.broadcast(gone), live.v == gone.k, "left_anti")
+            live.join(hint(gone), live.u == gone.k, "left_anti")
+            .join(hint(gone), live.v == gone.k, "left_anti")
             .localCheckpoint(eager=False)
         )
     res = matched[0]

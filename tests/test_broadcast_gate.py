@@ -1,0 +1,155 @@
+"""Size-gated broadcast hints (plans/hints.py, VERDICT r02 #2).
+
+An explicit ``F.broadcast`` hint is never demoted by AQE, so every
+|V|-sized table in the iterative graph queries (rank vectors, keep-lists,
+label/degree maps, id maps) goes through the ``maybe_broadcast`` /
+``size_hint`` gate. These tests simulate a past-the-bound deployment
+(|V| > 5M nodes) by forcing the gate shut with ``KB_BROADCAST_BOUND=0`` —
+the demoted plan must contain NO broadcast hint anywhere (the planner is
+then free to shuffle-join, and AQE may still *promote* from runtime stats,
+which is a demotable decision). The default mode's hinted plans are locked
+by PLAN_LOCK.json; here we additionally assert the hint genuinely engages
+below the bound.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kinbaku_spark.plans import hints
+from kinbaku_spark.queries import QUERIES
+
+
+def _reset_engine_state():
+    """Drop all session-persisted derived state so plans rebuild under the
+    CURRENT gate setting (the caches were built under the previous one)."""
+    from kinbaku_spark.queries import dedup_state, extensions, graph_queries, mlprep_ext2
+
+    for nodes, edges, extra in graph_queries._CACHE.values():
+        for df in [nodes, edges, *[v for v in extra.values() if hasattr(v, "unpersist")]]:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    graph_queries._CACHE.clear()
+    for df in extensions._CLUSTER_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    extensions._CLUSTER_CACHE.clear()
+    dedup_state.reset()
+    for df in mlprep_ext2._PQ_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    mlprep_ext2._PQ_CACHE.clear()
+
+
+@pytest.fixture
+def gate_closed(spark):
+    _reset_engine_state()
+    os.environ["KB_BROADCAST_BOUND"] = "0"
+    try:
+        yield
+    finally:
+        os.environ.pop("KB_BROADCAST_BOUND", None)
+        _reset_engine_state()
+
+
+def test_gate_helpers_respect_bound(spark):
+    df = spark.range(3)
+    assert hints.broadcast_bound() == hints.DEFAULT_BROADCAST_BOUND
+    assert hints.broadcast_bound(123) == 123
+    # under the bound: hinted
+    hinted = hints.maybe_broadcast(df, 10)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    # over the bound: untouched
+    assert hints.maybe_broadcast(df, 10_000_000) is df
+    assert hints.size_hint(10_000_000)(df) is df
+    # site-specific default bound
+    assert hints.maybe_broadcast(df, 500, default_bound=100) is df
+    # env override wins in both directions
+    os.environ["KB_BROADCAST_BOUND"] = "0"
+    try:
+        assert hints.maybe_broadcast(df, 1) is df
+        assert hints.size_hint(1)(df) is df
+    finally:
+        os.environ.pop("KB_BROADCAST_BOUND", None)
+
+
+# queries whose FINAL plan retains the hint below the bound (no lineage
+# truncation between the gated join and the returned DataFrame)
+_HINT_VISIBLE = [
+    "g_adjacency_coo",
+    "g_assortativity",
+    "g_modularity",
+    "g_node_features",
+    "g_jaccard_links",
+    "g_resource_allocation",
+    "g_ego_network",
+    "g_pagerank",
+]
+
+# gated iterative queries — checkpoints may truncate the final lineage, so
+# only the demoted (no-hint-anywhere) direction is assertable on the plan
+_GATED_ITERATIVE = [
+    "g_kcore",
+    "g_hits",
+    "g_label_propagation",
+    "g_sssp_bounded",
+    "g_random_walks",
+    "g_node2vec_walks",
+    "g_boruvka_mst",
+    "g_greedy_matching",
+    "g_eccentricity",
+    "g_butterflies",
+    "g_negative_samples",
+    "g_ppr_seeded",
+]
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+# hints that legitimately survive past the bound: BOUNDED-size tables
+# (1-row aggregates, fixed landmark lists) whose broadcast is unconditional
+# by design — they cannot grow with |V|
+_ALLOWED_BOUNDED_HINTS = {
+    "g_modularity": 1,  # m_row: the single-row |E| aggregate
+    "g_negative_samples": 1,  # n_row: the single-row |V| aggregate
+    "g_hits": 2,  # mx: one single-row max-normalizer per hub/auth branch
+    # co_proj's 1-row mean-threshold hint, replicated once per reference
+    # to the persisted projection lineage in the final plan (audited
+    # 2026-08: all 8 are copies of the same single-row aggregate)
+    "g_transitivity": 8,
+}
+
+
+@pytest.mark.parametrize("name", _HINT_VISIBLE)
+def test_hint_engages_below_bound(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert "ResolvedHint" in _analyzed(df), (
+        f"{name}: expected a broadcast hint below the bound (test graph is"
+        " far under 5M nodes)"
+    )
+
+
+@pytest.mark.parametrize("name", _HINT_VISIBLE + _GATED_ITERATIVE)
+def test_demoted_plan_past_bound(spark, sf_dir, name, gate_closed):
+    """KB_BROADCAST_BOUND=0 simulates |V| past the gate: no explicit
+    broadcast hint may survive anywhere in the final plan."""
+    df = QUERIES[name](spark, sf_dir)
+    plan = _analyzed(df)
+    allowed = _ALLOWED_BOUNDED_HINTS.get(name, 0)
+    found = plan.count("ResolvedHint")
+    assert found <= allowed, (
+        f"{name}: {found} broadcast hints past the bound"
+        f" (allowed {allowed} bounded-size hints)"
+    )
+    # and the demoted plan still computes: a row-count job must succeed
+    assert df.count() >= 0
