@@ -40,6 +40,7 @@ for predecessor-heavy workloads, mirroring the reference's dual out/in trees).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Any, Iterator
 
 from pyspark.sql import DataFrame, Row, SparkSession, Window, functions as F
@@ -52,6 +53,24 @@ EDGE_KEY = ("src", "dst", "type")
 # Flush the delta buffer into the DataFrames once it holds this many entries;
 # each flush is one union + anti-join, so lineage depth stays bounded.
 DEFAULT_FLUSH_EVERY = 50_000
+# point-read LRU capacity (reference cache_len default, graph.py:29)
+DEFAULT_CACHE_LEN = 1_000_000
+
+
+def _lru_get(lru: OrderedDict, key):
+    rec = lru.get(key)
+    if rec is not None:
+        lru.move_to_end(key)
+    return rec
+
+
+def _lru_put(lru: OrderedDict, key, rec, cap: int) -> None:
+    lru[key] = rec
+    lru.move_to_end(key)
+    if len(lru) > cap:
+        lru.popitem(last=False)
+
+
 # localCheckpoint() every N flushes to truncate lineage for long op-logs.
 CHECKPOINT_EVERY_FLUSHES = 8
 
@@ -95,6 +114,7 @@ class Graph:
         edges: DataFrame | None = None,
         preload: bool = False,
         flush_every: int = DEFAULT_FLUSH_EVERY,
+        cache_len: int = DEFAULT_CACHE_LEN,
     ) -> None:
         self.spark = spark
         self._nodes = nodes if nodes is not None else spark.createDataFrame([], _default_nodes_schema())
@@ -112,9 +132,28 @@ class Graph:
         # identity index (reference preload, graph.py:304-306)
         self._node_keys: set[str] | None = None
         self._edge_keys: set[tuple[str, str, int]] | None = None
+        # KV front for point reads (reference cache semantics,
+        # graph.py:100-106 cache_pos_to_node + preload): full-record driver
+        # dicts when preload() ran, else a bounded read-through LRU. Point
+        # lookups are the one workload where a distributed scan is the
+        # wrong shape (~300 ms/job vs ~ms in the reference); the caches
+        # answer repeat reads at dict speed while every bulk/analytic path
+        # stays distributed.
+        self._cache_len = cache_len
+        self._node_rec: dict[str, dict] | None = None
+        self._edge_rec: dict[tuple[str, str, int], dict] | None = None
+        self._node_lru: OrderedDict[str, dict] = OrderedDict()
+        self._edge_lru: OrderedDict[tuple[str, str, int], dict] = OrderedDict()
+        # preload-built adjacency dicts (key -> neighbor/predecessor key
+        # sets): dict-speed neighbors()/predecessors() for the reference's
+        # flagship point read. Invalidated WHOLESALE by any mutation (the
+        # per-type multiplicity bookkeeping is not worth the bug surface)
+        # and rebuilt by the next preload().
+        self._adj: dict[str, set] | None = None
+        self._pred: dict[str, set] | None = None
         self._id_map: DataFrame | None = None
         if preload:
-            self._ensure_index()
+            self.preload()
 
     # -- constructors -------------------------------------------------------
 
@@ -265,6 +304,42 @@ class Graph:
             self._edge_keys = {
                 (r[0], r[1], r[2]) for r in self._edges.select(*EDGE_KEY).collect()
             }
+
+    def preload(self) -> None:
+        """Load every node and edge record into driver dicts — the
+        reference's ``preload=True`` semantics (graph.py:31,59,304-306: all
+        node attributes loaded at open, served from the record caches).
+
+        After this, the point reads (``node``/``edge``/``has_node``/
+        ``has_edge``) answer from driver memory with NO Spark job — the
+        KV-front pattern for the one workload where a distributed scan is
+        the wrong shape. Operating envelope: the record set fits one
+        process — the reference's own envelope (its entire graph is one
+        local file). The DEFAULT path stays fully distributed; bulk
+        mutations (add_edges/remove_nodes/...) invalidate the preload, and
+        point mutations maintain it eagerly (same discipline as the
+        identity key sets)."""
+        self._flush()
+        self._ensure_index()
+        if self._node_rec is None:
+            self._node_rec = {r["key"]: r.asDict() for r in self._nodes.collect()}
+            self._edge_rec = {
+                (r["src"], r["dst"], r["type"]): r.asDict()
+                for r in self._edges.collect()
+            }
+        if self._adj is None:
+            adj: dict[str, set] = {}
+            pred: dict[str, set] = {}
+            for src, dst, _t in self._edge_rec:
+                adj.setdefault(src, set()).add(dst)
+                pred.setdefault(dst, set()).add(src)
+            self._adj, self._pred = adj, pred
+
+    def _blank_node_row(self, key: str) -> dict:
+        """The auto-created ('ensure'd) node record: every attr NULL."""
+        row = {f.name: None for f in self._nodes.schema}
+        row["key"] = key
+        return row
 
     # -- distributed existence probes (no driver-side key sets) --------------
 
@@ -499,29 +574,59 @@ class Graph:
         if not isinstance(key, str):
             raise BadArgument("node key must be a string")
         op = self._node_ops.get(key)
+        ensure_pending = False
         if op is not None:
             kind, attrs = op
             if kind == "delete":
                 raise NodeNotFound(key)
-            # read-your-writes: same shape as a materialized row (absent
-            # attrs are NULL — upsert replaces the whole record)
-            row = {f.name: (attrs or {}).get(f.name) for f in self._nodes.schema}
-            row["key"] = key
-            return row
-        rows = self._nodes.filter(F.col("key") == key).limit(1).collect()
-        if not rows:
+            if kind == "upsert":
+                # read-your-writes: same shape as a materialized row (absent
+                # attrs are NULL — upsert replaces the whole record)
+                row = {f.name: (attrs or {}).get(f.name) for f in self._nodes.schema}
+                row["key"] = key
+                return row
+            # "ensure" is insert-if-absent: a stored record keeps its attrs
+            # (reference add_edge auto-create never clobbers, graph.py:
+            # 1446-1453) — fall through to the stored lookup, and only an
+            # absent node reads back as the blank auto-created row
+            ensure_pending = True
+        if self._node_rec is not None:  # preload: dict-speed point read
+            rec = self._node_rec.get(key)
+            if rec is not None:
+                return dict(rec)
+            if ensure_pending:
+                return self._blank_node_row(key)
             raise NodeNotFound(key)
-        return rows[0].asDict()
+        rec = _lru_get(self._node_lru, key)
+        if rec is not None:
+            return dict(rec)
+        rows = self._nodes.filter(F.col("key") == key).limit(1).collect()
+        if rows:
+            rec = rows[0].asDict()
+            _lru_put(self._node_lru, key, dict(rec), self._cache_len)
+            return rec
+        if ensure_pending:
+            return self._blank_node_row(key)
+        raise NodeNotFound(key)
 
     def edge(self, src: str, dst: str, type: int = 0) -> dict:
-        op = self._edge_ops.get((src, dst, type))
+        triple = (src, dst, type)
+        op = self._edge_ops.get(triple)
         if op is not None:
             kind, attrs = op
             if kind == "delete":
-                raise EdgeNotFound((src, dst, type))
+                raise EdgeNotFound(triple)
             row = {f.name: (attrs or {}).get(f.name) for f in self._edges.schema}
             row.update({"src": src, "dst": dst, "type": type})
             return row
+        if self._edge_rec is not None:  # preload: dict-speed point read
+            rec = self._edge_rec.get(triple)
+            if rec is None:
+                raise EdgeNotFound(triple)
+            return dict(rec)
+        rec = _lru_get(self._edge_lru, triple)
+        if rec is not None:
+            return dict(rec)
         rows = (
             self._edges.filter(
                 (F.col("src") == src) & (F.col("dst") == dst) & (F.col("type") == type)
@@ -530,8 +635,10 @@ class Graph:
             .collect()
         )
         if not rows:
-            raise EdgeNotFound((src, dst, type))
-        return rows[0].asDict()
+            raise EdgeNotFound(triple)
+        rec = rows[0].asDict()
+        _lru_put(self._edge_lru, triple, dict(rec), self._cache_len)
+        return rec
 
     def has_node(self, key: str) -> bool:
         return self._node_exists(key)
@@ -556,10 +663,16 @@ class Graph:
         )
 
     def neighbors(self, key: str) -> Iterator[str]:
+        if self._adj is not None and not self._dirty():
+            yield from sorted(self._adj.get(key, ()))
+            return
         for row in self.neighbors_df(key).orderBy("key").toLocalIterator():
             yield row[0]
 
     def predecessors(self, key: str) -> Iterator[str]:
+        if self._pred is not None and not self._dirty():
+            yield from sorted(self._pred.get(key, ()))
+            return
         for row in self.predecessors_df(key).orderBy("key").toLocalIterator():
             yield row[0]
 
@@ -752,6 +865,11 @@ class Graph:
         self._node_ops[key] = ("upsert", dict(attr or {}))
         if self._node_keys is not None:
             self._node_keys.add(key)
+        self._node_lru.pop(key, None)
+        if self._node_rec is not None:  # upsert replaces the whole record
+            row = {f.name: (attr or {}).get(f.name) for f in self._nodes.schema}
+            row["key"] = key
+            self._node_rec[key] = row
         self._maybe_flush()
         return {"key": key, **(attr or {})}
 
@@ -767,9 +885,17 @@ class Graph:
             self._node_ops.setdefault(k, ("ensure", {}))
             if self._node_keys is not None:
                 self._node_keys.add(k)
+            if self._node_rec is not None:  # insert-if-absent, attrs kept
+                self._node_rec.setdefault(k, self._blank_node_row(k))
         self._edge_ops[(src, dst, type)] = ("upsert", dict(attr or {}))
+        self._invalidate_adjacency()
         if self._edge_keys is not None:
             self._edge_keys.add((src, dst, type))
+        self._edge_lru.pop((src, dst, type), None)
+        if self._edge_rec is not None:
+            row = {f.name: (attr or {}).get(f.name) for f in self._edges.schema}
+            row.update({"src": src, "dst": dst, "type": type})
+            self._edge_rec[(src, dst, type)] = row
         self._maybe_flush()
         return {"src": src, "dst": dst, "type": type, **(attr or {})}
 
@@ -778,8 +904,12 @@ class Graph:
         if not self._edge_exists(triple):
             raise EdgeNotFound(triple)
         self._edge_ops[triple] = ("delete", None)
+        self._invalidate_adjacency()
         if self._edge_keys is not None:
             self._edge_keys.discard(triple)
+        self._edge_lru.pop(triple, None)
+        if self._edge_rec is not None:
+            self._edge_rec.pop(triple, None)
         self._maybe_flush()
 
     def remove_node(self, key: str) -> None:
@@ -792,6 +922,7 @@ class Graph:
         for O(1) existence reuse."""
         if not self._node_exists(key):
             raise NodeNotFound(key)
+        self._invalidate_adjacency()
         self._flush()
         self._edges = self._edges.filter(
             (F.col("src") != key) & (F.col("dst") != key)
@@ -803,6 +934,14 @@ class Graph:
             }
         if self._node_keys is not None:
             self._node_keys.discard(key)
+        self._node_lru.pop(key, None)
+        if self._node_rec is not None:
+            self._node_rec.pop(key, None)
+        # cascade: drop every incident edge record (same rule as the key set)
+        for lru_or_rec in (self._edge_lru, self._edge_rec):
+            if lru_or_rec is not None:
+                for t in [t for t in lru_or_rec if t[0] == key or t[1] == key]:
+                    del lru_or_rec[t]
         self._flushes += 1
         if self._flushes % CHECKPOINT_EVERY_FLUSHES == 0:
             self._nodes = self._nodes.localCheckpoint(eager=False)
@@ -817,6 +956,7 @@ class Graph:
         targets drop; new targets are created empty, endpoints auto-created
         — all as lazy DataFrame algebra (filter + anti-join + union), no
         driver-side enumeration of the current adjacency."""
+        self._invalidate_adjacency()
         self._flush()
         this_col, other_col = ("src", "dst") if direction == "out" else ("dst", "src")
         target = sorted(set(others))
@@ -864,6 +1004,31 @@ class Graph:
                     for t in self._edge_keys
                     if not (t[1] == key and t[2] == type and t[0] not in tgt)
                 } | {(v, key, type) for v in tgt}
+        # record caches: the set-diff is driver-enumerable only for the LRU
+        # and preload dicts we hold — surviving records keep their attrs,
+        # removed ones drop, new ones appear blank (matching the DataFrame
+        # algebra above); pending "ensure" node keys appear blank-if-absent
+        tgt = set(target)
+        if self._node_rec is not None:
+            for k in [key] + target:
+                self._node_rec.setdefault(k, self._blank_node_row(k))
+        for cache in (self._edge_lru, self._edge_rec):
+            if cache is None:
+                continue
+            mine_idx, other_idx = (0, 1) if direction == "out" else (1, 0)
+            for t in [
+                t
+                for t in cache
+                if t[mine_idx] == key and t[2] == type and t[other_idx] not in tgt
+            ]:
+                del cache[t]
+        if self._edge_rec is not None:
+            for v in tgt:
+                t = (key, v, type) if direction == "out" else (v, key, type)
+                if t not in self._edge_rec:
+                    row = {f.name: None for f in self._edges.schema}
+                    row.update({"src": t[0], "dst": t[1], "type": type})
+                    self._edge_rec[t] = row
         self._flushes += 1
         if self._flushes % CHECKPOINT_EVERY_FLUSHES == 0:
             self._nodes = self._nodes.localCheckpoint(eager=False)
@@ -937,9 +1102,18 @@ class Graph:
                 *[c for c in self._edges.columns]
             )
 
+    def _invalidate_adjacency(self) -> None:
+        self._adj = None
+        self._pred = None
+
     def _invalidate_index(self) -> None:
         self._node_keys = None
         self._edge_keys = None
+        self._node_rec = None
+        self._edge_rec = None
+        self._node_lru.clear()
+        self._edge_lru.clear()
+        self._invalidate_adjacency()
         if self._id_map is not None:
             try:
                 self._id_map.unpersist()
