@@ -53,6 +53,8 @@ EXTENSION_HEADLINE = [
     "x_dedup_exact",
     "x_dedup_minhash",
     "x_dedup_simhash",
+    "x_dedup_simhash_banded",
+    "x_dedup_embedding_lsh",
     "x_ann_cosine_topk",
     "x_ann_lsh_topk",
     "x_text_quality",

@@ -210,8 +210,8 @@ def x_quality_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.alias("__h"),
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars"),
-        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("long").alias("alpha"),
-        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("long").alias("digits"),
+        (F.length("text") - F.length(F.translate("text", "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz", ""))).cast("long").alias("alpha"),
+        (F.length("text") - F.length(F.translate("text", "0123456789", ""))).cast("long").alias("digits"),
     )
     scored = feats.select(
         "doc_id",

@@ -169,6 +169,15 @@ if __name__ == "__main__":
         "than linear); the exact-10x row-count checks prove the dedup",
         "semantics are shard-local (no cross-shard artifacts) under the",
         "injective-renaming construction.",
+        "",
+        "Round-3 outlier closures (VERDICT r02 #3/#7): x_text_quality fell",
+        "6.0x -> 2.5x after its three regexp_replace char-class counts",
+        "became translate/replace char-table counts (bit-identical values,",
+        "3.6x cheaper per row — the operator is a pure projection, so the",
+        "per-row constant IS its scale cost); x_semantic_dedup fell",
+        "4.2x -> 1.7x after the registered query passed max_cluster_size=50",
+        "(md5 sub-buckets bound within-cell pair work; the oracle replays",
+        "the identical rule).",
     ]
     with open(os.path.join(ROOT, "STRESS_PIPELINE_10X.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
