@@ -55,6 +55,8 @@ PICKS = [
     "x_dedup_exact",
     "x_dedup_minhash",
     "x_dedup_simhash",
+    "x_dedup_simhash_banded",
+    "x_dedup_embedding_lsh",
     "x_dedup_containment",
     "x_dedup_edit_distance",
     "x_text_quality",
@@ -178,6 +180,16 @@ if __name__ == "__main__":
         "4.2x -> 1.7x after the registered query passed max_cluster_size=50",
         "(md5 sub-buckets bound within-cell pair work; the oracle replays",
         "the identical rule).",
+        '',
+        'x_dedup_embedding_lsh note: its OUTPUT is pair-shaped and the 10x',
+        "construction's dim-rolled embedding copies remain mutually similar",
+        '(an orthogonal roll preserves within-copy geometry but does not make',
+        'copies dissimilar), so the true >=0.4-cosine pair set grows',
+        '~quadratically across copies — 10,272 rows vs 100 at base (~100x).',
+        '3.5x wall against ~100x more emitted pairs is sublinear in output;',
+        'the banded candidate plan is what makes that possible. The banded',
+        'SimHash row is the cleaner linearity readout (disjoint shingle',
+        "spaces): 1.1x at 10x rows vs the all-pairs form's 2.0x.",
     ]
     with open(os.path.join(ROOT, "STRESS_PIPELINE_10X.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
