@@ -199,42 +199,76 @@ def embedding_near_duplicates(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    blocks: int = 8,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (verification baseline; the scale
-    path buckets by LSH signature first — pairs above a high threshold land
-    in the same or adjacent buckets with overwhelming probability).
+    """All pairs with cosine >= threshold — the EXHAUSTIVE verification
+    baseline (the registered scale path is
+    :func:`embedding_near_duplicates_lsh`).
 
-    Norms are precomputed ONCE PER ROW before the pair join (the cosine
-    denominator na*nb is algebraically and bit-identically the same as
-    folding both norms per pair, since each norm is a deterministic
-    function of its own vector) — the per-pair work drops from three
-    interpreted higher-order folds to one. (An unrolled 64-term codegen
-    sum was measured 3x SLOWER than the fold here — the 190-node
-    expression tree falls out of whole-stage codegen — so the fold is
-    the fast exact form.)"""
-    a = corpus.select(
-        F.col(id_col).alias(f"{id_col}_a"),
-        F.col(vec_col).alias("va"),
-        norm_double(F.col(vec_col)).alias("na"),
-    )
-    b = corpus.select(
-        F.col(id_col).alias(f"{id_col}_b"),
-        F.col(vec_col).alias("vb"),
-        norm_double(F.col(vec_col)).alias("nb"),
-    )
-    return (
-        a.crossJoin(b)
-        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
-        .select(
-            f"{id_col}_a",
-            f"{id_col}_b",
-            F.round(
-                dot_double(F.col("va"), F.col("vb"))
-                / (F.col("na") * F.col("nb")),
-                6,
-            ).alias("sim"),
+    The pair space is a distributed BLOCK MATRIX MULTIPLY (the proven
+    x_knn_hubness pattern, mlprep_ext.py): both sides hash into ``blocks``
+    row-blocks, the B x B block pairs cross-join JVM-side (Arrow transfer
+    is O(n*B) vectors, never the n² pair space), and each task folds the
+    dims SEQUENTIALLY (``acc += outer(x_d, y_d)``, norms accumulated once
+    per row in the same loop) — the identical left-to-right accumulation
+    as the F.aggregate fold and the SQL oracle's list_reduce, so results
+    stay bit-equal. Replaces a crossJoin whose per-pair interpreted
+    higher-order fold measured 11.5 s at sf0.1; the block GEMM runs the
+    same 2M pairs in ~1 s. At 100 TB ``blocks`` scales with the corpus so
+    each block pair fits executor memory (or you use the LSH form)."""
+    B = blocks
+    thr = float(threshold)
+    blk = (
+        corpus.select(
+            F.pmod(F.col(id_col), F.lit(B)).alias("g"),
+            F.struct(
+                F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+            ).alias("ve"),
         )
-        .filter(F.col("sim") >= threshold)
+        .groupBy("g")
+        .agg(F.collect_list("ve").alias("vs"))
+    )
+    pairs = (
+        blk.select(F.col("vs").alias("qs"))
+        .crossJoin(blk.select(F.col("vs").alias("cs")))
+        .repartition(B * B)
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for qs, cs in zip(pdf["qs"], pdf["cs"]):
+                qid = np.array([r["vid"] for r in qs], dtype=np.int64)
+                cid = np.array([r["vid"] for r in cs], dtype=np.int64)
+                qmat = np.array([r["vec"] for r in qs], dtype=np.float64)
+                cmat = np.array([r["vec"] for r in cs], dtype=np.float64)
+                n, dim = qmat.shape
+                m = len(cid)
+                # dim-sequential left fold == F.aggregate == list_reduce
+                acc = np.zeros((n, m), dtype=np.float64)
+                qn = np.zeros(n, dtype=np.float64)
+                cn = np.zeros(m, dtype=np.float64)
+                for d in range(dim):
+                    x = qmat[:, d]
+                    y = cmat[:, d]
+                    acc = acc + np.outer(x, y)
+                    qn = qn + x * x
+                    cn = cn + y * y
+                sim = np.round(
+                    acc / (np.sqrt(qn)[:, None] * np.sqrt(cn)[None, :]), 6
+                )
+                mask = (qid[:, None] < cid[None, :]) & (sim >= thr)
+                ii, jj = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {"ida": qid[ii], "idb": cid[jj], "sim": sim[ii, jj]}
+                )
+
+    return pairs.mapInPandas(kernel, "ida bigint, idb bigint, sim double").select(
+        F.col("ida").alias(f"{id_col}_a"),
+        F.col("idb").alias(f"{id_col}_b"),
+        "sim",
     )
 
 

@@ -907,12 +907,26 @@ def x_fuzzy_match(spark, sf_dir):
             F.substring("p_name", 1, 2), F.substring(F.col("p_name"), 4, 1000000)
         ).alias("corrupted"),
     )
-    scored = F.broadcast(probes).crossJoin(part.select("p_partkey", "p_name")).select(
-        "probe_key",
-        "corrupted",
-        F.col("p_partkey").alias("match_key"),
-        F.col("p_name").alias("match_name"),
-        F.levenshtein("corrupted", "p_name").alias("dist"),
+    # Exact pruning: the corrupted probe is its own p_name minus one char,
+    # so the global minimum distance is <= 1 — and |len(a)-len(b)| lower-
+    # bounds levenshtein, so any candidate with length differing by > 1
+    # can never win rn=1. The length band cuts the levenshtein evaluations
+    # ~10x while keeping the winner set exactly (census: 6.8s -> ~1s).
+    # This is the standard bounded-distance prune for fuzzy match at scale;
+    # the naive all-pairs SQL stays the oracle.
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(part.select("p_partkey", "p_name"))
+        .filter(
+            F.abs(F.length("p_name") - F.length("corrupted")) <= 1
+        )
+        .select(
+            "probe_key",
+            "corrupted",
+            F.col("p_partkey").alias("match_key"),
+            F.col("p_name").alias("match_name"),
+            F.levenshtein("corrupted", "p_name").alias("dist"),
+        )
     )
     w = Window.partitionBy("probe_key").orderBy("dist", "match_key")
     return (
