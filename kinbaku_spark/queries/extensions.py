@@ -907,26 +907,45 @@ def x_fuzzy_match(spark, sf_dir):
             F.substring("p_name", 1, 2), F.substring(F.col("p_name"), 4, 1000000)
         ).alias("corrupted"),
     )
-    # Exact pruning: the corrupted probe is its own p_name minus one char,
-    # so the global minimum distance is <= 1 — and |len(a)-len(b)| lower-
-    # bounds levenshtein, so any candidate with length differing by > 1
-    # can never win rn=1. The length band cuts the levenshtein evaluations
-    # ~10x while keeping the winner set exactly (census: 6.8s -> ~1s).
-    # This is the standard bounded-distance prune for fuzzy match at scale;
-    # the naive all-pairs SQL stays the oracle.
-    scored = (
-        F.broadcast(probes)
-        .crossJoin(part.select("p_partkey", "p_name"))
-        .filter(
-            F.abs(F.length("p_name") - F.length("corrupted")) <= 1
+    # Exact deletion-neighborhood banding (FastSS): the corrupted probe is
+    # its own p_name minus one char, so the rn=1 winner has levenshtein
+    # <= 1 — and any pair at distance <= 1 MUST share a key in
+    # {s} ∪ {1-deletions of s} (substitution: delete the differing char
+    # from both; indel: the shorter IS a deletion of the longer). Candidate
+    # generation is therefore an EQUI-JOIN on the deletion key — the
+    # at-scale shape (no crossJoin, no all-pairs levenshtein; census
+    # 6.8s -> ~1s). The band is a superset of the dist<=1 pairs (some
+    # dist-2 pairs share a key), so the exact levenshtein verify + global
+    # (dist, match_key) rank below is unchanged and the naive all-pairs
+    # SQL stays the oracle.
+    def del_variants(col_name: str):
+        return F.expr(
+            # greatest(...,1): sequence(1,0) would DESCEND on a zero-length
+            # string; the clamped form yields the identity variant instead
+            f"array_union(array({col_name}), "
+            f"transform(sequence(1, greatest(length({col_name}), 1)), "
+            f"i -> concat(substr({col_name}, 1, i-1), substr({col_name}, i+1))))"
         )
-        .select(
-            "probe_key",
-            "corrupted",
-            F.col("p_partkey").alias("match_key"),
-            F.col("p_name").alias("match_name"),
-            F.levenshtein("corrupted", "p_name").alias("dist"),
-        )
+
+    probes_v = probes.select(
+        "probe_key", "corrupted", F.explode(del_variants("corrupted")).alias("v")
+    )
+    parts_v = part.select(
+        F.col("p_partkey").alias("match_key"),
+        F.col("p_name").alias("match_name"),
+        F.explode(del_variants("p_name")).alias("v"),
+    )
+    cand = (
+        parts_v.join(F.broadcast(probes_v), "v")
+        .select("probe_key", "corrupted", "match_key", "match_name")
+        .distinct()
+    )
+    scored = cand.select(
+        "probe_key",
+        "corrupted",
+        "match_key",
+        "match_name",
+        F.levenshtein("corrupted", "match_name").alias("dist"),
     )
     w = Window.partitionBy("probe_key").orderBy("dist", "match_key")
     return (
