@@ -146,3 +146,36 @@ def test_prefix_filter_survives_hot_shingle_skew(spark):
         and len(sh_py[a] & sh_py[b]) / len(sh_py[a] | sh_py[b]) >= 0.8
     }
     assert got == want and (0, n_docs - 1) in got
+
+
+# -- FastSS deletion-neighborhood banding (x_fuzzy_match candidate rule) ------
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _del_band(s: str) -> set[str]:
+    """{s} union {1-deletions of s} — the x_fuzzy_match banding key set."""
+    return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+
+
+@given(
+    st.lists(st.text(alphabet="abcd", min_size=0, max_size=8), min_size=2, max_size=12)
+)
+@settings(max_examples=200, deadline=None)
+def test_deletion_band_covers_all_dist1_pairs(strings):
+    """The FastSS exactness claim behind x_fuzzy_match: EVERY pair at
+    levenshtein distance <= 1 shares a deletion-band key (substitution:
+    deleting the differing position from both sides yields one string;
+    indel: the shorter string is itself a 1-deletion of the longer) — so
+    the equi-join on the band key can never lose a distance<=1 winner."""
+    for i, a in enumerate(strings):
+        for b in strings[i + 1:]:
+            if _levenshtein(a, b) <= 1:
+                assert _del_band(a) & _del_band(b), (a, b)
