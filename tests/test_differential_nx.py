@@ -226,3 +226,56 @@ def test_set_adjacent_differential_no_preload(spark):
     assert set(g.nodes) == set(nxg.nodes)
     # the surviving pre-existing edge kept its attribute record
     assert g.edge("v0", "v1")["weight"] == 1.0
+
+
+def test_oplog_replay_point_reads_through_record_cache(spark):
+    """Round-3 KV front: the interleaved op-log with node()/edge()/
+    has_node()/has_edge() point reads woven BETWEEN mutations, so the
+    preloaded record dicts, adjacency invalidation, and the op-log
+    read-your-writes path all answer mid-stream — parity vs NetworkX at
+    every step, then post-flush record parity and a fresh-preload
+    equivalence check."""
+    rng = random.Random(13)
+    g = Graph(spark, preload=True)
+    nxg = nx.DiGraph()
+    for i in range(200):
+        p = rng.random()
+        u, v = str(rng.randrange(25)), str(rng.randrange(25))
+        if p < 0.55:
+            g.add_edge(u, v)
+            nxg.add_edge(u, v)
+        elif p < 0.75 and nxg.has_edge(u, v):
+            g.remove_edge(u, v)
+            nxg.remove_edge(u, v)
+        elif p >= 0.75 and nxg.has_node(u):
+            g.remove_node(u)
+            nxg.remove_node(u)
+        w = str(rng.randrange(25))
+        assert g.has_node(w) == nxg.has_node(w), (i, w)
+        x, y = str(rng.randrange(25)), str(rng.randrange(25))
+        assert g.has_edge(x, y) == nxg.has_edge(x, y), (i, x, y)
+        if nxg.has_node(w):
+            assert g.node(w)["key"] == w, (i, w)
+        else:
+            with pytest.raises(NodeNotFound):
+                g.node(w)
+        if nxg.has_edge(x, y):
+            rec = g.edge(x, y)
+            assert (rec["src"], rec["dst"]) == (x, y), (i, x, y)
+        else:
+            with pytest.raises(EdgeNotFound):
+                g.edge(x, y)
+    g._flush()
+    # post-flush, the eagerly-maintained record dicts still answer
+    for n in list(nxg.nodes):
+        assert g.node(n)["key"] == n
+    for a, b in list(nxg.edges)[:25]:
+        assert g.edge(a, b)["src"] == a
+    assert set(g.nodes) == set(nxg.nodes)
+    assert set(g.edges) == set(nxg.edges)
+    # a from-scratch preload over the flushed tables equals the maintained
+    # state: same record keys, same adjacency answers
+    g2 = Graph(spark, nodes=g.nodes_df, edges=g.edges_df, preload=True)
+    assert set(g2._node_rec) == set(g._node_rec or g2._node_rec)
+    for n in list(nxg.nodes)[:10]:
+        assert set(g2.neighbors(n)) == set(nxg.successors(n)), n
