@@ -152,6 +152,7 @@ class Graph:
         self._adj: dict[str, set] | None = None
         self._pred: dict[str, set] | None = None
         self._id_map: DataFrame | None = None
+        self._id_map_count: int | None = None
         if preload:
             self.preload()
 
@@ -791,7 +792,13 @@ class Graph:
         (plans/hints.py) — past it they fall back to shuffle joins."""
         from kinbaku_spark.plans.hints import maybe_broadcast
 
-        ids = maybe_broadcast(self.node_id_map(), self.n_nodes)
+        ids_df = self.node_id_map()
+        if self._id_map_count is None:
+            # one cheap count over the materialized (localCheckpointed) map,
+            # memoized per Graph — NOT self.n_nodes, which would add a
+            # full nodes-table scan job to every adjacency export
+            self._id_map_count = ids_df.count()
+        ids = maybe_broadcast(ids_df, self._id_map_count)
         e = self.edges_df
         w = F.col(weight) if weight else F.lit(1.0)
         return (
@@ -1120,6 +1127,7 @@ class Graph:
             except Exception:
                 pass
             self._id_map = None
+        self._id_map_count = None
 
     # -- lifecycle / maintenance parity (reference graph.py:383-407, 852) -----
 

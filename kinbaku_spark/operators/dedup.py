@@ -131,17 +131,24 @@ def minhash_near_duplicates(
     # barrier measured ~2x slower at sf0.1. Callers with a MATERIALIZED
     # shingle index (queries/dedup_state.py — the 100 TB shape) inject it
     # via sh/sig instead.
-    if sh is not None and (shingle_n != 3 or seed != 42):
-        # injection contract (ADVICE r02): shingle width and hash seed are
-        # baked into an injected index at build time — this function cannot
-        # verify them from the DataFrame, so accepting non-default values
-        # alongside an injected table would silently change dedup semantics
-        # (the args would be ignored). Callers with a non-default index
-        # must pre-build it with those parameters (dedup_state pattern) and
-        # pass the DEFAULT args here.
+    # injection contract (ADVICE r02): a parameter baked into an injected
+    # index at build time cannot be re-verified from the DataFrame, so
+    # accepting a non-default value alongside that injected table would
+    # silently change dedup semantics (the arg would be ignored). Scope the
+    # guard to what each table actually bakes in: shingle_n is fixed by an
+    # injected sh (shingle_hashes takes no seed); seed is fixed by an
+    # injected sig (and still HONORED when only sh is injected, since the
+    # signatures are then built here from it). Callers with non-default
+    # parameters must pre-build the index with them (dedup_state pattern).
+    if sh is not None and shingle_n != 3:
         raise ValueError(
-            "shingle_n/seed are ignored when sh/sig are injected — they are"
-            " fixed at index build time; rebuild the injected index instead"
+            "shingle_n is ignored when sh is injected — it is fixed at"
+            " shingle-index build time; rebuild the injected index instead"
+        )
+    if sig is not None and seed != 42:
+        raise ValueError(
+            "seed is ignored when sig is injected — it is fixed at"
+            " signature build time; rebuild the injected signatures instead"
         )
     if sh is None:
         sh = shingle_hashes(docs, id_col, text_col, shingle_n)

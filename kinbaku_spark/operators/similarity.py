@@ -215,12 +215,33 @@ def embedding_near_duplicates(
     stay bit-equal. Replaces a crossJoin whose per-pair interpreted
     higher-order fold measured 11.5 s at sf0.1; the block GEMM runs the
     same 2M pairs in ~1 s. At 100 TB ``blocks`` scales with the corpus so
-    each block pair fits executor memory (or you use the LSH form)."""
+    each block pair fits executor memory (or you use the LSH form).
+
+    Contract: integral ids (the kernel transports them as int64; checked
+    up front), null embeddings excluded up front (the crossJoin form
+    produced a null sim and filtered it — same observable result). The
+    block key is xxhash64(id) mod B, well-distributed for any id range.
+    Final 6dp rounding happens Spark-side with F.round (exact-decimal
+    HALF_UP — the same rule as the previous form and every other rounded
+    comparison here); the kernel pre-filters on the RAW sim with 1e-6
+    slack, which keeps every pair whose rounded value can reach the
+    threshold (round moves a value by at most 5e-7)."""
+    from pyspark.sql.types import IntegerType, LongType, ShortType
+
+    if not isinstance(
+        corpus.schema[id_col].dataType, (ShortType, IntegerType, LongType)
+    ):
+        raise TypeError(
+            f"embedding_near_duplicates needs an integral {id_col!r} column"
+            " (kernel transports ids as int64); map string keys to dense"
+            " ids first (operators/ids.py)"
+        )
     B = blocks
     thr = float(threshold)
     blk = (
-        corpus.select(
-            F.pmod(F.col(id_col), F.lit(B)).alias("g"),
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).alias("g"),
             F.struct(
                 F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
             ).alias("ve"),
@@ -256,19 +277,25 @@ def embedding_near_duplicates(
                     acc = acc + np.outer(x, y)
                     qn = qn + x * x
                     cn = cn + y * y
-                sim = np.round(
-                    acc / (np.sqrt(qn)[:, None] * np.sqrt(cn)[None, :]), 6
-                )
-                mask = (qid[:, None] < cid[None, :]) & (sim >= thr)
+                sim = acc / (np.sqrt(qn)[:, None] * np.sqrt(cn)[None, :])
+                # raw-sim pre-filter with slack; the EXACT rounded compare
+                # happens Spark-side below (np.round is half-to-even — a
+                # different tie rule than F.round/the oracle, so it must
+                # not decide the threshold)
+                mask = (qid[:, None] < cid[None, :]) & (sim >= thr - 1e-6)
                 ii, jj = np.nonzero(mask)
                 yield pd.DataFrame(
                     {"ida": qid[ii], "idb": cid[jj], "sim": sim[ii, jj]}
                 )
 
-    return pairs.mapInPandas(kernel, "ida bigint, idb bigint, sim double").select(
-        F.col("ida").alias(f"{id_col}_a"),
-        F.col("idb").alias(f"{id_col}_b"),
-        "sim",
+    return (
+        pairs.mapInPandas(kernel, "ida bigint, idb bigint, sim double")
+        .select(
+            F.col("ida").alias(f"{id_col}_a"),
+            F.col("idb").alias(f"{id_col}_b"),
+            F.round(F.col("sim"), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
     )
 
 

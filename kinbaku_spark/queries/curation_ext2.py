@@ -45,18 +45,28 @@ _N_HASHES, _N_BANDS, _BAND_ROWS = 32, 8, 4
 # desync guard (ADVICE r02): x_dedup_probe's Spark plan probes the SHARED
 # signature index (dedup_state, width extensions.N_HASHES) while its SQL
 # oracle is generated from the local constants above — if either side
-# changed independently they would silently diverge
-from kinbaku_spark.queries.extensions import (  # noqa: E402
-    BAND_ROWS as _EXT_BAND_ROWS,
-    N_BANDS as _EXT_N_BANDS,
-    N_HASHES as _EXT_N_HASHES,
-)
+# changed independently they would silently diverge. The import is guarded
+# (queries/__init__.py deliberately tolerates a missing extensions module)
+# and the tripwire raises RuntimeError, not assert, so `python -O` cannot
+# strip it: a DESYNC is a hard, loud failure; an ABSENT extensions module
+# degrades gracefully like everywhere else.
+def _check_banding_sync() -> None:
+    try:
+        from kinbaku_spark.queries import extensions as _ext
+    except ImportError:
+        return
+    if (_N_HASHES, _N_BANDS, _BAND_ROWS) != (
+        _ext.N_HASHES,
+        _ext.N_BANDS,
+        _ext.BAND_ROWS,
+    ):
+        raise RuntimeError(
+            "curation_ext2 banding constants desynced from"
+            " extensions/dedup_state"
+        )
 
-assert (_N_HASHES, _N_BANDS, _BAND_ROWS) == (
-    _EXT_N_HASHES,
-    _EXT_N_BANDS,
-    _EXT_BAND_ROWS,
-), "curation_ext2 banding constants desynced from extensions/dedup_state"
+
+_check_banding_sync()
 _DOC_HASH = 'md5(COALESCE(text, chr(0) || \'NULL\'))'
 
 

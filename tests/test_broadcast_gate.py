@@ -109,6 +109,10 @@ _GATED_ITERATIVE = [
     "g_butterflies",
     "g_negative_samples",
     "g_ppr_seeded",
+    # triangle family: exercises triangle_block_gemm's id-map gate; its
+    # surviving hints are the audited co_proj 1-row threshold copies
+    "g_triangles",
+    "g_transitivity",
 ]
 
 
@@ -125,8 +129,10 @@ _ALLOWED_BOUNDED_HINTS = {
     "g_hits": 2,  # mx: one single-row max-normalizer per hub/auth branch
     # co_proj's 1-row mean-threshold hint, replicated once per reference
     # to the persisted projection lineage in the final plan (audited
-    # 2026-08: all 8 are copies of the same single-row aggregate)
+    # 2026-08: all copies of the same single-row aggregate; the triangle
+    # id-map hints themselves demote correctly — verified by hand)
     "g_transitivity": 8,
+    "g_triangles": 5,
 }
 
 
