@@ -1226,3 +1226,49 @@ WHERE ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= {EMB_NEAR_DUP_THR
 
 QUERIES["x_dedup_embedding_lsh"] = x_dedup_embedding_lsh
 ORACLES["x_dedup_embedding_lsh"] = _emb_lsh_sql()
+
+
+# ---------------------------------------------------------------------------
+# x_substring_dedup — cross-document repeated-span detection (the Lee et
+# al. 2022 "Deduplicating Training Data Makes Language Models Better"
+# shape): pairs of documents sharing >= 1 contiguous SPAN_N-token span,
+# with the count of distinct shared spans. A shared contiguous span IS a
+# shared word-n-gram at span width, so the operator is an inverted-index
+# equi-join on the 60-bit span hash — the same postings shape as
+# x_dedup_ngram_jaccard, no suffix array needed for the pair-detection
+# half of the paper (span REMOVAL would need positions, which the same
+# postings carry if extended with an offset column). Scale: postings are
+# (hash, doc) rows, the self-join buckets by hash (AQE-skew-splittable);
+# a boilerplate span shared by m docs legitimately yields m² pairs — the
+# paper's dup clusters — and x_dedup_clusters collapses them downstream.
+# ---------------------------------------------------------------------------
+
+SPAN_N = 20
+
+
+def x_substring_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    from kinbaku_spark.operators.dedup import shingle_hashes
+
+    sh = shingle_hashes(docs, "doc_id", "text", SPAN_N)
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), "h")
+    return (
+        sh.join(b, "h")
+        .filter(F.col("doc_id") < F.col("doc_id_b"))
+        .groupBy(F.col("doc_id").alias("doc_id_a"), F.col("doc_id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_spans"))
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+X_SUBSTRING_DEDUP_SQL = f"""
+WITH {_sql_shingle_cte(SPAN_N)}
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_spans
+FROM hx a JOIN hx b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES["x_substring_dedup"] = x_substring_dedup
+ORACLES["x_substring_dedup"] = X_SUBSTRING_DEDUP_SQL
