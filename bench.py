@@ -136,6 +136,10 @@ EXTENSION_HEADLINE = [
     "x_stationary_markov",
     "x_benford_check",
     "x_window_dedup",
+    "x_substring_dedup",
+    "x_substring_dedup_apply",
+    "x_dedup_embedding_lsh_recall",
+    "x_video_decode_real",
     "x_dsir_weights",
     "x_tokenizer_fertility",
     "g_truss_bounded",

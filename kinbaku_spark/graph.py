@@ -375,13 +375,17 @@ class Graph:
         if not self._dirty():
             return
         spark = self.spark
-        if self._node_ops and self._id_map is not None:
-            # key set changes -> dense key-ordered ids change
-            try:
-                self._id_map.unpersist()
-            except Exception:
-                pass
-            self._id_map = None
+        if self._node_ops:
+            # key set changes -> dense key-ordered ids change; the memoized
+            # |V| must go with the map or adjacency_coo gates its broadcast
+            # on a stale count (ADVICE r03)
+            if self._id_map is not None:
+                try:
+                    self._id_map.unpersist()
+                except Exception:
+                    pass
+                self._id_map = None
+            self._id_map_count = None
         if self._node_ops:
             upserts = [
                 (k, attrs) for k, (op, attrs) in self._node_ops.items() if op == "upsert"

@@ -63,6 +63,31 @@ def shingle_hashes(
     ).select(id_col, md5_long(F.col("__s")).alias("h"))
 
 
+def span_postings(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, pos, h): POSITIONAL (non-distinct) word-n-gram span postings —
+    the offset-extended postings the removal half of exact-substring dedup
+    needs (Lee et al. 2022: find the duplicated span, then cut it out).
+    ``pos`` is the 0-based index of the span's first token, so the span
+    covers tokens [pos, pos + n). Same zip-of-shifted-slices construction
+    and 60-bit hash as :func:`shingle_hashes`, minus the distinct."""
+    c = F.col(text_col)
+    words = F.split(F.trim(c), r"\s+")
+    m = F.size(words) - (n - 1)
+    grams = F.slice(words, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(words, j + 1, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    grams = F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "__s")
+    ).select(id_col, "pos", md5_long(F.col("__s")).alias("h"))
+
+
 def minhash_signatures(
     shingles: DataFrame, id_col: str, n_hashes: int = 32, seed: int = 42
 ) -> DataFrame:
@@ -114,8 +139,8 @@ def minhash_near_duplicates(
     threshold: float = 0.8,
     n_hashes: int = 32,
     bands: int = 8,
-    shingle_n: int = 3,
-    seed: int = 42,
+    shingle_n: int | None = None,
+    seed: int | None = None,
     sh: DataFrame | None = None,
     sig: DataFrame | None = None,
 ) -> DataFrame:
@@ -131,29 +156,31 @@ def minhash_near_duplicates(
     # barrier measured ~2x slower at sf0.1. Callers with a MATERIALIZED
     # shingle index (queries/dedup_state.py — the 100 TB shape) inject it
     # via sh/sig instead.
-    # injection contract (ADVICE r02): a parameter baked into an injected
-    # index at build time cannot be re-verified from the DataFrame, so
-    # accepting a non-default value alongside that injected table would
-    # silently change dedup semantics (the arg would be ignored). Scope the
-    # guard to what each table actually bakes in: shingle_n is fixed by an
-    # injected sh (shingle_hashes takes no seed); seed is fixed by an
-    # injected sig (and still HONORED when only sh is injected, since the
-    # signatures are then built here from it). Callers with non-default
-    # parameters must pre-build the index with them (dedup_state pattern).
-    if sh is not None and shingle_n != 3:
+    # injection contract (ADVICE r02/r03): a parameter baked into an
+    # injected index at build time cannot be re-verified from the DataFrame,
+    # so accepting an EXPLICIT value alongside that injected table would
+    # silently change dedup semantics (the arg would be ignored). The
+    # sentinel default is None — only a caller-passed value trips the guard,
+    # so a caller who built the injected table with some value and passes
+    # the same value consistently is still (correctly) told to stop passing
+    # it: the guard cannot verify equality with what the table baked in.
+    # Scope: shingle_n is fixed by an injected sh (shingle_hashes takes no
+    # seed); seed is fixed by an injected sig (and still HONORED when only
+    # sh is injected, since signatures are then built here from it).
+    if sh is not None and shingle_n is not None:
         raise ValueError(
             "shingle_n is ignored when sh is injected — it is fixed at"
             " shingle-index build time; rebuild the injected index instead"
         )
-    if sig is not None and seed != 42:
+    if sig is not None and seed is not None:
         raise ValueError(
             "seed is ignored when sig is injected — it is fixed at"
             " signature build time; rebuild the injected signatures instead"
         )
     if sh is None:
-        sh = shingle_hashes(docs, id_col, text_col, shingle_n)
+        sh = shingle_hashes(docs, id_col, text_col, 3 if shingle_n is None else shingle_n)
     if sig is None:
-        sig = minhash_signatures(sh, id_col, n_hashes, seed)
+        sig = minhash_signatures(sh, id_col, n_hashes, 42 if seed is None else seed)
     else:
         # the banding below reads mh0..mh{n-1}; a signature table built
         # with a different width would silently band a prefix of

@@ -29,6 +29,8 @@ import random
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from kinbaku_spark.plans.checkpoints import pin
+
 
 def dot_double(a: Column, b: Column) -> Column:
     """Σ a_i*b_i in double, sequential accumulation (matches DuckDB)."""
@@ -336,12 +338,14 @@ def embedding_near_duplicates_lsh(
     mask = (1 << width) - 1
     # the signature scan feeds 2*bands join sides — pin it or the
     # len(planes)x dim-dot projection re-runs per consumer
-    sigged = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        norm_double(F.col(vec_col)).alias("nrm"),
-        lsh_signature(vec_col, planes).alias("sig"),
-    ).localCheckpoint(eager=True)
+    sigged = pin(
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            norm_double(F.col(vec_col)).alias("nrm"),
+            lsh_signature(vec_col, planes).alias("sig"),
+        )
+    )
     keys_a = sigged.select(F.col(id_col).alias(f"{id_col}_a"), F.col("sig").alias("sig_a"))
     keys_b = sigged.select(F.col(id_col).alias(f"{id_col}_b"), F.col("sig").alias("sig_b"))
     pieces = []

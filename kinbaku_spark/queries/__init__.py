@@ -121,76 +121,76 @@ except ImportError:  # extensions land incrementally
 # operators (graph reads R1-R22, mutations M1-M7, bulk forms) and one
 # representative per major extension family so any prefix sample covers the
 # actual parity bar first. Everything else keeps its module order after.
-# Round-3 rotation (VERDICT r02 next-round #4): rounds 1+2 drove 97 unique
-# entries green — every §2 read/mutation operator, the TPC-H headliners,
-# and one representative per LLM-pipeline family. Those stay green by the
-# local replica of the same gate (tests/test_oracle_parity.py); this
-# round's prefix front-loads (a) the queries whose semantics changed this
-# round (banded SimHash + LSH embedding dedup as the new canonical forms,
-# SemDeDup with the cell cap), (b) the full multimodal family (VERDICT #8),
-# and (c) ~40 never-driver-checked entries across the families the judge
-# named: iterative graph metrics (ext2/ext3), sketches, temporal/timeseries,
-# the streaming surrogate, the UDF and SQL surfaces.
+# Round-4 rotation (VERDICT r03 next-round #1): rounds 1-3 drove 146
+# unique entries green with 0 failures; those stay green by the local
+# replica of the same gate (tests/test_oracle_parity.py). This round's
+# prefix front-loads (a) the queries that changed or are new this round
+# (substring dedup cap + the new span-removal apply, the embedding-LSH
+# recall readout, the real AVI video decode, the re-gated fuzzy match),
+# then (b) never-driver-checked entries in the families the judge named:
+# the round-1 graph-analytics family, the sketch leftovers, and the
+# stats/drift/eval/mining readouts.
 _PRIORITY = [
     # changed/new this round — must be (re-)driver-checked
-    "x_dedup_simhash_banded",
-    "x_dedup_embedding_lsh",
-    "x_semantic_dedup",
-    # multimodal family (VERDICT #8)
-    "x_multimodal_image",
-    "x_image_phash_dedup",
-    "x_image_resize_real",
-    "x_multimodal_audio",
-    "x_multimodal_video",
-    # r02 priority tail the 50-sample never reached
-    "x_curate_corpus",
-    "x_seq_packing",
-    "x_contamination",
-    # iterative / derived graph metrics
-    "g_pagerank",
-    "g_bfs_depths",
-    "g_kcore",
-    "g_triangles",
-    "g_hits",
-    "g_label_propagation",
-    "g_modularity",
-    "g_assortativity",
-    "g_sssp_bounded",
-    "g_random_walks",
-    "g_node2vec_walks",
-    "g_boruvka_mst",
-    "g_truss_bounded",
-    "g_eccentricity",
-    "g_betweenness_bounded",
-    "g_butterflies",
-    "g_greedy_matching",
-    "g_motif_brokers",
-    "g_rich_club",
-    "g_geodesic_counts",
-    "g_graph_summary",
-    # sketches
-    "x_hll_distinct",
-    "x_hll_merge_sources",
-    "x_kmv_distinct",
-    "x_kmv_intersect",
-    "x_countmin_freq",
-    "x_bloom_prune",
-    # temporal / timeseries
-    "x_asof_join",
-    "x_range_join",
-    "x_hypertable_rollup",
-    "x_gapfill",
-    "x_moving_agg",
-    "x_funnel_conversion",
-    # streaming surrogate
-    "x_window_dedup",
-    # UDF surface
-    "x_udf_token_count",
-    "x_udtf_sentences",
-    "x_ann_pandas_topk",
-    # SQL surface
-    "q_sql_grouping_sets",
-    "q_pivot_orders",
+    "x_substring_dedup",
+    "x_substring_dedup_apply",
+    "x_dedup_embedding_lsh_recall",
+    "x_video_decode_real",
+    "x_fuzzy_match",
+    # round-1 graph analytics, never driver-checked
+    "g_closeness",
+    "g_ppr_seeded",
+    "g_ego_network",
+    "g_jaccard_links",
+    "g_resource_allocation",
+    "g_link_prediction",
+    "g_transitivity",
+    "g_cosuppliers",
+    "g_three_hop_parts",
+    "g_co_top_customers",
+    "g_ue_activity",
+    "g_top_edges_per_node",
+    "g_in_degrees_salted",
+    "g_negative_samples",
+    "g_node_features",
+    "g_skipgram_pairs",
+    "g_degree_gini",
+    "g_sql_hub_parts",
+    # dedup family leftovers
+    "x_dedup_probe",
+    "x_dedup_edit_distance",
+    "x_normalized_dedup",
+    "x_minhash_band_sweep",
+    "x_dup_cluster_sizes",
+    "x_soft_dedup_weights",
+    "x_dedup_survivorship",
+    "x_dedup_recall_eval",
+    "x_minhash_estimate_eval",
+    "x_doc_fingerprint",
+    "x_doc_winnowing",
+    # stats / drift / eval readouts
+    "x_ks_statistic",
+    "x_distribution_drift",
+    "x_vocab_drift",
+    "x_benford_check",
+    "x_winsorized_stats",
+    "x_percentile_ranks",
+    "x_mrr_eval",
+    "x_ndcg_eval",
+    "x_cluster_purity",
+    "x_topic_diversity",
+    "x_langid_eval",
+    "x_bootstrap_ci",
+    "x_mad_outliers",
+    "x_cusum_changepoint",
+    "x_autocorrelation",
+    # mining / retrieval / mlprep never-checked
+    "x_stationary_markov",
+    "x_doc_lm_score",
+    "x_bm25_topk",
+    "x_rrf_fusion",
+    "x_market_basket",
+    "x_inverted_index",
 ]
 
 _missing = [k for k in _PRIORITY if k not in QUERIES]

@@ -49,7 +49,7 @@ from kinbaku_spark.sources.tables import load_table
 BASE = "/root/testdata/sf0.1"
 TENX = "/tmp/kb_stress_10x"
 COPIES = 10
-ID_STRIDE = 10_000_000
+ID_STRIDE = 10_000_000  # > any base id times 100 copies
 
 PICKS = [
     "x_dedup_exact",
@@ -58,6 +58,8 @@ PICKS = [
     "x_dedup_simhash_banded",
     "x_dedup_embedding_lsh",
     "x_dedup_containment",
+    "x_substring_dedup",
+    "x_substring_dedup_apply",
     "x_dedup_edit_distance",
     "x_text_quality",
     "x_lang_id",
@@ -70,16 +72,28 @@ PICKS = [
 # operators whose output cardinality is provably EXACTLY 10x under the
 # disjoint-isomorphic-shards construction (hash-independent semantics
 # only — MinHash banding recall is hash-dependent, see module docstring)
-EXACT_10X = {"x_dedup_exact", "x_dedup_containment"}
+EXACT_10X = {
+    "x_dedup_exact",
+    "x_dedup_containment",
+    # span hashes are copy-local under the injective renaming, so the
+    # df-cap filters identically per shard and the pair/removal outputs
+    # are exactly N disjoint copies of the base output (the apply query's
+    # owner = min doc_id is copy-local too: the id stride preserves
+    # within-copy order)
+    "x_substring_dedup",
+    "x_substring_dedup_apply",
+}
 
 
-def build_tenx(spark) -> None:
-    if os.path.exists(TENX):
-        shutil.rmtree(TENX)
-    os.makedirs(TENX)
+def build_shards(spark, dest: str, copies: int) -> None:
+    """N disjoint isomorphic shards of the sf0.1 corpus (module docstring);
+    shared by the 10x and 100x drills."""
+    if os.path.exists(dest):
+        shutil.rmtree(dest)
+    os.makedirs(dest)
     docs = load_table(spark, BASE, "documents")
     parts = []
-    for k in range(COPIES):
+    for k in range(copies):
         suffixed = F.array_join(
             F.transform(
                 F.split(F.col("text"), " "),
@@ -99,11 +113,13 @@ def build_tenx(spark) -> None:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    out.coalesce(8).write.mode("overwrite").parquet(f"{TENX}/documents.parquet")
+    out.coalesce(max(8, copies // 2)).write.mode("overwrite").parquet(
+        f"{dest}/documents.parquet"
+    )
 
     emb = load_table(spark, BASE, "embeddings")
     eparts = []
-    for k in range(COPIES):
+    for k in range(copies):
         rolled = F.expr(
             f"concat(slice(embedding, {k % 64 + 1}, {64 - (k % 64)}),"
             f" slice(embedding, 1, {k % 64}))"
@@ -118,18 +134,24 @@ def build_tenx(spark) -> None:
     eout = eparts[0]
     for p in eparts[1:]:
         eout = eout.unionByName(p)
-    eout.coalesce(8).write.mode("overwrite").parquet(f"{TENX}/embeddings.parquet")
+    eout.coalesce(max(8, copies // 2)).write.mode("overwrite").parquet(
+        f"{dest}/embeddings.parquet"
+    )
+
+
+def build_tenx(spark) -> None:
+    build_shards(spark, TENX, COPIES)
 
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def timed(name: str, sf_dir: str) -> tuple[float, int]:
+def timed(spark, name: str, sf_dir: str, reps: int = 2) -> tuple[float, int]:
     # time the noop-sink write (full materialization — a count() would let
     # the optimizer column-prune the timed plan); count rows untimed after
     best = float("inf")
-    for _ in range(2):
+    for _ in range(reps):
         t0 = time.perf_counter()
         _force(QUERIES[name](spark, sf_dir))
         best = min(best, time.perf_counter() - t0)
@@ -154,8 +176,8 @@ if __name__ == "__main__":
     ]
     ok = True
     for name in PICKS:
-        tb, rb = timed(name, BASE)
-        tx, rx = timed(name, TENX)
+        tb, rb = timed(spark, name, BASE)
+        tx, rx = timed(spark, name, TENX)
         exact = "n/a"
         if name in EXACT_10X:
             exact = "PASS" if rx == 10 * rb else f"FAIL ({rx} != 10*{rb})"

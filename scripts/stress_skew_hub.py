@@ -120,7 +120,12 @@ def run_op(spark, name, invariants):
 
     t0 = time.perf_counter()
     df = QUERIES[name](spark, FAKE_DIR)
-    rows = df.count()
+    # collect (not count): Dataset.collectToPython executes df's OWN
+    # cached QueryExecution — the same one inspected below — so AQE's
+    # isSkew markers reflect the run we time. df.count() would run a
+    # DIFFERENT QueryExecution and the marker read would be blind to it
+    # (ADVICE r03).
+    rows = len(df.collect())
     dt = time.perf_counter() - t0
     plan = df._jdf.queryExecution().executedPlan().toString()
     skew = "isSkew=true" in plan or "skew=true" in plan
@@ -134,11 +139,15 @@ def skew_split_probe(spark):
     of rows on one key, sort-merge-joined to an independent dim. Returns
     (fired, marker_line). Restores every conf it touches.
 
-    Found while building this probe: skew optimization does NOT fire when
-    both join sides reuse the same shuffle exchange (state tables derived
-    from the edge table itself) — one more reason the iterative operators
-    localCheckpoint their per-round state, which breaks the lineage
-    sharing and keeps the demoted plans skew-splittable."""
+    Found while building this probe (mechanism pinned down precisely in
+    round 4, tests/test_skew_probe.py): skew optimization does NOT fire
+    when a join side is DERIVED state — an aggregation between the shuffle
+    read and the join pins the partitioning, so OptimizeSkewedJoin cannot
+    replicate that side and the skewed fact side cannot be split either.
+    Plain exchange REUSE (identical-subplan self-join) does still split on
+    Spark 4.1.2. One more reason the iterative operators localCheckpoint
+    their per-round state: the checkpoint turns derived state into a fresh
+    scan + fresh exchange and keeps the demoted plans skew-splittable."""
     conf = spark.conf
     keys = [
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
@@ -272,11 +281,14 @@ def main():
         "The iterative operators' hot partitions here are megabytes — far "
         "under the production 256MB threshold — so no split is NEEDED at "
         "this scale; at 100 TB the same hub partition is hundreds of GB "
-        "and crosses it. Caveat found by this probe: skew optimization "
-        "does not fire when both join sides REUSE one shuffle exchange — "
-        "the per-round localCheckpoint on state tables (already standard "
-        "in every iterative operator here) breaks that lineage sharing, "
-        "so the demoted plans stay skew-splittable.",
+        "and crosses it. Caveat found by this probe (mechanism isolated "
+        "in tests/test_skew_probe.py): skew optimization does not fire "
+        "when a join side is DERIVED state — an aggregation between the "
+        "shuffle read and the join pins the partitioning so neither side "
+        "can be split; plain exchange reuse alone does still split. The "
+        "per-round localCheckpoint on state tables (already standard in "
+        "every iterative operator here) turns derived state into a fresh "
+        "scan + exchange, so the demoted plans stay skew-splittable.",
         f"\nAll row-count invariants equal across modes: {same}.",
     ]
     with open(os.path.join(ROOT, "STRESS_SKEW_HUB.md"), "w") as f:

@@ -120,20 +120,32 @@ def _analyzed(df) -> str:
     return df._jdf.queryExecution().analyzed().toString()
 
 
-# hints that legitimately survive past the bound: BOUNDED-size tables
-# (1-row aggregates, fixed landmark lists) whose broadcast is unconditional
-# by design — they cannot grow with |V|
-_ALLOWED_BOUNDED_HINTS = {
-    "g_modularity": 1,  # m_row: the single-row |E| aggregate
-    "g_negative_samples": 1,  # n_row: the single-row |V| aggregate
-    "g_hits": 2,  # mx: one single-row max-normalizer per hub/auth branch
-    # co_proj's 1-row mean-threshold hint, replicated once per reference
-    # to the persisted projection lineage in the final plan (audited
-    # 2026-08: all copies of the same single-row aggregate; the triangle
-    # id-map hints themselves demote correctly — verified by hand)
-    "g_transitivity": 8,
-    "g_triangles": 5,
-}
+# Hints that legitimately survive past the bound are BOUNDED-size tables —
+# 1-row aggregates (|E| totals, max-normalizers, mean thresholds) whose
+# broadcast is unconditional by design because they cannot grow with |V|.
+# The check below is by IDENTITY, not count (ADVICE r03): every surviving
+# ResolvedHint's child subtree must provably produce at most one row
+# (logical-plan maxRows == 1, the global-aggregate shape). A regression
+# reintroducing an ungated |V|-sized hint cannot hide behind another
+# bounded hint disappearing — the |V|-sized subtree has no maxRows bound
+# and fails regardless of how many hints remain.
+
+
+def _surviving_hint_children(df):
+    """JVM-walk the analyzed plan; return (description, maxRows Option)
+    for the child of every ResolvedHint node."""
+    out = []
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "ResolvedHint":
+            child = node.child()
+            out.append((child.nodeName(), child.maxRows()))
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().analyzed())
+    return out
 
 
 @pytest.mark.parametrize("name", _HINT_VISIBLE)
@@ -150,12 +162,11 @@ def test_demoted_plan_past_bound(spark, sf_dir, name, gate_closed):
     """KB_BROADCAST_BOUND=0 simulates |V| past the gate: no explicit
     broadcast hint may survive anywhere in the final plan."""
     df = QUERIES[name](spark, sf_dir)
-    plan = _analyzed(df)
-    allowed = _ALLOWED_BOUNDED_HINTS.get(name, 0)
-    found = plan.count("ResolvedHint")
-    assert found <= allowed, (
-        f"{name}: {found} broadcast hints past the bound"
-        f" (allowed {allowed} bounded-size hints)"
-    )
+    for node_name, max_rows in _surviving_hint_children(df):
+        assert max_rows.isDefined() and max_rows.get() == 1, (
+            f"{name}: broadcast hint survives past the bound on a"
+            f" {node_name} subtree with no 1-row bound"
+            f" (maxRows={max_rows}) — an ungated data-sized broadcast"
+        )
     # and the demoted plan still computes: a row-count job must succeed
     assert df.count() >= 0

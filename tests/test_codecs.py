@@ -172,3 +172,54 @@ def test_audio_features_real_decode(spark):
     row = audio_features(df, fake=False).collect()[0]
     assert (row["sample_rate"], row["n_frames"]) == (44100, 441)
     assert abs(row["duration_s"] - 0.01) < 1e-9
+
+
+def test_avi_roundtrip():
+    frames = [np.full((5, 7, 3), v, np.uint8) for v in (10, 200, 37)]
+    frames[1][2, 3] = [1, 2, 3]
+    payload = CODECS["encode_avi"](frames, 40000)
+    usec, w, h, out = CODECS["decode_avi"](payload)
+    assert (usec, w, h) == (40000, 7, 5)
+    assert len(out) == 3
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+    # odd width exercises the 4-byte row-padding path
+    odd = [np.arange(27, dtype=np.uint8).reshape(3, 3, 3)]
+    _, w2, h2, out2 = CODECS["decode_avi"](CODECS["encode_avi"](odd, 1000))
+    assert (w2, h2) == (3, 3) and (out2[0] == odd[0]).all()
+
+
+def test_avi_rejects_non_dib_and_garbage():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        CODECS["decode_avi"](b"RIFF\x00\x00\x00\x00WAVE")
+    with _pytest.raises(ValueError):
+        CODECS["decode_avi"](b"notavi")
+    # compressed handler sniff: flip the strh fccHandler to MJPG
+    payload = bytearray(CODECS["encode_avi"]([np.zeros((2, 2, 3), np.uint8)]))
+    i = payload.find(b"vids") + 4
+    payload[i:i + 4] = b"MJPG"
+    with _pytest.raises(ValueError):
+        CODECS["decode_avi"](bytes(payload))
+
+
+def test_video_frame_samples_real_decode(spark):
+    from kinbaku_spark.operators.multimodal import video_frame_samples
+
+    # 4 frames at 25 fps (40 ms/frame) = 160 ms; sampling every 50 ms
+    # lands at ts 0/50/100 -> frames 0/1/2
+    frames = [np.full((4, 6, 3), 10 * (k + 1), np.uint8) for k in range(4)]
+    payload = CODECS["encode_avi"](frames, 40000)
+    df = spark.createDataFrame(
+        [(3, bytearray(payload))], "doc_id long, payload binary"
+    )
+    rows = sorted(
+        video_frame_samples(df, every_ms=50, fake=False).collect(),
+        key=lambda r: r["ts_ms"],
+    )
+    assert [(r["frame_idx"], r["ts_ms"]) for r in rows] == [(0, 0), (1, 50), (2, 100)]
+    assert all(r["frame_bytes"] == 4 * 6 * 3 for r in rows)
+    assert [r["frame_checksum"] for r in rows] == [
+        4 * 6 * 3 * 10, 4 * 6 * 3 * 20, 4 * 6 * 3 * 30
+    ]
