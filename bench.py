@@ -139,6 +139,7 @@ EXTENSION_HEADLINE = [
     "x_substring_dedup",
     "x_substring_dedup_apply",
     "x_dedup_embedding_lsh_recall",
+    "x_dedup_simhash_banded_recall",
     "x_video_decode_real",
     "x_dsir_weights",
     "x_tokenizer_fertility",

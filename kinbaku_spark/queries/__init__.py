@@ -135,6 +135,7 @@ _PRIORITY = [
     "x_substring_dedup",
     "x_substring_dedup_apply",
     "x_dedup_embedding_lsh_recall",
+    "x_dedup_simhash_banded_recall",
     "x_video_decode_real",
     "x_fuzzy_match",
     # round-1 graph analytics, never driver-checked
@@ -190,7 +191,6 @@ _PRIORITY = [
     "x_bm25_topk",
     "x_rrf_fusion",
     "x_market_basket",
-    "x_inverted_index",
 ]
 
 _missing = [k for k in _PRIORITY if k not in QUERIES]

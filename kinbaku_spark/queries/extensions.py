@@ -1182,6 +1182,81 @@ ORACLES["x_dedup_simhash_banded"] = _simhash_sql(SIMHASH_BANDED_HAMMING)
 
 
 # ---------------------------------------------------------------------------
+# x_dedup_simhash_banded_recall — how much of the WIDE-threshold
+# (hamming<=10) dup set the canonical banded form (pigeonhole-exact at
+# hamming<=3) captures on this corpus. The banding docstring above states
+# the limitation; this is the measured readout (the repo standard set by
+# x_dedup_recall_eval / x_dedup_embedding_lsh_recall: readout, not claim).
+# Both legs share one signature table, so banded ⊆ baseline by
+# construction — fp = 0 and precision_ppm = 1000000 are oracle-locked
+# invariants; recall_ppm is the corpus-dependent number (a function of
+# the hamming histogram between 4 and 10).
+# ---------------------------------------------------------------------------
+
+
+def x_dedup_simhash_banded_recall(spark, sf_dir):
+    base = x_dedup_simhash(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    banded = x_dedup_simhash_banded(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    j = base.withColumn("t", F.lit(1)).join(
+        banded.withColumn("c", F.lit(1)), ["doc_id_a", "doc_id_b"], "full_outer"
+    )
+    agg = j.agg(
+        F.count("t").alias("n_baseline"),
+        F.count("c").alias("n_banded"),
+        F.count(F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)).alias(
+            "tp"
+        ),
+        F.count(F.when(F.col("c").isNotNull() & F.col("t").isNull(), 1)).alias(
+            "fp"
+        ),
+        F.count(F.when(F.col("t").isNotNull() & F.col("c").isNull(), 1)).alias(
+            "fn"
+        ),
+    )
+    return agg.select(
+        "n_baseline",
+        "n_banded",
+        "tp",
+        "fp",
+        "fn",
+        F.expr("tp * 1000000 div greatest(n_banded, 1)").alias("precision_ppm"),
+        F.expr("tp * 1000000 div greatest(n_baseline, 1)").alias("recall_ppm"),
+    )
+
+
+def _simhash_banded_recall_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id_a, doc_id_b FROM ({_simhash_sql()})
+),
+banded AS (
+  SELECT doc_id_a, doc_id_b FROM ({_simhash_sql(SIMHASH_BANDED_HAMMING)})
+),
+j AS (
+  SELECT t.doc_id_a IS NOT NULL AS has_t, c.doc_id_a IS NOT NULL AS has_c
+  FROM base t FULL OUTER JOIN banded c
+    ON t.doc_id_a = c.doc_id_a AND t.doc_id_b = c.doc_id_b
+),
+agg AS (
+  SELECT COUNT(*) FILTER (WHERE has_t) AS n_baseline,
+         COUNT(*) FILTER (WHERE has_c) AS n_banded,
+         COUNT(*) FILTER (WHERE has_t AND has_c) AS tp,
+         COUNT(*) FILTER (WHERE has_c AND NOT has_t) AS fp,
+         COUNT(*) FILTER (WHERE has_t AND NOT has_c) AS fn
+  FROM j
+)
+SELECT n_baseline, n_banded, tp, fp, fn,
+       tp * 1000000 // greatest(n_banded, 1) AS precision_ppm,
+       tp * 1000000 // greatest(n_baseline, 1) AS recall_ppm
+FROM agg
+"""
+
+
+QUERIES["x_dedup_simhash_banded_recall"] = x_dedup_simhash_banded_recall
+ORACLES["x_dedup_simhash_banded_recall"] = _simhash_banded_recall_sql()
+
+
+# ---------------------------------------------------------------------------
 # x_dedup_embedding_lsh — the CANONICAL embedding near-dup (VERDICT r02 #2).
 # Hyperplane-LSH banded candidates (32 planes -> 4 bands x 8 bits = 256
 # buckets per band) + exact rounded-6dp cosine verify over candidates only.
