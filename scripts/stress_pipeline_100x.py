@@ -55,10 +55,12 @@ EXACT_100X = {
 
 
 def width_scaled_lsh(spark, sf_dir: str):
-    """The at-scale parameterization of the embedding LSH: 64 planes in
-    4x16-bit bands (bucket count 65,536 per band) instead of the
-    registered 32/4x8 — the knob a 100x corpus turns to keep buckets,
-    and therefore Σ|bucket|² candidates, bounded."""
+    """The at-scale parameterization of the embedding LSH: 60 planes in
+    4x15-bit bands (32,768 buckets per band) instead of the registered
+    32/4x8 — the knob a 100x corpus turns to keep buckets, and therefore
+    Σ|bucket|² candidates, bounded. 60 not 64: the packed signature is a
+    BIGINT and bit 63 would overflow it (same 60-bit discipline as the
+    md5 hash idiom)."""
     from kinbaku_spark.operators.similarity import (
         embedding_near_duplicates_lsh,
         random_hyperplanes,
@@ -70,7 +72,7 @@ def width_scaled_lsh(spark, sf_dir: str):
     return embedding_near_duplicates_lsh(
         emb,
         threshold=EMB_NEAR_DUP_THRESHOLD,
-        planes=random_hyperplanes(n_planes=64, dim=64, seed=11),
+        planes=random_hyperplanes(n_planes=60, dim=64, seed=11),
         bands=4,
     )
 
@@ -105,6 +107,10 @@ if __name__ == "__main__":
             f" {exact} |"
         )
         print(lines[-1], flush=True)
+        # incremental write: an exception in a later row (or the extra
+        # width-scaled leg) must not lose the finished rows
+        with open(os.path.join(ROOT, "STRESS_PIPELINE_100X.md"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
 
     # the width-scaling readout for the LSH form
     def force(df):
@@ -116,7 +122,7 @@ if __name__ == "__main__":
     rows_wide = width_scaled_lsh(spark, HUNDREDX).count()
     lines += [
         "",
-        f"`x_dedup_embedding_lsh` width-scaled variant (64 planes, 4x16-bit"
+        f"`x_dedup_embedding_lsh` width-scaled variant (60 planes, 4x15-bit"
         f" bands — the parameter a 100x corpus turns): {t_wide:.2f}s,"
         f" {rows_wide} rows at 100x.",
         "",
@@ -126,10 +132,17 @@ if __name__ == "__main__":
         "shard-local at this scale — in particular the NEW df-capped",
         "x_substring_dedup and its span-removal apply form (VERDICT r03",
         "#2/#3) must emit exactly 100 disjoint copies of the base output.",
-        "The embedding-LSH rows document bucket saturation: at fixed 8-bit",
-        "bands the candidate set grows ~quadratically across mutually-",
-        "similar dim-rolled copies, and the width-scaled variant is the",
-        "documented remedy (band width grows with log n).",
+        "The embedding-LSH rows document bucket saturation honestly: this",
+        "construction makes the TRUE >=0.4 pair set itself ~quadratic",
+        "across the 100 mutually-similar dim-rolled copies, so no index",
+        "can emit it in linear time — the banded plan is absorbing a",
+        "quadratic OUTPUT, not broken. The width-scaled variant bounds",
+        "candidate work but pays recall on this adversarially dense",
+        "corpus (per-band collision probability falls from cos-angle^8",
+        "to ^15). Real-corpus guidance stands — band width grows with",
+        "log n — but when the duplicate structure is itself quadratic the",
+        "honest knobs are dup-clustering (x_dedup_clusters collapses the",
+        "pair set) or a tighter threshold, not banding alone.",
     ]
     with open(os.path.join(ROOT, "STRESS_PIPELINE_100X.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")

@@ -203,6 +203,14 @@ if __name__ == "__main__":
         "(md5 sub-buckets bound within-cell pair work; the oracle replays",
         "the identical rule).",
         '',
+        'Round-4 rows (VERDICT r03 #2/#3): x_substring_dedup now runs with',
+        'the SUBSTRING_DF_CAP=16 postings cap — 2.4x wall at exactly-10x',
+        "output rows (the exact-10x check also proves the cap's df profile",
+        'is shard-local under the injective renaming); its removal half',
+        'x_substring_dedup_apply is 2.4x with exact-10x removal rows. Fixed',
+        'per-job floors and the 20-gram md5 construction dominate at this',
+        'corpus size.',
+        '',
         'x_dedup_embedding_lsh note: its OUTPUT is pair-shaped and the 10x',
         "construction's dim-rolled embedding copies remain mutually similar",
         '(an orthogonal roll preserves within-copy geometry but does not make',
