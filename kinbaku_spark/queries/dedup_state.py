@@ -54,6 +54,33 @@ def shingle_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     return _STATE[sf_dir]
 
 
+# -- positional span postings (exact-substring dedup index) ------------------
+# The SPAN_N-gram postings are the same "stored index" class as the
+# 3-shingle postings above: the Lee et al. exact-substring pipeline's
+# replacement for a suffix array, shared by the pair-detection query
+# (x_substring_dedup, which derives the distinct (doc_id, h) form) and
+# the removal query (x_substring_dedup_apply, which needs the offsets).
+# Built once per sf_dir; refreshed on ingest in a production deployment.
+# Span width is extensions.SPAN_N (the constant the SQL oracles are
+# generated from), imported lazily like the query consumers do.
+
+_SPAN_STATE: dict[str, DataFrame] = {}
+
+
+def span_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, h): persisted positional SPAN_N-gram postings over
+    the documents corpus (operators/dedup.py span_postings)."""
+    if sf_dir not in _SPAN_STATE:
+        from kinbaku_spark.operators.dedup import span_postings
+        from kinbaku_spark.queries.extensions import SPAN_N
+
+        docs = load_table(spark, sf_dir, "documents")
+        sp = span_postings(docs, "doc_id", "text", SPAN_N).persist()
+        sp.count()
+        _SPAN_STATE[sf_dir] = sp
+    return _SPAN_STATE[sf_dir]
+
+
 def reset() -> None:
     """Drop the persisted index state (tests rebuilding hermetic plans)."""
     for sh, sig in _STATE.values():
@@ -63,3 +90,9 @@ def reset() -> None:
             except Exception:
                 pass
     _STATE.clear()
+    for sp in _SPAN_STATE.values():
+        try:
+            sp.unpersist()
+        except Exception:
+            pass
+    _SPAN_STATE.clear()

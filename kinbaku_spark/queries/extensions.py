@@ -1415,14 +1415,14 @@ SUBSTRING_DF_CAP = 16  # mirrors WINDOW_DF_CAP (pipeline_ext4.py)
 
 
 def x_substring_dedup(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    from kinbaku_spark.operators.dedup import shingle_hashes
+    from kinbaku_spark.queries.dedup_state import span_state
 
-    # pin the span postings: consumed by the df profile AND the capped
-    # self-join, and the 20-gram construction (slice + join + md5 per
-    # position) dominates the query — unpinned, it re-executes per
-    # consumer (measured 6.9s -> 3.8s pre-cap)
-    sh = pin(shingle_hashes(docs, "doc_id", "text", SPAN_N))
+    # the positional span postings are session-persisted engine state
+    # (dedup_state.span_state — the suffix-array replacement shared with
+    # the removal query); the distinct (doc_id, h) form this query needs
+    # is one projection+distinct over the warm index, pinned because the
+    # df profile and the capped self-join both consume it
+    sh = pin(span_state(spark, sf_dir).select("doc_id", "h").distinct())
     keep = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1486,12 +1486,13 @@ ORACLES["x_substring_dedup"] = X_SUBSTRING_DEDUP_SQL
 
 
 def x_substring_dedup_apply(spark, sf_dir):
-    from kinbaku_spark.operators.dedup import span_postings
+    from kinbaku_spark.queries.dedup_state import span_state
 
     docs = load_table(spark, sf_dir, "documents")
-    # two consumers each (dup profile + occurrence probe; kept tokens +
-    # token counts): pin both scans once
-    spans = pin(span_postings(docs, "doc_id", "text", SPAN_N))
+    # the positional postings are the session-persisted span index (shared
+    # with x_substring_dedup); the token explode has two consumers (kept
+    # tokens + token counts), pinned once
+    spans = span_state(spark, sf_dir)
     toks = pin(
         docs.select(
             "doc_id",
