@@ -10,8 +10,13 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
-def shingle_array(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams as an array column (Spark side).
+def gram_array(col: Column | str, n: int) -> Column:
+    """POSITIONAL (non-distinct) word n-grams as an array column — element
+    i is the gram starting at token i. The single tokenization + gram
+    construction both engines' n-gram operators build on: shingle_array
+    wraps it with array_distinct; span_postings (operators/dedup.py)
+    posexplodes it for offsets. One definition so a tokenization change
+    cannot desynchronize the pair-detection and removal halves.
 
     Built by zipping n shifted slices of the word array (n slice calls
     total) instead of transform(sequence, slice) (one slice per gram) —
@@ -26,10 +31,13 @@ def shingle_array(col: Column | str, n: int = 3) -> Column:
         grams = F.zip_with(
             grams, F.slice(words, j + 1, m), lambda x, y: F.concat(x, F.lit(" "), y)
         )
-    # guard: texts shorter than n words produce an empty set
-    return F.when(length >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    # guard: texts shorter than n words produce an empty array
+    return F.when(length >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_array(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams as an array column (Spark side)."""
+    return F.array_distinct(gram_array(col, n))
 
 
 SQL_WORDS = "string_split_regex(trim({expr}), '\\s+')"

@@ -386,7 +386,6 @@ class Graph:
                     pass
                 self._id_map = None
             self._id_map_count = None
-        if self._node_ops:
             upserts = [
                 (k, attrs) for k, (op, attrs) in self._node_ops.items() if op == "upsert"
             ]

@@ -394,7 +394,13 @@ def make_media_codecs():
                     frames.append((body_lo, size))
                 pos = body_lo + size + (size % 2)
 
-        walk(12, len(payload))
+        try:
+            walk(12, len(payload))
+        except struct.error as e:
+            # truncated file whose chunk size fields point past the buffer:
+            # keep the documented ValueError contract (callers skip bad
+            # documents by catching ValueError, like every other codec here)
+            raise ValueError(f"AVI: truncated chunk structure ({e})") from None
         if usec is None or w is None:
             raise ValueError("AVI: missing avih header")
         stride = (w * 3 + 3) & ~3

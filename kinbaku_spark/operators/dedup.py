@@ -70,21 +70,15 @@ def span_postings(
     the offset-extended postings the removal half of exact-substring dedup
     needs (Lee et al. 2022: find the duplicated span, then cut it out).
     ``pos`` is the 0-based index of the span's first token, so the span
-    covers tokens [pos, pos + n). Same zip-of-shifted-slices construction
-    and 60-bit hash as :func:`shingle_hashes`, minus the distinct."""
-    c = F.col(text_col)
-    words = F.split(F.trim(c), r"\s+")
-    m = F.size(words) - (n - 1)
-    grams = F.slice(words, 1, m)
-    for j in range(1, n):
-        grams = F.zip_with(
-            grams, F.slice(words, j + 1, m), lambda x, y: F.concat(x, F.lit(" "), y)
-        )
-    grams = F.when(F.size(words) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    covers tokens [pos, pos + n). Shares the tokenization + gram
+    construction with :func:`shingle_hashes` via textfns.gram_array (one
+    definition — a tokenization change cannot desynchronize the
+    pair-detection and removal halves), minus the distinct, plus the
+    position from posexplode."""
+    from kinbaku_spark.functions.textfns import gram_array
+
     return docs.select(
-        F.col(id_col), F.posexplode(grams).alias("pos", "__s")
+        F.col(id_col), F.posexplode(gram_array(text_col, n)).alias("pos", "__s")
     ).select(id_col, "pos", md5_long(F.col("__s")).alias("h"))
 
 

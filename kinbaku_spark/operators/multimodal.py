@@ -234,6 +234,11 @@ def video_frame_samples(
                 ids, idxs, tss, sizes, sums = [], [], [], [], []
                 for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                     usec, w, h, frames = _decode_avi(bytes(payload))
+                    if not frames:
+                        # structurally valid container, zero frame chunks
+                        # (header-only file): zero sampled rows, not a
+                        # frames[-1] IndexError inside the executor task
+                        continue
                     frame_ms = max(usec // 1000, 1)
                     duration_ms = frame_ms * len(frames)
                     n_samples = max(1, duration_ms // every_ms)

@@ -33,8 +33,6 @@ import os
 
 from pyspark.sql import DataFrame
 
-DEFAULT_LOCAL_CHECKPOINT_DIR = "/tmp/kb_checkpoints"
-
 
 def reliable_enabled() -> bool:
     return os.environ.get("KB_RELIABLE_CHECKPOINT", "") == "1"
@@ -43,14 +41,27 @@ def reliable_enabled() -> bool:
 def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize and lineage-truncate ``df`` — ``localCheckpoint`` by
     default, a reliable ``checkpoint`` under ``KB_RELIABLE_CHECKPOINT=1``
-    (checkpoint dir auto-set from ``KB_CHECKPOINT_DIR`` if the deployment
-    has not already called ``setCheckpointDir``)."""
+    (checkpoint dir from ``KB_CHECKPOINT_DIR`` if the deployment has not
+    already called ``setCheckpointDir``).
+
+    Reliable mode REFUSES to run without a configured dir rather than
+    defaulting to a node-local path: each executor writing its checkpoint
+    partitions to its own local /tmp is exactly the non-fault-tolerant
+    storage the flag exists to avoid — it works single-node while
+    providing zero of the promised durability, then fails with
+    FileNotFoundException the first time a task reads a partition from
+    another node."""
     if reliable_enabled():
         spark = df.sparkSession
         sc = spark.sparkContext
         if sc._jsc.sc().getCheckpointDir().isEmpty():
-            sc.setCheckpointDir(
-                os.environ.get("KB_CHECKPOINT_DIR", DEFAULT_LOCAL_CHECKPOINT_DIR)
-            )
+            ckpt_dir = os.environ.get("KB_CHECKPOINT_DIR")
+            if not ckpt_dir:
+                raise ValueError(
+                    "KB_RELIABLE_CHECKPOINT=1 needs a fault-tolerant"
+                    " checkpoint dir: set KB_CHECKPOINT_DIR (HDFS/S3 on a"
+                    " cluster) or call sparkContext.setCheckpointDir first"
+                )
+            sc.setCheckpointDir(ckpt_dir)
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)

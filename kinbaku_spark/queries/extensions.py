@@ -897,6 +897,7 @@ ORACLES["x_dedup_incremental"] = _incremental_sql()
 # ---------------------------------------------------------------------------
 
 FUZZY_PROBE_MOD = 97
+_FUZZY_BOUND_CACHE: dict[str, int] = {}
 
 
 def x_fuzzy_match(spark, sf_dir):
@@ -942,10 +943,17 @@ def x_fuzzy_match(spark, sf_dir):
     # like every other data-sized broadcast (ADVICE r03). Bound derived
     # from actual counts in one small agg over the filtered probe scan:
     # |probes_v| <= |probes| * (max corrupted length + 1 identity variant).
-    pstats = probes.agg(
-        F.count("*").alias("n"), F.max(F.length("corrupted")).alias("mx")
-    ).collect()[0]
-    probes_v_bound = (pstats["n"] or 0) * ((pstats["mx"] or 0) + 1)
+    # Memoized per sf_dir (the parquet is immutable) so plan CONSTRUCTION
+    # stays lazy after the first call — the _query_vec pattern; an
+    # unmemoized .collect() here would run a part scan on every
+    # QUERIES['x_fuzzy_match'] call (bench/parity/plan-lock each build
+    # the plan several times).
+    if sf_dir not in _FUZZY_BOUND_CACHE:
+        pstats = probes.agg(
+            F.count("*").alias("n"), F.max(F.length("corrupted")).alias("mx")
+        ).collect()[0]
+        _FUZZY_BOUND_CACHE[sf_dir] = (pstats["n"] or 0) * ((pstats["mx"] or 0) + 1)
+    probes_v_bound = _FUZZY_BOUND_CACHE[sf_dir]
     cand = (
         parts_v.join(maybe_broadcast(probes_v, probes_v_bound), "v")
         .select("probe_key", "corrupted", "match_key", "match_name")
@@ -1181,6 +1189,72 @@ QUERIES["x_dedup_simhash_banded"] = x_dedup_simhash_banded
 ORACLES["x_dedup_simhash_banded"] = _simhash_sql(SIMHASH_BANDED_HAMMING)
 
 
+def _pair_recall(truth, cand, keys, truth_name, cand_name):
+    """Shared recall/precision readout over two pair sets (integer ppm):
+    used by the embedding-LSH and banded-SimHash recall queries — one
+    implementation, one place to fix."""
+    j = truth.withColumn("t", F.lit(1)).join(
+        cand.withColumn("c", F.lit(1)), keys, "full_outer"
+    )
+    agg = j.agg(
+        F.count("t").alias(truth_name),
+        F.count("c").alias(cand_name),
+        F.count(F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)).alias(
+            "tp"
+        ),
+        F.count(F.when(F.col("c").isNotNull() & F.col("t").isNull(), 1)).alias(
+            "fp"
+        ),
+        F.count(F.when(F.col("t").isNotNull() & F.col("c").isNull(), 1)).alias(
+            "fn"
+        ),
+    )
+    return agg.select(
+        truth_name,
+        cand_name,
+        "tp",
+        "fp",
+        "fn",
+        F.expr(f"tp * 1000000 div greatest({cand_name}, 1)").alias(
+            "precision_ppm"
+        ),
+        F.expr(f"tp * 1000000 div greatest({truth_name}, 1)").alias("recall_ppm"),
+    )
+
+
+def _pair_recall_sql(
+    truth_sql: str, cand_sql: str, key_a: str, key_b: str,
+    truth_name: str, cand_name: str,
+) -> str:
+    """The identical readout as one DuckDB template over two pair-set
+    subqueries (same integer-ppm arithmetic)."""
+    return f"""
+WITH truth AS (
+  SELECT {key_a}, {key_b} FROM ({truth_sql})
+),
+cand AS (
+  SELECT {key_a}, {key_b} FROM ({cand_sql})
+),
+j AS (
+  SELECT t.{key_a} IS NOT NULL AS has_t, c.{key_a} IS NOT NULL AS has_c
+  FROM truth t FULL OUTER JOIN cand c
+    ON t.{key_a} = c.{key_a} AND t.{key_b} = c.{key_b}
+),
+agg AS (
+  SELECT COUNT(*) FILTER (WHERE has_t) AS {truth_name},
+         COUNT(*) FILTER (WHERE has_c) AS {cand_name},
+         COUNT(*) FILTER (WHERE has_t AND has_c) AS tp,
+         COUNT(*) FILTER (WHERE has_c AND NOT has_t) AS fp,
+         COUNT(*) FILTER (WHERE has_t AND NOT has_c) AS fn
+  FROM j
+)
+SELECT {truth_name}, {cand_name}, tp, fp, fn,
+       tp * 1000000 // greatest({cand_name}, 1) AS precision_ppm,
+       tp * 1000000 // greatest({truth_name}, 1) AS recall_ppm
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # x_dedup_simhash_banded_recall — how much of the WIDE-threshold
 # (hamming<=10) dup set the canonical banded form (pigeonhole-exact at
@@ -1197,63 +1271,16 @@ ORACLES["x_dedup_simhash_banded"] = _simhash_sql(SIMHASH_BANDED_HAMMING)
 def x_dedup_simhash_banded_recall(spark, sf_dir):
     base = x_dedup_simhash(spark, sf_dir).select("doc_id_a", "doc_id_b")
     banded = x_dedup_simhash_banded(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    j = base.withColumn("t", F.lit(1)).join(
-        banded.withColumn("c", F.lit(1)), ["doc_id_a", "doc_id_b"], "full_outer"
+    return _pair_recall(
+        base, banded, ["doc_id_a", "doc_id_b"], "n_baseline", "n_banded"
     )
-    agg = j.agg(
-        F.count("t").alias("n_baseline"),
-        F.count("c").alias("n_banded"),
-        F.count(F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)).alias(
-            "tp"
-        ),
-        F.count(F.when(F.col("c").isNotNull() & F.col("t").isNull(), 1)).alias(
-            "fp"
-        ),
-        F.count(F.when(F.col("t").isNotNull() & F.col("c").isNull(), 1)).alias(
-            "fn"
-        ),
-    )
-    return agg.select(
-        "n_baseline",
-        "n_banded",
-        "tp",
-        "fp",
-        "fn",
-        F.expr("tp * 1000000 div greatest(n_banded, 1)").alias("precision_ppm"),
-        F.expr("tp * 1000000 div greatest(n_baseline, 1)").alias("recall_ppm"),
-    )
-
-
-def _simhash_banded_recall_sql() -> str:
-    return f"""
-WITH base AS (
-  SELECT doc_id_a, doc_id_b FROM ({_simhash_sql()})
-),
-banded AS (
-  SELECT doc_id_a, doc_id_b FROM ({_simhash_sql(SIMHASH_BANDED_HAMMING)})
-),
-j AS (
-  SELECT t.doc_id_a IS NOT NULL AS has_t, c.doc_id_a IS NOT NULL AS has_c
-  FROM base t FULL OUTER JOIN banded c
-    ON t.doc_id_a = c.doc_id_a AND t.doc_id_b = c.doc_id_b
-),
-agg AS (
-  SELECT COUNT(*) FILTER (WHERE has_t) AS n_baseline,
-         COUNT(*) FILTER (WHERE has_c) AS n_banded,
-         COUNT(*) FILTER (WHERE has_t AND has_c) AS tp,
-         COUNT(*) FILTER (WHERE has_c AND NOT has_t) AS fp,
-         COUNT(*) FILTER (WHERE has_t AND NOT has_c) AS fn
-  FROM j
-)
-SELECT n_baseline, n_banded, tp, fp, fn,
-       tp * 1000000 // greatest(n_banded, 1) AS precision_ppm,
-       tp * 1000000 // greatest(n_baseline, 1) AS recall_ppm
-FROM agg
-"""
 
 
 QUERIES["x_dedup_simhash_banded_recall"] = x_dedup_simhash_banded_recall
-ORACLES["x_dedup_simhash_banded_recall"] = _simhash_banded_recall_sql()
+ORACLES["x_dedup_simhash_banded_recall"] = _pair_recall_sql(
+    _simhash_sql(), _simhash_sql(SIMHASH_BANDED_HAMMING),
+    "doc_id_a", "doc_id_b", "n_baseline", "n_banded",
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1333,63 +1360,14 @@ ORACLES["x_dedup_embedding_lsh"] = _emb_lsh_sql()
 def x_dedup_embedding_lsh_recall(spark, sf_dir):
     truth = x_dedup_embedding(spark, sf_dir).select("vec_id_a", "vec_id_b")
     lsh = x_dedup_embedding_lsh(spark, sf_dir).select("vec_id_a", "vec_id_b")
-    j = truth.withColumn("t", F.lit(1)).join(
-        lsh.withColumn("c", F.lit(1)), ["vec_id_a", "vec_id_b"], "full_outer"
-    )
-    agg = j.agg(
-        F.count("t").alias("n_truth"),
-        F.count("c").alias("n_lsh"),
-        F.count(F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)).alias(
-            "tp"
-        ),
-        F.count(F.when(F.col("c").isNotNull() & F.col("t").isNull(), 1)).alias(
-            "fp"
-        ),
-        F.count(F.when(F.col("t").isNotNull() & F.col("c").isNull(), 1)).alias(
-            "fn"
-        ),
-    )
-    return agg.select(
-        "n_truth",
-        "n_lsh",
-        "tp",
-        "fp",
-        "fn",
-        F.expr("tp * 1000000 div greatest(n_lsh, 1)").alias("precision_ppm"),
-        F.expr("tp * 1000000 div greatest(n_truth, 1)").alias("recall_ppm"),
-    )
-
-
-def _emb_lsh_recall_sql() -> str:
-    return f"""
-WITH truth AS (
-  SELECT vec_id_a, vec_id_b FROM ({X_DEDUP_EMBEDDING_SQL})
-),
-lsh AS (
-  SELECT vec_id_a, vec_id_b FROM ({_emb_lsh_sql()})
-),
-j AS (
-  SELECT t.vec_id_a IS NOT NULL AS has_t, c.vec_id_a IS NOT NULL AS has_c
-  FROM truth t FULL OUTER JOIN lsh c
-    ON t.vec_id_a = c.vec_id_a AND t.vec_id_b = c.vec_id_b
-),
-agg AS (
-  SELECT COUNT(*) FILTER (WHERE has_t) AS n_truth,
-         COUNT(*) FILTER (WHERE has_c) AS n_lsh,
-         COUNT(*) FILTER (WHERE has_t AND has_c) AS tp,
-         COUNT(*) FILTER (WHERE has_c AND NOT has_t) AS fp,
-         COUNT(*) FILTER (WHERE has_t AND NOT has_c) AS fn
-  FROM j
-)
-SELECT n_truth, n_lsh, tp, fp, fn,
-       tp * 1000000 // greatest(n_lsh, 1) AS precision_ppm,
-       tp * 1000000 // greatest(n_truth, 1) AS recall_ppm
-FROM agg
-"""
+    return _pair_recall(truth, lsh, ["vec_id_a", "vec_id_b"], "n_truth", "n_lsh")
 
 
 QUERIES["x_dedup_embedding_lsh_recall"] = x_dedup_embedding_lsh_recall
-ORACLES["x_dedup_embedding_lsh_recall"] = _emb_lsh_recall_sql()
+ORACLES["x_dedup_embedding_lsh_recall"] = _pair_recall_sql(
+    X_DEDUP_EMBEDDING_SQL, _emb_lsh_sql(), "vec_id_a", "vec_id_b",
+    "n_truth", "n_lsh",
+)
 
 
 # ---------------------------------------------------------------------------

@@ -282,7 +282,10 @@ def x_video_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for k in range(nf)
                 ]
                 du, dw, dh, decoded = _dec(_enc(frames, usec))  # real decode
-                frame_ms = du // 1000
+                # same sampler math as video_frame_samples(fake=False)
+                # (operators/multimodal.py) including the max(...,1) guard
+                # against sub-millisecond frame rates — keep in sync
+                frame_ms = max(du // 1000, 1)
                 duration_ms = frame_ms * len(decoded)
                 n_samples = max(1, duration_ms // every_ms)
                 px = 0

@@ -223,3 +223,36 @@ def test_video_frame_samples_real_decode(spark):
     assert [r["frame_checksum"] for r in rows] == [
         4 * 6 * 3 * 10, 4 * 6 * 3 * 20, 4 * 6 * 3 * 30
     ]
+
+
+def test_avi_zero_frames_and_truncation(spark):
+    import struct
+
+    from kinbaku_spark.operators.multimodal import video_frame_samples
+
+    def chunk(tag, body):
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(tag, body):
+        return chunk(b"LIST", tag + body)
+
+    # structurally valid container, zero frame chunks (header-only file)
+    avih = struct.pack("<14I", 40000, 0, 0, 0x10, 0, 0, 1, 0, 4, 3, 0, 0, 0, 0)
+    body = b"AVI " + lst(b"hdrl", chunk(b"avih", avih)) + lst(b"movi", b"")
+    empty_avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    usec, w, h, frames = CODECS["decode_avi"](empty_avi)
+    assert (usec, w, h, frames) == (40000, 4, 3, [])
+    # the sampler emits zero rows for it, not an IndexError in the task
+    df = spark.createDataFrame(
+        [(9, bytearray(empty_avi))], "doc_id long, payload binary"
+    )
+    assert video_frame_samples(df, every_ms=50, fake=False).count() == 0
+
+    # truncation keeps the ValueError contract (not a struct.error leak)
+    full = CODECS["encode_avi"]([np.zeros((2, 2, 3), np.uint8)])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        CODECS["decode_avi"](full[:20])

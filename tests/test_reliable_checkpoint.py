@@ -29,6 +29,22 @@ def reliable(spark, tmp_path):
         os.environ.pop("KB_CHECKPOINT_DIR", None)
 
 
+def test_reliable_flag_requires_configured_dir(spark):
+    """Reliable mode must refuse to default to a node-local path (each
+    executor's own /tmp is the non-durable storage the flag exists to
+    avoid). Must run BEFORE any test sets the session's checkpoint dir —
+    setCheckpointDir is sticky for the JVM session."""
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
+        pytest.skip("checkpoint dir already set in this session")
+    os.environ["KB_RELIABLE_CHECKPOINT"] = "1"
+    os.environ.pop("KB_CHECKPOINT_DIR", None)
+    try:
+        with pytest.raises(ValueError, match="KB_CHECKPOINT_DIR"):
+            pin(spark.range(3))
+    finally:
+        os.environ.pop("KB_RELIABLE_CHECKPOINT", None)
+
+
 def test_pin_modes(spark, reliable):
     assert reliable_enabled()
     df = pin(spark.range(5))
@@ -41,9 +57,11 @@ def test_pin_modes(spark, reliable):
     "name", ["x_substring_dedup", "x_substring_dedup_apply", "x_dedup_embedding_lsh"]
 )
 def test_plans_and_results_invariant_under_flag(spark, sf_dir, name, request):
-    baseline_rows = QUERIES[name](spark, sf_dir).collect()
+    baseline_rows = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
     baseline_sig = plan_signature(QUERIES[name](spark, sf_dir))
     request.getfixturevalue("reliable")
     df = QUERIES[name](spark, sf_dir)
     assert plan_signature(df) == baseline_sig
-    assert df.collect() == baseline_rows
+    # sorted: x_dedup_embedding_lsh has no orderBy, so raw collect() order
+    # is partitioning-dependent and not part of the contract
+    assert sorted(map(tuple, df.collect())) == baseline_rows
