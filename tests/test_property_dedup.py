@@ -179,3 +179,47 @@ def test_deletion_band_covers_all_dist1_pairs(strings):
         for b in strings[i + 1:]:
             if _levenshtein(a, b) <= 1:
                 assert _del_band(a) & _del_band(b), (a, b)
+
+
+def test_span_removal_cuts_license_header_keeps_owner(spark):
+    """The motivating Lee et al. case end-to-end: a 20-token licence
+    header shared by every doc is removed from all but the owner (min
+    doc_id), unique tails survive verbatim, and overlapping duplicated
+    spans merge into one cut."""
+    from kinbaku_spark.queries import extensions as ext
+    from kinbaku_spark.queries.dedup_state import span_state, reset
+
+    header = " ".join(f"lic{i}" for i in range(ext.SPAN_N))
+    rows = [
+        (i, f"{header} tail{i}a tail{i}b tail{i}c", "en", "t", 0)
+        for i in range(4)
+    ]
+    # doc 10: the header twice back-to-back — 21 duplicated span starts
+    # (every window inside header+header containing only lic tokens),
+    # coverage must merge into ONE contiguous cut of 2*SPAN_N tokens
+    rows.append((10, f"{header} {header} own10", "en", "t", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+
+    import tempfile, os
+    sf = tempfile.mkdtemp(prefix="kb_span_case_")
+    docs.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    try:
+        out = {
+            r["doc_id"]: r
+            for r in ext.x_substring_dedup_apply(spark, sf).collect()
+        }
+        # owner (doc 0) keeps everything -> not in the output at all
+        assert 0 not in out
+        for i in (1, 2, 3):
+            r = out[i]
+            assert r["n_removed"] == ext.SPAN_N
+            assert r["text_clean"] == f"tail{i}a tail{i}b tail{i}c"
+        r10 = out[10]
+        assert r10["text_clean"] == "own10"
+        assert r10["n_removed"] == 2 * ext.SPAN_N
+    finally:
+        reset()  # drop the persisted span index for the temp sf_dir
+        import shutil
+        shutil.rmtree(sf, ignore_errors=True)
