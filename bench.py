@@ -179,6 +179,11 @@ EXTENSION_HEADLINE = [
     "x_dedup_edit_distance",
     "x_image_resize_real",
     "x_curate_corpus",
+    "g_katz_bounded",
+    "g_eigenvector_bounded",
+    "g_densest_subgraph",
+    "g_local_clustering",
+    "g_scc_bounded",
 ]
 
 

@@ -21,6 +21,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     graphmetrics_ext,
     graphmetrics_ext2,
     graphmetrics_ext3,
+    graphmetrics_ext4,
     linalg_ext,
     media_ext,
     mining_ext,
@@ -76,6 +77,7 @@ for mod in (
     graphmetrics_ext,
     graphmetrics_ext2,
     graphmetrics_ext3,
+    graphmetrics_ext4,
     linalg_ext,
     media_ext,
     mining_ext,
@@ -132,6 +134,13 @@ except ImportError:  # extensions land incrementally
 # stats/drift/eval/mining readouts.
 _PRIORITY = [
     # changed/new this round — must be (re-)driver-checked
+    "g_katz_bounded",
+    "g_eigenvector_bounded",
+    "g_densest_subgraph",
+    "g_local_clustering",
+    "g_scc_bounded",
+    "g_triangles",
+    "g_transitivity",
     "x_substring_dedup",
     "x_substring_dedup_apply",
     "x_dedup_embedding_lsh_recall",

@@ -875,6 +875,22 @@ def co_proj(spark, sf_dir):
     return extra["co_proj"]
 
 
+def tri_per_node(spark, sf_dir):
+    """Per-node triangle counts of :func:`co_proj` (exact block GEMM,
+    operators/triangles.py), session-persisted: derived engine state
+    shared by g_triangles, g_transitivity's exact path and
+    g_local_clustering — the projection is multiplied ONCE per sf_dir,
+    however many metrics read it."""
+    from kinbaku_spark.operators.triangles import triangle_block_gemm
+
+    extra = _cached(spark, sf_dir)[2]
+    if "tri_per_node" not in extra:
+        t = triangle_block_gemm(co_proj(spark, sf_dir), per_node=True).persist()
+        t.count()
+        extra["tri_per_node"] = t
+    return extra["tri_per_node"]
+
+
 def g_bfs_depths(spark, sf_dir):
     """Undirected BFS from S1: (key, depth) for every reachable node within
     BFS_MAX_DEPTH. Iterative min-depth frontier expansion — each round is one
@@ -1073,13 +1089,11 @@ def g_triangles(spark, sf_dir):
     results, only the join sizes. Participation = each triangle credited
     to all 3 corners (union-all + groupBy, partial aggregation map-side).
     """
-    from kinbaku_spark.operators.triangles import triangle_block_gemm
-
-    # per-node counts from the same block GEMM as g_transitivity
-    # ((A³)_uu/2 per node — operators/triangles.py), instead of
+    # per-node counts from the session-shared block GEMM ((A³)_uu/2 per
+    # node — operators/triangles.py, cached by tri_per_node), instead of
     # materializing every wedge row through a 3-way join
     return (
-        triangle_block_gemm(co_proj(spark, sf_dir), per_node=True)
+        tri_per_node(spark, sf_dir)
         .orderBy(F.desc("n_triangles"), "key")
         .limit(20)
     )

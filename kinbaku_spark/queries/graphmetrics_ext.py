@@ -92,9 +92,16 @@ def g_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_triangles")
         )
     else:
-        from kinbaku_spark.operators.triangles import triangle_block_gemm
+        from kinbaku_spark.queries.graph_queries import tri_per_node
 
-        tri = triangle_block_gemm(proj)
+        # global count from the session-shared per-node GEMM state
+        # (graph_queries.tri_per_node): Σ_u tri(u) = 3T exactly, so the
+        # projection is multiplied once per sf_dir across all metrics
+        tri = tri_per_node(spark, sf_dir).agg(
+            F.coalesce(F.expr("sum(n_triangles) div 3"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles")
+        )
     edges = proj.agg(F.count(F.lit(1)).alias("n_proj_edges"))
     return (
         edges.crossJoin(tri)

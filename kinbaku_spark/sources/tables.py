@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 TABLE_NAMES = [
     "region",
@@ -211,4 +211,43 @@ def user_event_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).alias("type"),
         )
         .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("weight"))
+    )
+
+PART_SUCCESSION_EDGES_SQL = """
+SELECT DISTINCT 'P' || CAST(l_partkey AS VARCHAR) AS src,
+       'P' || CAST(nxt AS VARCHAR) AS dst
+FROM (
+  SELECT l_partkey,
+         LEAD(l_partkey) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+         ) AS nxt
+  FROM lineitem
+)
+WHERE nxt IS NOT NULL AND nxt <> l_partkey
+"""
+
+
+def part_succession_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed part→part succession graph: an edge P_a→P_b for every pair
+    of CONSECUTIVE lineitems within one order (by (l_linenumber,
+    l_partkey) — the synthetic lineitem has duplicate line numbers, so the
+    part key is the deterministic tie-break), self-loops dropped, distinct. Unlike the bipartite supplier→part derivation this
+    graph is cycle-rich at every scale factor (A precedes B in one order, B
+    precedes A in another), which is what the strongly-connected-component
+    family needs. Linear in lineitem (one window per order partition) —
+    never the quadratic all-pairs-within-order product.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    return (
+        li.select(
+            F.col("l_partkey").alias("cur"),
+            F.lead("l_partkey").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("cur")))
+        .select(
+            F.concat(F.lit("P"), F.col("cur").cast("string")).alias("src"),
+            F.concat(F.lit("P"), F.col("nxt").cast("string")).alias("dst"),
+        )
+        .distinct()
     )

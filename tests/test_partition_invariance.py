@@ -38,6 +38,9 @@ PICKS = [
     "x_dedup_edit_distance",
     "x_image_decode_real",
     "x_audio_decode_real",
+    "g_katz_bounded",
+    "g_scc_bounded",
+    "g_densest_subgraph",
 ]
 
 
