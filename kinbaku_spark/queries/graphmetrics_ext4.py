@@ -20,10 +20,12 @@ Shuffle shapes (the 100 TB story):
 - densest subgraph: per peel round, one degree aggregation + two
   semi-joins against the surviving-node set (node-sized, size-gated). The
   edge set only ever SHRINKS, so round r+1 is cheaper than round r.
-- SCC: per propagation round, one edge⋈vector join + min-aggregation per
-  direction. MIN over strings is order-free, so every round replays
-  exactly at any partitioning. Retired components leave via node-keyed
-  semi-joins; the active edge set shrinks monotonically.
+- SCC: per propagation round, the (key, f, b) state vector joins the edge
+  list once per direction and both contribution streams union into ONE
+  min-aggregation + one merge join. MIN over strings is order-free, so
+  every round replays exactly at any partitioning. Retired components
+  leave via node-keyed semi-joins; the active edge set shrinks
+  monotonically.
 - local clustering: per-node triangle counts come from the SAME block-GEMM
   state g_triangles/g_transitivity share (operators/triangles.py, cached
   per sf_dir) — the projection is multiplied once per session, not once
@@ -43,8 +45,8 @@ and the lineage bounded. For SCC that means certified components are SOUND
 (every emitted group is inside one true SCC — certification requires the
 min label to be reached in BOTH directions) but an SCC whose radius from
 its min-key node exceeds the round budget may surface as several certified
-groups or stay pending; tests/test_algorithms differential-checks exactly
-that containment against NetworkX.
+groups or stay pending; tests/test_graphmetrics4.py differential-checks
+exactly that containment against NetworkX.
 """
 
 from __future__ import annotations
@@ -87,8 +89,9 @@ def g_katz_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_{t+1} = A·s_t + 8^{t+1} with s_0 = 1, so every partial sum is an
     exact BIGINT (order-free — no float accumulation) and the final
     katz = s_T / 8^T division is exact in doubles. BIGINT headroom:
-    s_T ≤ (max_degree)^T · 8^T, ~10^13 at sf1 — overflow would need a
-    graph 10^5× denser; raise KATZ_SCALE's T or emit s_T raw before that.
+    s_T ≲ (max_degree)^T · 8^T, ~10^13 at sf1 — overflow would need a
+    graph ~10^5× denser; lower KATZ_ROUNDS (or widen to the decimal path)
+    long before that.
     """
     und, nodes, hint = _und_and_nodes(spark, sf_dir)
     s = nodes.select("key", F.lit(1).cast("long").alias("s"))
@@ -157,7 +160,9 @@ def g_eigenvector_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     length-T walks ending at v (w_{t+1} = A·w_t, w_0 = 1) — the power
     iteration with the normalization deferred to one final integer-ppm
     division, so every intermediate is an exact BIGINT. Top-20 with both
-    the raw count and score_ppm = w_T·10^6 div Σw_T.
+    the raw count and score_ppm = w_T·10^6 div Σw_T. BIGINT headroom:
+    the ppm numerator needs w_T < 9.2·10^12 (w_T ≲ avg_deg^T ~ 10^8 at
+    sf1); lower WALK_ROUNDS before any graph gets near that.
     """
     und, nodes, hint = _und_and_nodes(spark, sf_dir)
     w = nodes.select("key", F.lit(1).cast("long").alias("w"))
@@ -421,8 +426,8 @@ def g_scc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (key, comp, peel) for every node of the succession graph.
     Every certified comp group lies inside one true SCC;
-    tests/test_algorithms.py differential-checks that containment against
-    NetworkX strongly_connected_components.
+    tests/test_graphmetrics4.py differential-checks that containment
+    against NetworkX strongly_connected_components.
     """
     from kinbaku_spark.queries.graph_queries import _n_nodes
     from kinbaku_spark.sources.tables import part_succession_edges
@@ -440,42 +445,45 @@ def g_scc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     e_act = edges
     certified = []
     for peel in range(1, SCC_PEELS + 1):
-        f = active.select("key", F.col("key").alias("f"))
-        b = active.select("key", F.col("key").alias("b"))
+        # one (key, f, b) state vector — both directions propagate in one
+        # round-trip: two edge joins feed a single unioned contribution
+        # stream, ONE min-aggregation, ONE merge join, ONE checkpoint per
+        # round (the identical f/b recurrences the oracle replays — this
+        # fuses the plan, not the math)
+        lab = active.select(
+            "key", F.col("key").alias("f"), F.col("key").alias("b")
+        )
         for _ in range(SCC_PROP_ROUNDS):
-            fo = (
-                e_act.join(
-                    hint(f.select(F.col("key").alias("w"), F.col("f").alias("fw"))),
-                    e_act.dst == F.col("w"),
-                )
-                .groupBy("src")
-                .agg(F.min("fw").alias("nf"))
+            fwd = e_act.join(
+                hint(lab.select(F.col("key").alias("w"), F.col("f").alias("fw"))),
+                e_act.dst == F.col("w"),
+            ).select(
+                F.col("src").alias("node"),
+                "fw",
+                F.lit(None).cast("string").alias("bw"),
             )
-            f = (
-                f.join(hint(fo.withColumnRenamed("src", "key")), "key", "left")
+            bwd = e_act.join(
+                hint(lab.select(F.col("key").alias("u"), F.col("b").alias("bu"))),
+                e_act.src == F.col("u"),
+            ).select(
+                F.col("dst").alias("node"),
+                F.lit(None).cast("string").alias("fw"),
+                F.col("bu").alias("bw"),
+            )
+            contrib = (
+                fwd.unionByName(bwd)
+                .groupBy("node")
+                .agg(F.min("fw").alias("nf"), F.min("bw").alias("nb"))
+            )
+            lab = (
+                lab.join(hint(contrib.withColumnRenamed("node", "key")), "key", "left")
                 .select(
                     "key",
                     F.least(F.col("f"), F.coalesce("nf", F.col("f"))).alias("f"),
-                )
-                .localCheckpoint(eager=False)
-            )
-            bo = (
-                e_act.join(
-                    hint(b.select(F.col("key").alias("u"), F.col("b").alias("bu"))),
-                    e_act.src == F.col("u"),
-                )
-                .groupBy("dst")
-                .agg(F.min("bu").alias("nb"))
-            )
-            b = (
-                b.join(hint(bo.withColumnRenamed("dst", "key")), "key", "left")
-                .select(
-                    "key",
                     F.least(F.col("b"), F.coalesce("nb", F.col("b"))).alias("b"),
                 )
                 .localCheckpoint(eager=False)
             )
-        lab = f.join(b, "key").localCheckpoint(eager=False)
         certified.append(
             lab.filter(F.col("f") == F.col("b")).select(
                 "key",

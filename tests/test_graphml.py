@@ -1,0 +1,142 @@
+"""GraphML / NetworkX / edge-list interchange: roundtrips through our own
+reader/writer AND differentials against NetworkX's GraphML implementation
+(our writer's output must parse identically in nx.read_graphml; nx-written
+files must load identically through read_graphml)."""
+
+from __future__ import annotations
+
+import random
+
+import networkx as nx
+import pytest
+
+from kinbaku_spark.graph import Graph
+from kinbaku_spark.sources.graphml import (
+    from_networkx,
+    read_edgelist,
+    read_graphml,
+    to_networkx,
+    write_edgelist,
+    write_graphml,
+)
+
+EDGES = [
+    ("a", "b", 0, 1.5),
+    ("b", "c", 1, 2.25),
+    ("c", "a", 0, -0.5),
+    ("a", "d", 2, 0.0),
+]
+
+
+@pytest.fixture()
+def small_graph(spark):
+    return Graph.from_edges(
+        spark.createDataFrame(EDGES, "src string, dst string, type int, weight double")
+    )
+
+
+def _edge_set(g: Graph):
+    return {
+        (r.src, r.dst, r.type, r.weight)
+        for r in g.edges_df.select("src", "dst", "type", "weight").collect()
+    }
+
+
+def test_graphml_roundtrip_own_reader(spark, small_graph, tmp_path):
+    p = str(tmp_path / "g.graphml")
+    write_graphml(small_graph, p)
+    back = read_graphml(spark, p)
+    assert _edge_set(back) == _edge_set(small_graph)
+    assert {r.key for r in back.nodes_df.collect()} == {"a", "b", "c", "d"}
+
+
+def test_graphml_written_file_parses_in_networkx(spark, small_graph, tmp_path):
+    p = str(tmp_path / "g.graphml")
+    write_graphml(small_graph, p)
+    nxg = nx.read_graphml(p)
+    assert isinstance(nxg, nx.DiGraph)
+    assert set(nxg.nodes) == {"a", "b", "c", "d"}
+    for src, dst, typ, w in EDGES:
+        d = nxg.edges[src, dst]
+        assert d["type"] == typ
+        assert d["weight"] == w
+
+
+def test_networkx_written_file_loads_identically(spark, tmp_path):
+    rng = random.Random(7)
+    nxg = nx.DiGraph()
+    for _ in range(40):
+        u, v = f"n{rng.randrange(15)}", f"n{rng.randrange(15)}"
+        nxg.add_edge(u, v, weight=round(rng.random(), 6), type=rng.randrange(3))
+    nxg.add_node("lonely", score=3.5)
+    p = str(tmp_path / "nx.graphml")
+    nx.write_graphml(nxg, p)
+    g = read_graphml(spark, p)
+    assert {r.key for r in g.nodes_df.collect()} == set(nxg.nodes)
+    got = {
+        (r.src, r.dst): (r.type, r.weight)
+        for r in g.edges_df.select("src", "dst", "type", "weight").collect()
+    }
+    assert got == {
+        (u, v): (d["type"], d["weight"]) for u, v, d in nxg.edges(data=True)
+    }
+    lonely = g.nodes_df.filter("key = 'lonely'").collect()[0]
+    assert lonely.score == 3.5
+
+
+def test_networkx_object_bridge_roundtrip(spark, small_graph):
+    nxg = to_networkx(small_graph)
+    assert set(nxg.nodes) == {"a", "b", "c", "d"}
+    back = from_networkx(spark, nxg)
+    assert _edge_set(back) == _edge_set(small_graph)
+    # attrs survive the object hop
+    assert nxg.edges["b", "c"]["weight"] == 2.25
+
+
+def test_graphml_escapes_xml_metacharacters(spark, tmp_path):
+    g = Graph.from_edges(
+        spark.createDataFrame(
+            [('<k&"1">', "v'2", 0, 1.0)],
+            "src string, dst string, type int, weight double",
+        )
+    )
+    p = str(tmp_path / "esc.graphml")
+    write_graphml(g, p)
+    nxg = nx.read_graphml(p)
+    assert set(nxg.nodes) == {'<k&"1">', "v'2"}
+    back = read_graphml(spark, p)
+    assert {r.key for r in back.nodes_df.collect()} == {'<k&"1">', "v'2"}
+
+
+def test_graphml_rejects_unrepresentable_columns(spark):
+    from pyspark.sql import functions as F
+
+    g = Graph.from_edges(
+        spark.createDataFrame([("a", "b", 0)], "src string, dst string, type int")
+    )
+    bad = Graph(
+        g.spark,
+        nodes=g.nodes_df.withColumn("vec", F.array(F.lit(1))),
+        edges=g.edges_df,
+    )
+    with pytest.raises(ValueError, match="GraphML cannot carry"):
+        write_graphml(bad, "/dev/null")
+
+
+def test_edgelist_roundtrip_distributed(spark, small_graph, tmp_path):
+    p = str(tmp_path / "edges_dir")
+    write_edgelist(small_graph, p)
+    back = read_edgelist(spark, p)
+    got = {
+        (r.src, r.dst, r.weight)
+        for r in back.edges_df.select("src", "dst", "weight").collect()
+    }
+    assert got == {(s, d, w) for s, d, _t, w in EDGES}
+    # and NetworkX can read the concatenated part files
+    import glob
+
+    lines = []
+    for part in glob.glob(f"{p}/part-*"):
+        lines += open(part).read().splitlines()
+    nxg = nx.parse_edgelist(lines, create_using=nx.DiGraph, data=(("weight", float),))
+    assert set(nxg.edges) == {(s, d) for s, d, _t, _w in EDGES}
