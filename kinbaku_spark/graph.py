@@ -1195,6 +1195,39 @@ class Graph:
                 break
         return labels.select(F.col("u").alias("key"), F.col("label").alias("component"))
 
+    def scc_bounded(self, prop_rounds: int = 3, peels: int = 2) -> DataFrame:
+        """Strongly connected components via bounded FW-BW min-label
+        peeling (operators/components.py): (key, comp, peel) — certified
+        groups are provably inside one true SCC; to-convergence budgets
+        (prop_rounds, peels ≥ |V|) yield the exact partition. The
+        reference has no component queries at all (SURVEY.md §2.4)."""
+        from kinbaku_spark.operators.components import scc_bounded
+
+        return scc_bounded(self.edges_df, prop_rounds=prop_rounds, peels=peels)
+
+    def katz_centrality(self, rounds: int = 3, scale: int = 8) -> DataFrame:
+        """Katz centrality (α = 1/scale, β = 1) over the symmetrized edge
+        set, integer-exact bounded power iteration
+        (operators/components.py): (key, katz_scaled, katz)."""
+        from kinbaku_spark.operators.components import katz_scores
+
+        return katz_scores(self.edges_df, rounds=rounds, scale=scale)
+
+    def eigenvector_walks(self, rounds: int = 3) -> DataFrame:
+        """Exact length-``rounds`` walk counts (un-normalized eigenvector
+        power iteration) over the symmetrized edge set: (key, walks)."""
+        from kinbaku_spark.operators.components import walk_counts
+
+        return walk_counts(self.edges_df, rounds=rounds)
+
+    def densest_subgraph(self, peel_rounds: int = 5) -> DataFrame:
+        """Charikar ε-peel density trace over the edge set: (round,
+        n_nodes, n_edges, density_ppm) — the max row 2(1+ε)-approximates
+        the densest subgraph."""
+        from kinbaku_spark.operators.components import densest_subgraph_trace
+
+        return densest_subgraph_trace(self.edges_df, peel_rounds=peel_rounds)
+
     # -- dunder sugar (reference graph.py:1271-1306, 1565-1577) ---------------
 
     def __getitem__(self, item):

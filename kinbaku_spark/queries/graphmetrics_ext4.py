@@ -71,13 +71,6 @@ _UND_SQL = (
 )
 
 
-def _und_and_nodes(spark: SparkSession, sf_dir: str):
-    from kinbaku_spark.queries.graph_queries import _cached, _n_nodes, und_edges
-
-    nodes = _cached(spark, sf_dir)[0].select("key")
-    return und_edges(spark, sf_dir), nodes, size_hint(_n_nodes(spark, sf_dir))
-
-
 # -- g_katz_bounded: Katz centrality, integer-exact power iteration ----------
 
 
@@ -93,32 +86,17 @@ def g_katz_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph ~10^5× denser; lower KATZ_ROUNDS (or widen to the decimal path)
     long before that.
     """
-    und, nodes, hint = _und_and_nodes(spark, sf_dir)
-    s = nodes.select("key", F.lit(1).cast("long").alias("s"))
-    for t in range(1, KATZ_ROUNDS + 1):
-        neigh = (
-            und.join(
-                hint(s.select(F.col("key").alias("u2"), "s")), und.u == F.col("u2")
-            )
-            .groupBy("v")
-            .agg(F.sum("s").alias("ns"))
-        )
-        s = (
-            nodes.join(hint(neigh.withColumnRenamed("v", "key")), "key", "left")
-            .select(
-                "key",
-                (F.lit(KATZ_SCALE**t) + F.coalesce(F.col("ns"), F.lit(0)))
-                .cast("long")
-                .alias("s"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    denom = float(KATZ_SCALE**KATZ_ROUNDS)
+    from kinbaku_spark.operators.components import katz_scores
+    from kinbaku_spark.queries.graph_queries import _cached, _n_nodes
+
+    nodes, edges, _ = _cached(spark, sf_dir)
     return (
-        s.select(
-            "key",
-            F.col("s").alias("katz_scaled"),
-            (F.col("s") / F.lit(denom)).alias("katz"),
+        katz_scores(
+            edges,
+            rounds=KATZ_ROUNDS,
+            scale=KATZ_SCALE,
+            nodes=nodes,
+            bound_rows=_n_nodes(spark, sf_dir),
         )
         .orderBy(F.desc("katz_scaled"), "key")
         .limit(20)
@@ -164,23 +142,16 @@ def g_eigenvector_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ppm numerator needs w_T < 9.2·10^12 (w_T ≲ avg_deg^T ~ 10^8 at
     sf1); lower WALK_ROUNDS before any graph gets near that.
     """
-    und, nodes, hint = _und_and_nodes(spark, sf_dir)
-    w = nodes.select("key", F.lit(1).cast("long").alias("w"))
-    for _ in range(WALK_ROUNDS):
-        neigh = (
-            und.join(
-                hint(w.select(F.col("key").alias("u2"), "w")), und.u == F.col("u2")
-            )
-            .groupBy("v")
-            .agg(F.sum("w").alias("nw"))
-        )
-        w = (
-            nodes.join(hint(neigh.withColumnRenamed("v", "key")), "key", "left")
-            .select(
-                "key", F.coalesce(F.col("nw"), F.lit(0)).cast("long").alias("w")
-            )
-            .localCheckpoint(eager=False)
-        )
+    from kinbaku_spark.operators.components import walk_counts
+    from kinbaku_spark.queries.graph_queries import _cached, _n_nodes
+
+    nodes, edges, _ = _cached(spark, sf_dir)
+    w = walk_counts(
+        edges,
+        rounds=WALK_ROUNDS,
+        nodes=nodes,
+        bound_rows=_n_nodes(spark, sf_dir),
+    ).select("key", F.col("walks").alias("w"))
     tot = w.agg(F.sum("w").alias("tot"))
     return (
         w.join(F.broadcast(tot))  # 1-row aggregate: always broadcastable
@@ -235,53 +206,15 @@ def g_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     densest subgraph (Charikar 2000); emitting the whole trace keeps the
     output a fixed, hashable PEEL_ROUNDS rows.
     """
+    from kinbaku_spark.operators.components import densest_subgraph_trace
     from kinbaku_spark.queries.graph_queries import _cached, _n_nodes
 
     _, edges, _ = _cached(spark, sf_dir)
     # keep-sets are node-sized and only shrink: |V| of the stored graph is
     # a sound bound for every peel round's semi-join sides
-    hint = size_hint(_n_nodes(spark, sf_dir))
-    e = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    rows = []
-    for r in range(PEEL_ROUNDS):
-        deg = (
-            e.select(F.col("a").alias("v"))
-            .unionAll(e.select("b"))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .localCheckpoint(eager=False)
-        )
-        stats = deg.agg(
-            F.count(F.lit(1)).cast("long").alias("n_nodes"),
-            F.coalesce(F.expr("sum(d) div 2"), F.lit(0)).cast("long").alias("n_edges"),
-        )
-        rows.append(
-            stats.select(
-                F.lit(r).cast("int").alias("round"),
-                "n_nodes",
-                "n_edges",
-                F.expr(
-                    "CASE WHEN n_nodes = 0 THEN NULL"
-                    " ELSE n_edges * 1000000 div n_nodes END"
-                ).alias("density_ppm"),
-            )
-        )
-        # ε-peel: the keep-set is node-sized — size-gate its two semi-joins
-        keep = (
-            deg.join(F.broadcast(stats))
-            .filter(F.col("d") * F.col("n_nodes") * 10 > 22 * F.col("n_edges"))
-            .select("v")
-        )
-        e = (
-            e.join(hint(keep.withColumnRenamed("v", "a")), "a", "semi")
-            .join(hint(keep.withColumnRenamed("v", "b")), "b", "semi")
-            .select("a", "b")
-            .localCheckpoint(eager=False)
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("round")
+    return densest_subgraph_trace(
+        edges, peel_rounds=PEEL_ROUNDS, bound_rows=_n_nodes(spark, sf_dir)
+    ).orderBy("round")
 
 
 def _densest_sql() -> str:
@@ -429,82 +362,18 @@ def g_scc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_graphmetrics4.py differential-checks that containment
     against NetworkX strongly_connected_components.
     """
+    from kinbaku_spark.operators.components import scc_bounded
     from kinbaku_spark.queries.graph_queries import _n_nodes
     from kinbaku_spark.sources.tables import part_succession_edges
 
-    edges = part_succession_edges(spark, sf_dir).localCheckpoint(eager=False)
-    active = (
-        edges.select(F.col("src").alias("key"))
-        .union(edges.select("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
     # label vectors are sized by the succession graph's node set — a subset
     # of the stored graph's part nodes, so its |V| is a sound gate bound
-    hint = size_hint(_n_nodes(spark, sf_dir))
-    e_act = edges
-    certified = []
-    for peel in range(1, SCC_PEELS + 1):
-        # one (key, f, b) state vector — both directions propagate in one
-        # round-trip: two edge joins feed a single unioned contribution
-        # stream, ONE min-aggregation, ONE merge join, ONE checkpoint per
-        # round (the identical f/b recurrences the oracle replays — this
-        # fuses the plan, not the math)
-        lab = active.select(
-            "key", F.col("key").alias("f"), F.col("key").alias("b")
-        )
-        for _ in range(SCC_PROP_ROUNDS):
-            fwd = e_act.join(
-                hint(lab.select(F.col("key").alias("w"), F.col("f").alias("fw"))),
-                e_act.dst == F.col("w"),
-            ).select(
-                F.col("src").alias("node"),
-                "fw",
-                F.lit(None).cast("string").alias("bw"),
-            )
-            bwd = e_act.join(
-                hint(lab.select(F.col("key").alias("u"), F.col("b").alias("bu"))),
-                e_act.src == F.col("u"),
-            ).select(
-                F.col("dst").alias("node"),
-                F.lit(None).cast("string").alias("fw"),
-                F.col("bu").alias("bw"),
-            )
-            contrib = (
-                fwd.unionByName(bwd)
-                .groupBy("node")
-                .agg(F.min("fw").alias("nf"), F.min("bw").alias("nb"))
-            )
-            lab = (
-                lab.join(hint(contrib.withColumnRenamed("node", "key")), "key", "left")
-                .select(
-                    "key",
-                    F.least(F.col("f"), F.coalesce("nf", F.col("f"))).alias("f"),
-                    F.least(F.col("b"), F.coalesce("nb", F.col("b"))).alias("b"),
-                )
-                .localCheckpoint(eager=False)
-            )
-        certified.append(
-            lab.filter(F.col("f") == F.col("b")).select(
-                "key",
-                F.col("f").alias("comp"),
-                F.lit(peel).cast("int").alias("peel"),
-            )
-        )
-        active = lab.filter(F.col("f") != F.col("b")).select("key")
-        e_act = (
-            e_act.join(hint(active.withColumnRenamed("key", "src")), "src", "semi")
-            .join(hint(active.withColumnRenamed("key", "dst")), "dst", "semi")
-            .select("src", "dst")
-            .localCheckpoint(eager=False)
-        )
-    pending = active.select(
-        "key", F.col("key").alias("comp"), F.lit(None).cast("int").alias("peel")
-    )
-    out = certified[0]
-    for c in certified[1:]:
-        out = out.unionByName(c)
-    return out.unionByName(pending).orderBy("key")
+    return scc_bounded(
+        part_succession_edges(spark, sf_dir),
+        prop_rounds=SCC_PROP_ROUNDS,
+        peels=SCC_PEELS,
+        bound_rows=_n_nodes(spark, sf_dir),
+    ).orderBy("key")
 
 
 def _scc_sql() -> str:
