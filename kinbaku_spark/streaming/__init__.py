@@ -3,6 +3,10 @@ from kinbaku_spark.streaming.ann_ingest import (
     ann_ingest_to_parquet,
     seed_centroids,
 )
+from kinbaku_spark.streaming.graph_cc import (
+    cc_ingest_batch,
+    cc_ingest_to_parquet,
+)
 from kinbaku_spark.streaming.media_ingest import (
     decode_audio_stream,
     decode_image_stream,
@@ -28,6 +32,8 @@ __all__ = [
     "ann_ingest_batch",
     "ann_ingest_to_parquet",
     "seed_centroids",
+    "cc_ingest_batch",
+    "cc_ingest_to_parquet",
     "decode_audio_stream",
     "decode_image_stream",
     "correlate_event_pairs",
