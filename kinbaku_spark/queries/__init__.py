@@ -142,6 +142,7 @@ _PRIORITY = [
     "g_densest_subgraph",
     "g_local_clustering",
     "g_scc_bounded",
+    "g_cc_incremental",
     "g_triangles",
     "g_transitivity",
     "x_substring_dedup",

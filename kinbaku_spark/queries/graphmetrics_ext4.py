@@ -435,6 +435,64 @@ b{p}_{r} AS MATERIALIZED (
     )
 
 
+# -- g_cc_incremental: streaming CC state equals the closed-form labels -------
+
+
+def g_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the incremental-CC ingest loop (streaming/graph_cc.py) through
+    the correctness gate: the customer→order edges split into 3
+    hash-batches, each merged into a fresh parquet label state by
+    cc_ingest_batch; the final state is returned. The customer→order graph
+    is a forest of STARS (one customer, its orders; 'C…' < 'O…'
+    lexicographically), so the converged min-label CC has a CLOSED FORM the
+    oracle states directly — customers label themselves, orders take their
+    customer — and the incremental path must reach it for ANY batch split
+    (the split-invariance tests/test_streaming_cc.py locks generally).
+    """
+    import shutil
+    import tempfile
+
+    from kinbaku_spark.functions.hashing import md5_long
+    from kinbaku_spark.sources.tables import customer_order_edges
+    from kinbaku_spark.streaming.graph_cc import cc_ingest_batch
+
+    edges = customer_order_edges(spark, sf_dir).select("src", "dst")
+    d = tempfile.mkdtemp(prefix="kb_cc_q_")
+    try:
+        for i in range(3):
+            cc_ingest_batch(
+                edges.filter(F.pmod(md5_long(F.col("dst")), F.lit(3)) == i),
+                f"{d}/labels",
+            )
+        import os
+
+        if not os.path.isdir(f"{d}/labels"):  # empty corpus: empty state
+            return spark.createDataFrame([], "key string, label string")
+        # pin the result before the temp state is removed
+        return (
+            spark.read.parquet(f"{d}/labels")
+            .orderBy("key")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+G_CC_INCREMENTAL_SQL = """
+WITH co AS (
+  SELECT 'C' || CAST(o_custkey AS VARCHAR) AS c,
+         'O' || CAST(o_orderkey AS VARCHAR) AS o
+  FROM orders
+)
+SELECT key, label FROM (
+  SELECT DISTINCT c AS key, c AS label FROM co
+  UNION ALL
+  SELECT o, c FROM co
+)
+ORDER BY key
+"""
+
+
 def _register() -> None:
     QUERIES.update(
         {
@@ -443,10 +501,12 @@ def _register() -> None:
             "g_densest_subgraph": g_densest_subgraph,
             "g_local_clustering": g_local_clustering,
             "g_scc_bounded": g_scc_bounded,
+            "g_cc_incremental": g_cc_incremental,
         }
     )
     ORACLES.update(
         {
+            "g_cc_incremental": G_CC_INCREMENTAL_SQL,
             "g_katz_bounded": _katz_sql(),
             "g_eigenvector_bounded": _eigenvector_sql(),
             "g_densest_subgraph": _densest_sql(),
