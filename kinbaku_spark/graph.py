@@ -1159,40 +1159,24 @@ class Graph:
 
     # -- graph algorithms (extension surface; the reference has none) ---------
 
-    def connected_components(self, max_iter: int = 30) -> DataFrame:
+    def connected_components(self, max_iter: int = 64) -> DataFrame:
         """Weakly-connected components: (key, component) with component =
-        min key in the component (lexicographic). Min-label propagation to
-        fixpoint — each round is one join + one aggregation; see
-        operators/dedup.duplicate_clusters for the same pattern over dup
-        pairs and the large/small-star upgrade path at adversarial scale."""
+        min key in the component (lexicographic). Min-label propagation with
+        pointer-doubling shortcutting, run to FIXPOINT in O(log diameter)
+        rounds (operators/cc_kernel.py — the shared kernel with
+        duplicate_clusters and the streaming CC). ``max_iter`` is a runaway
+        guard: exhausting it raises CCConvergenceError rather than silently
+        returning unconverged labels."""
+        from kinbaku_spark.operators.cc_kernel import min_label_fixpoint
+
         und = (
             self.edges_df.select(F.col("src").alias("u"), F.col("dst").alias("v"))
             .union(self.edges_df.select(F.col("dst"), F.col("src")))
             .distinct()
+            .localCheckpoint(eager=True)
         )
         labels = self.nodes_df.select(F.col("key").alias("u"), F.col("key").alias("label"))
-        for _ in range(max_iter):
-            neighbor_min = (
-                und.join(labels.withColumnRenamed("u", "v2"), und.v == F.col("v2"))
-                .groupBy("u")
-                .agg(F.min("label").alias("nmin"))
-            )
-            new_labels = labels.join(neighbor_min, "u", "left").select(
-                "u",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "u")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels.localCheckpoint(eager=True)
-            if changed == 0:
-                break
+        labels = min_label_fixpoint(labels, und, max_rounds=max_iter)
         return labels.select(F.col("u").alias("key"), F.col("label").alias("component"))
 
     def scc_bounded(self, prop_rounds: int = 3, peels: int = 2) -> DataFrame:

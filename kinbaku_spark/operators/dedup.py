@@ -390,19 +390,21 @@ def simhash_near_duplicates(
 
 
 def duplicate_clusters(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 20
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 64
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every doc labeled with
     the min id reachable through dup edges (its cluster representative).
 
-    Iterative min-label propagation to fixpoint — deterministic regardless
-    of iteration order, so the SQL oracle's recursive closure produces the
-    identical labeling. Scale: each iteration is one join + one aggregation
-    over the (small) pair set; dup components have tiny diameters in
-    practice, so convergence is a handful of rounds (the alternating
-    large/small-star CC algorithm is the drop-in upgrade for adversarial
-    graphs).
+    Min-label propagation WITH pointer-doubling shortcutting, run to
+    FIXPOINT (operators/cc_kernel.py): O(log diameter) rounds, deterministic
+    regardless of iteration order, so the SQL oracle's recursive closure
+    produces the identical labeling. ``max_iter`` is a runaway guard only —
+    exhausting it raises ``CCConvergenceError`` instead of silently
+    returning unconverged labels (the round-4 hazard: a plain bounded sweep
+    truncated any component whose label distance exceeded the cap).
     """
+    from kinbaku_spark.operators.cc_kernel import min_label_fixpoint
+
     # eager checkpoint: every propagation iteration consumes `und` (and the
     # change probe consumes it transitively) — without pinning it, the FULL
     # upstream pair pipeline (typically MinHash candidates + verify) would
@@ -419,25 +421,7 @@ def duplicate_clusters(
         .localCheckpoint(eager=True)
     )
     labels = docs.select(F.col(id_col).alias("u"), F.col(id_col).alias("label"))
-    for _ in range(max_iter):
-        neighbor_min = (
-            und.join(labels.withColumnRenamed("u", "v2"), und.v == F.col("v2"))
-            .groupBy("u")
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = labels.join(neighbor_min, "u", "left").select(
-            "u", F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label")
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.localCheckpoint(eager=True)
-        if changed == 0:
-            break
+    labels = min_label_fixpoint(labels, und, max_rounds=max_iter)
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -454,7 +454,7 @@ def g_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kinbaku_spark.functions.hashing import md5_long
     from kinbaku_spark.sources.tables import customer_order_edges
-    from kinbaku_spark.streaming.graph_cc import cc_ingest_batch
+    from kinbaku_spark.streaming.graph_cc import cc_ingest_batch, cc_read_state
 
     edges = customer_order_edges(spark, sf_dir).select("src", "dst")
     d = tempfile.mkdtemp(prefix="kb_cc_q_")
@@ -464,16 +464,11 @@ def g_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 edges.filter(F.pmod(md5_long(F.col("dst")), F.lit(3)) == i),
                 f"{d}/labels",
             )
-        import os
-
-        if not os.path.isdir(f"{d}/labels"):  # empty corpus: empty state
+        state = cc_read_state(spark, f"{d}/labels")
+        if state is None:  # empty corpus: empty state
             return spark.createDataFrame([], "key string, label string")
         # pin the result before the temp state is removed
-        return (
-            spark.read.parquet(f"{d}/labels")
-            .orderBy("key")
-            .localCheckpoint(eager=True)
-        )
+        return state.orderBy("key").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

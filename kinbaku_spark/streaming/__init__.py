@@ -6,6 +6,7 @@ from kinbaku_spark.streaming.ann_ingest import (
 from kinbaku_spark.streaming.graph_cc import (
     cc_ingest_batch,
     cc_ingest_to_parquet,
+    cc_read_state,
 )
 from kinbaku_spark.streaming.media_ingest import (
     decode_audio_stream,
@@ -34,6 +35,7 @@ __all__ = [
     "seed_centroids",
     "cc_ingest_batch",
     "cc_ingest_to_parquet",
+    "cc_read_state",
     "decode_audio_stream",
     "decode_image_stream",
     "correlate_event_pairs",

@@ -13,57 +13,113 @@ Algorithm (textbook incremental CC by label contraction):
    label themselves.
 3. Every batch edge becomes a CONTRACTION edge between two labels. The
    contraction graph is at most batch-sized — min-label propagation runs
-   to fixpoint on it (operators/dedup.duplicate_clusters, the shared CC
-   kernel), producing an (old_label → new_label) map.
-4. The full label table remaps through that map with a broadcast join
-   (map-side, no shuffle of the state table) and overwrites the state.
+   to fixpoint on it (operators/cc_kernel.min_label_fixpoint via
+   operators/dedup.duplicate_clusters, the shared convergent kernel:
+   pointer-doubling shortcutting, O(log diameter) rounds, raises rather
+   than return unconverged labels), producing an (old_label → new_label)
+   map.
+4. The full label table remaps through that map with a size-gated
+   broadcast join (map-side, no shuffle of the state table) and commits a
+   NEW state version.
 
 Invariant after every batch: labels equal the batch-mode
 ``Graph.connected_components`` of the union of all edges ingested so far —
-locked by tests/test_streaming_cc.py across arbitrary batch splits.
+locked by tests/test_streaming_cc.py across arbitrary batch splits,
+including a single batch carrying a multi-hundred-hop contraction chain
+(the adversarial shape the round-4 bounded kernel silently truncated).
+
+Crash safety (ADVICE r04): the state is VERSIONED — each batch writes
+``state_v{n}/`` under the state root, then atomically swings the
+``_CURRENT`` pointer file (write-temp + ``os.replace``, atomic on POSIX).
+A crash mid-write leaves ``_CURRENT`` on the previous complete version, so
+a replayed batch re-merges against intact prior state (re-merge is
+idempotent); the superseded version is GC'd only after the pointer swing.
+At 100 TB the state is a Delta table and this becomes MERGE INTO + the
+transaction log — the pointer file is the single-file-system stand-in for
+that log, same pattern as the MinHash band index (streaming/windows.py).
 
 Scale: step 3 is the whole trick — merges happen on the label-contraction
 graph (≤ |batch| nodes), never on the accumulated graph. Step 4's remap is
-the one full-state pass; at 100 TB the state is a Delta table and the
-remap becomes MERGE INTO over only the changed labels (the map is tiny —
-broadcast both ways). The parquet overwrite here is the single-file-system
-stand-in, same as the MinHash band index (streaming/windows.py).
+the one full-state pass. Broadcast hints on the batch-sized tables are
+size-gated (plans/hints.size_hint) on the measured batch-edge count: an
+availableNow drain with no maxFilesPerTrigger makes one micro-batch as
+large as the whole input, exactly the shape an unconditional hint would
+OOM on (ADVICE r04).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kinbaku_spark.plans.hints import size_hint
+
+_POINTER = "_CURRENT"
 
 
-def _state_exists(labels_dir: str) -> bool:
-    return os.path.isdir(labels_dir) and any(
-        f.endswith(".parquet")
-        for _, _, files in os.walk(labels_dir)
-        for f in files
+def _current_state_path(labels_dir: str) -> str | None:
+    """Directory of the newest COMMITTED state version, or None."""
+    ptr = os.path.join(labels_dir, _POINTER)
+    if not os.path.isfile(ptr):
+        return None
+    with open(ptr) as f:
+        name = f.read().strip()
+    path = os.path.join(labels_dir, name)
+    return path if os.path.isdir(path) else None
+
+
+def cc_read_state(spark: SparkSession, labels_dir: str) -> DataFrame | None:
+    """Read the committed label state (key string, label string); None if
+    no batch has committed yet."""
+    path = _current_state_path(labels_dir)
+    return None if path is None else spark.read.parquet(path)
+
+
+def _commit_state(merged: DataFrame, labels_dir: str) -> None:
+    """Write ``merged`` as a new state version and atomically swing the
+    pointer; GC the superseded version only after the swing."""
+    os.makedirs(labels_dir, exist_ok=True)
+    prev = _current_state_path(labels_dir)
+    ver = (
+        0
+        if prev is None
+        else int(os.path.basename(prev).rsplit("_v", 1)[1]) + 1
     )
+    new_name = f"state_v{ver:06d}"
+    # writing to a NEW directory: the plan may read the previous version
+    # while writing — no read-own-overwrite hazard, no staging checkpoint
+    merged.write.mode("overwrite").parquet(os.path.join(labels_dir, new_name))
+    tmp = os.path.join(labels_dir, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(new_name)
+    os.replace(tmp, os.path.join(labels_dir, _POINTER))
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
 
 
 def cc_ingest_batch(batch_df: DataFrame, labels_dir: str) -> None:
     """One incremental-CC step: merge a batch of (src, dst) edges into the
-    label state at ``labels_dir`` (parquet, schema ``key string, label
-    string``). Isolated new nodes (self-loop-only or endpoint-only rows)
-    still enter the state with their own key as label."""
+    versioned label state at ``labels_dir`` (parquet, schema ``key string,
+    label string``). Isolated new nodes (self-loop-only or endpoint-only
+    rows) still enter the state with their own key as label."""
     from kinbaku_spark.operators.dedup import duplicate_clusters
 
     spark = batch_df.sparkSession
     if batch_df.isEmpty():
         return
     edges = batch_df.select("src", "dst").localCheckpoint(eager=True)
+    # batch size bound for every broadcast below: endpoints, the resolved
+    # label map, and the contraction relabel map are all <= 2x batch edges
+    hint = size_hint(2 * edges.count())
     endpoints = (
         edges.select(F.col("src").alias("key"))
         .union(edges.select("dst"))
         .distinct()
     )
-    if _state_exists(labels_dir):
-        labels = spark.read.parquet(labels_dir)
-    else:
+    labels = cc_read_state(spark, labels_dir)
+    if labels is None:
         labels = spark.createDataFrame([], "key string, label string")
     # resolve batch endpoints to current labels; unseen endpoints start as
     # their own component (label = key, matching connected_components')
@@ -71,7 +127,7 @@ def cc_ingest_batch(batch_df: DataFrame, labels_dir: str) -> None:
         "key", F.coalesce("label", F.col("key")).alias("label")
     ).localCheckpoint(eager=True)
     # contraction graph: one edge between the two endpoint LABELS
-    lmap = F.broadcast(resolved.withColumnRenamed("key", "k"))
+    lmap = hint(resolved.withColumnRenamed("key", "k"))
     contraction = (
         edges.join(lmap.select(F.col("k").alias("src"), F.col("label").alias("la")), "src")
         .join(lmap.select(F.col("k").alias("dst"), F.col("label").alias("lb")), "dst")
@@ -82,19 +138,17 @@ def cc_ingest_batch(batch_df: DataFrame, labels_dir: str) -> None:
     cnodes = contraction.select(F.col("lab_a").alias("lab")).union(
         contraction.select("lab_b")
     ).distinct()
-    # min-label fixpoint on the (batch-sized) contraction graph — the same
-    # CC kernel the dedup family uses
+    # min-label FIXPOINT on the (batch-sized) contraction graph — the
+    # shared convergent CC kernel (raises rather than truncate)
     relabel = duplicate_clusters(cnodes, contraction, id_col="lab").select(
         F.col("lab").alias("old_label"), F.col("cluster_id").alias("new_label")
     )
     merged = (
         labels.unionByName(resolved.join(labels.select("key"), "key", "left_anti"))
-        .join(F.broadcast(relabel), F.col("label") == F.col("old_label"), "left")
+        .join(hint(relabel), F.col("label") == F.col("old_label"), "left")
         .select("key", F.coalesce("new_label", "label").alias("label"))
     )
-    # overwrite the state table: stage through a local checkpoint so the
-    # write never reads the directory it is replacing
-    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(labels_dir)
+    _commit_state(merged, labels_dir)
 
 
 def cc_ingest_to_parquet(
