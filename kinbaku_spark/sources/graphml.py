@@ -151,7 +151,13 @@ def read_graphml(spark: SparkSession, path: str) -> Graph:
     Declared ``<key>`` elements type the attribute columns (schema pinned
     — never inferred); ``<default>`` values apply where an element carries
     no ``<data>``. Node ids become the string ``key`` column, matching
-    NetworkX's own read_graphml semantics.
+    NetworkX's own read_graphml semantics. An ``edgedefault="undirected"``
+    graph (what ``networkx.write_graphml`` emits for ``nx.Graph``) is
+    SYMMETRIZED on read — one stored edge per direction — so
+    neighbor/degree/component queries agree with NetworkX's reading of the
+    same file; per-edge ``directed`` overrides are honored both ways.
+    Attribute types are keyed by (``for``, ``attr.name``): a node key and
+    an edge key may share a name with different types (ADVICE r04).
     """
     ns = {"g": _GRAPHML_NS}
     root = ET.parse(path).getroot()
@@ -177,26 +183,40 @@ def read_graphml(spark: SparkSession, path: str) -> Graph:
         return vals
 
     graph = root.find("g:graph", ns)
+    undirected_default = graph.get("edgedefault", "directed") == "undirected"
     node_fields = sorted(
         {name for f_, name, _t, _d in keys.values() if f_ in ("node", "all")}
     )
     edge_fields = sorted(
         {name for f_, name, _t, _d in keys.values() if f_ in ("edge", "all")}
     )
-    types_by_name = {name: typ for _f, name, typ, _d in keys.values()}
+    # type map keyed by (for, name): a node key and an edge key sharing a
+    # name with different attr.types must not mistype each other's column
+    types_by_scope = {(f_, name): typ for f_, name, typ, _d in keys.values()}
+
+    def _type_of(kind: str, name: str) -> str:
+        return types_by_scope.get((kind, name)) or types_by_scope.get(
+            ("all", name), "string"
+        )
+
     node_rows, edge_rows = [], []
     for n in graph.findall("g:node", ns):
         a = attrs_of(n, "node")
         node_rows.append(tuple([n.get("id")] + [a.get(f) for f in node_fields]))
     for e in graph.findall("g:edge", ns):
         a = attrs_of(e, "edge")
-        edge_rows.append(
-            tuple([e.get("source"), e.get("target")] + [a.get(f) for f in edge_fields])
-        )
+        row = tuple([e.get("source"), e.get("target")] + [a.get(f) for f in edge_fields])
+        edge_rows.append(row)
+        # edgedefault=undirected (per-edge `directed` overrides honored):
+        # store both orientations so traversals match NetworkX's reading
+        per_edge = e.get("directed")
+        directed = per_edge == "true" if per_edge is not None else not undirected_default
+        if not directed and row[0] != row[1]:
+            edge_rows.append(tuple([row[1], row[0]] + list(row[2:])))
     node_schema = T.StructType(
         [T.StructField("key", T.StringType(), False)]
         + [
-            T.StructField(f, _FROM_GRAPHML_TYPE[types_by_name[f]], True)
+            T.StructField(f, _FROM_GRAPHML_TYPE[_type_of("node", f)], True)
             for f in node_fields
         ]
     )
@@ -206,7 +226,7 @@ def read_graphml(spark: SparkSession, path: str) -> Graph:
             T.StructField("dst", T.StringType(), False),
         ]
         + [
-            T.StructField(f, _FROM_GRAPHML_TYPE[types_by_name[f]], True)
+            T.StructField(f, _FROM_GRAPHML_TYPE[_type_of("edge", f)], True)
             for f in edge_fields
         ]
     )

@@ -140,3 +140,59 @@ def test_edgelist_roundtrip_distributed(spark, small_graph, tmp_path):
         lines += open(part).read().splitlines()
     nxg = nx.parse_edgelist(lines, create_using=nx.DiGraph, data=(("weight", float),))
     assert set(nxg.edges) == {(s, d) for s, d, _t, _w in EDGES}
+
+
+def test_undirected_graphml_symmetrizes(spark, tmp_path):
+    """ADVICE r04: an nx.Graph written by networkx (edgedefault=
+    "undirected") must load with BOTH orientations so neighbor/degree/
+    component queries agree with NetworkX's reading of the same file."""
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_edge("a", "b", weight=2.0)
+    g.add_edge("b", "c", weight=3.0)
+    p = str(tmp_path / "und.graphml")
+    nx.write_graphml(g, p)
+    back = read_graphml(spark, p)
+    assert sorted(back.neighbors("b")) == ["a", "c"]
+    assert sorted(back.predecessors("b")) == ["a", "c"]
+    assert back.out_degree("b") == 2 == g.degree("b")
+    # edge attrs survive on both orientations
+    assert back.edge("b", "a")["weight"] == 2.0
+    assert back.edge("a", "b")["weight"] == 2.0
+
+
+def test_directed_graphml_stays_directed(spark, tmp_path):
+    import networkx as nx
+
+    g = nx.DiGraph()
+    g.add_edge("a", "b")
+    p = str(tmp_path / "dir.graphml")
+    nx.write_graphml(g, p)
+    back = read_graphml(spark, p)
+    assert list(back.neighbors("a")) == ["b"]
+    assert list(back.neighbors("b")) == []
+
+
+def test_shared_attr_name_typed_per_scope(spark, tmp_path):
+    """ADVICE r04: a node key and an edge key sharing attr.name with
+    DIFFERENT attr.types must each keep their own type (the old map keyed
+    by name alone mistyped one of the two columns)."""
+    p = str(tmp_path / "scoped.graphml")
+    with open(p, "w") as f:
+        f.write(
+            '<?xml version="1.0" encoding="utf-8"?>\n'
+            '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">\n'
+            '  <key id="d0" for="node" attr.name="score" attr.type="long"/>\n'
+            '  <key id="d1" for="edge" attr.name="score" attr.type="double"/>\n'
+            '  <graph edgedefault="directed">\n'
+            '    <node id="a"><data key="d0">7</data></node>\n'
+            '    <node id="b"/>\n'
+            '    <edge source="a" target="b"><data key="d1">0.5</data></edge>\n'
+            "  </graph>\n</graphml>\n"
+        )
+    back = read_graphml(spark, p)
+    assert dict(back.nodes_df.dtypes)["score"] == "bigint"
+    assert dict(back.edges_df.dtypes)["score"] == "double"
+    assert back.node("a")["score"] == 7
+    assert back.edge("a", "b")["score"] == 0.5
