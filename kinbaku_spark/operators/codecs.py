@@ -297,9 +297,9 @@ def make_media_codecs():
     # Uncompressed RIFF/AVI ('DIB ' vids stream): pure struct-offset work,
     # the same class of stdlib decode as BMP — frames are BMP-style raw
     # DIB bitmaps (bottom-up BGR rows, 4-byte padded) inside '00db' chunks.
-    # Closes the round-3 verdict's last env-blocked media stub; compressed
-    # codecs (MJPG needs the JPEG entropy decoder, H.264 needs pyav) stay
-    # honestly out of scope.
+    # Closes the round-3 verdict's last env-blocked media stub. MJPG is
+    # now decoded too, via the stdlib+numpy baseline JPEG entropy decoder
+    # (operators/jpeg.py, round 5); H.264 still needs pyav and raises.
 
     def _dib_frame(a) -> bytes:
         h, w = a.shape[0], a.shape[1]
@@ -310,72 +310,99 @@ def make_media_codecs():
             body += b"\x00" * pad
         return bytes(body)
 
-    def encode_avi(frames, micro_sec_per_frame: int = 40000) -> bytes:
-        """Uncompressed 24-bit AVI encoder: frames is a non-empty sequence
-        of same-shape HxWx3 uint8 RGB arrays; one 'DIB ' video stream,
-        '00db' frame chunks, idx1 index. Deterministic byte-for-byte."""
+    def _check_frames(frames, who: str):
         fs = [np.asarray(f, dtype=np.uint8) for f in frames]
         if not fs or any(f.ndim != 3 or f.shape[2] != 3 for f in fs):
-            raise ValueError("encode_avi expects HxWx3 RGB frames")
+            raise ValueError(f"{who} expects HxWx3 RGB frames")
         if any(f.shape != fs[0].shape for f in fs):
-            raise ValueError("encode_avi expects same-shape frames")
-        h, w = fs[0].shape[0], fs[0].shape[1]
-        usec = int(micro_sec_per_frame)
-        bodies = [_dib_frame(f) for f in fs]
-        frame_size = len(bodies[0])
+            raise ValueError(f"{who} expects same-shape frames")
+        return fs
 
-        def chunk(tag: bytes, body: bytes) -> bytes:
-            return tag + struct.pack("<I", len(body)) + body + (
+    def _build_avi(bodies, w, h, usec, handler, compression, tag) -> bytes:
+        """Shared RIFF/AVI container builder ('DIB ' raw and 'MJPG')."""
+        frame_size = max(len(b) for b in bodies)
+
+        def chunk(ctag: bytes, body: bytes) -> bytes:
+            return ctag + struct.pack("<I", len(body)) + body + (
                 b"\x00" if len(body) % 2 else b""
             )
 
-        def lst(tag: bytes, body: bytes) -> bytes:
-            return chunk(b"LIST", tag + body)
+        def lst(ltag: bytes, body: bytes) -> bytes:
+            return chunk(b"LIST", ltag + body)
 
         avih = struct.pack(
             "<14I",
             usec, frame_size * 1_000_000 // max(usec, 1), 0,
             0x10,  # AVIF_HASINDEX
-            len(fs), 0, 1, frame_size, w, h, 0, 0, 0, 0,
+            len(bodies), 0, 1, frame_size, w, h, 0, 0, 0, 0,
         )
         strh = struct.pack(
             "<4s4sIHHIIIIIIii4H",
-            b"vids", b"DIB ", 0, 0, 0, 0,
+            b"vids", handler, 0, 0, 0, 0,
             usec, 1_000_000,  # dwScale/dwRate: rate/scale = fps
-            0, len(fs), frame_size, -1, 0, 0, 0, w, h,
+            0, len(bodies), frame_size, -1, 0, 0, 0, w, h,
         )
         strf = struct.pack(
-            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+            "<Iii2H4sI2i2I", 40, w, h, 1, 24, compression, frame_size,
+            2835, 2835, 0, 0,
         )
         hdrl = lst(
             b"hdrl",
             chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
         )
-        movi_body = b"".join(chunk(b"00db", b) for b in bodies)
+        movi_body = b"".join(chunk(tag, b) for b in bodies)
         movi = lst(b"movi", movi_body)
         # idx1 offsets are relative to the start of the movi LIST body
         # (after its 'movi' tag), per the AVI 1.0 convention
         idx_entries = []
         off = 4
         for b in bodies:
-            idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, off, len(b)))
+            idx_entries.append(struct.pack("<4sIII", tag, 0x10, off, len(b)))
             off += 8 + len(b) + (len(b) % 2)
         idx1 = chunk(b"idx1", b"".join(idx_entries))
         riff_body = b"AVI " + hdrl + movi + idx1
         return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
+    def encode_avi(frames, micro_sec_per_frame: int = 40000) -> bytes:
+        """Uncompressed 24-bit AVI encoder: frames is a non-empty sequence
+        of same-shape HxWx3 uint8 RGB arrays; one 'DIB ' video stream,
+        '00db' frame chunks, idx1 index. Deterministic byte-for-byte."""
+        fs = _check_frames(frames, "encode_avi")
+        h, w = fs[0].shape[0], fs[0].shape[1]
+        return _build_avi(
+            [_dib_frame(f) for f in fs], w, h, int(micro_sec_per_frame),
+            b"DIB ", b"\x00\x00\x00\x00", b"00db",
+        )
+
+    def encode_avi_mjpeg(frames, micro_sec_per_frame: int = 40000) -> bytes:
+        """Motion-JPEG AVI encoder: one baseline JPEG (operators/jpeg.py)
+        per '00dc' frame chunk, 'MJPG' stream handler + biCompression.
+        Deterministic byte-for-byte (the JPEG encoder is)."""
+        from kinbaku_spark.operators.jpeg import make_jpeg_codec
+
+        encode_jpeg = make_jpeg_codec()["encode_jpeg"]
+        fs = _check_frames(frames, "encode_avi_mjpeg")
+        h, w = fs[0].shape[0], fs[0].shape[1]
+        return _build_avi(
+            [encode_jpeg(f) for f in fs], w, h, int(micro_sec_per_frame),
+            b"MJPG", b"MJPG", b"00dc",
+        )
+
     def decode_avi(payload: bytes):
-        """Uncompressed 24-bit AVI decode → (micro_sec_per_frame, width,
-        height, list of HxWx3 uint8 RGB frames). Walks the RIFF chunk tree
-        by struct offsets; only the 'DIB ' raw-bitmap codec is supported
-        (MJPG/H.264 would need a real codec library)."""
+        """AVI decode → (micro_sec_per_frame, width, height, list of
+        HxWx3 uint8 RGB frames). Walks the RIFF chunk tree by struct
+        offsets; supports the 'DIB ' raw-bitmap codec AND Motion-JPEG
+        ('MJPG' — each frame chunk is a baseline JPEG, decoded by the
+        stdlib+numpy decoder in operators/jpeg.py). H.264 etc. would
+        need a real codec library and raise."""
         if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
             raise ValueError("not an AVI")
         usec = w = h = None
+        handler = None
         frames = []
 
         def walk(lo: int, hi: int):
-            nonlocal usec, w, h
+            nonlocal usec, w, h, handler
             pos = lo
             while pos + 8 <= hi:
                 tag = payload[pos:pos + 4]
@@ -387,9 +414,13 @@ def make_media_codecs():
                     usec, = struct.unpack_from("<I", payload, body_lo)
                     w, h = struct.unpack_from("<II", payload, body_lo + 32)
                 elif tag == b"strh":
-                    fcc, handler = struct.unpack_from("<4s4s", payload, body_lo)
-                    if fcc == b"vids" and handler not in (b"DIB ", b"\x00\x00\x00\x00"):
-                        raise ValueError("AVI: only uncompressed 'DIB ' video supported")
+                    fcc, hdl = struct.unpack_from("<4s4s", payload, body_lo)
+                    if fcc == b"vids":
+                        if hdl not in (b"DIB ", b"\x00\x00\x00\x00", b"MJPG"):
+                            raise ValueError(
+                                "AVI: only 'DIB ' and 'MJPG' video supported"
+                            )
+                        handler = hdl
                 elif tag in (b"00db", b"00dc"):
                     frames.append((body_lo, size))
                 pos = body_lo + size + (size % 2)
@@ -403,8 +434,18 @@ def make_media_codecs():
             raise ValueError(f"AVI: truncated chunk structure ({e})") from None
         if usec is None or w is None:
             raise ValueError("AVI: missing avih header")
-        stride = (w * 3 + 3) & ~3
         out = []
+        if handler == b"MJPG":
+            from kinbaku_spark.operators.jpeg import make_jpeg_codec
+
+            decode_jpeg = make_jpeg_codec()["decode_jpeg"]
+            for lo, size in frames:
+                frame = decode_jpeg(payload[lo:lo + size])
+                if frame.shape[0] != h or frame.shape[1] != w:
+                    raise ValueError("AVI: MJPG frame dims disagree with avih")
+                out.append(frame)
+            return int(usec), int(w), int(h), out
+        stride = (w * 3 + 3) & ~3
         for lo, size in frames:
             if size < stride * h:
                 raise ValueError("AVI: truncated frame chunk")
@@ -427,6 +468,7 @@ def make_media_codecs():
         "encode_wav": encode_wav,
         "decode_wav": decode_wav,
         "encode_avi": encode_avi,
+        "encode_avi_mjpeg": encode_avi_mjpeg,
         "decode_avi": decode_avi,
     }
 

@@ -1,0 +1,486 @@
+"""Baseline-sequential JPEG codec in pure stdlib + numpy (no PIL/cv2 in
+this environment — VERDICT r04 next-round #8, closing MJPEG the way
+DIB-AVI closed uncompressed video).
+
+Encoder: 4:4:4 (no chroma subsampling), ITU-T T.81 Annex K quantization
+tables (quality-50) and Annex K typical Huffman tables, full 2-D DCT on
+every 8x8 block, zigzag + DPCM-DC + run-length/magnitude Huffman entropy
+coding, 0xFF byte stuffing. Deterministic byte-for-byte.
+
+Decoder: general baseline decoder — parses DQT/SOF0/DHT/SOS, rebuilds the
+canonical Huffman codes from the DHT segments in the FILE (so any
+spec-valid table works, not just ours), entropy-decodes with EXTEND,
+dequantizes, un-zigzags, float IDCT, YCbCr->RGB. Supports 8-bit
+3-component 4:4:4 and 1-component grayscale; raises ValueError on
+progressive/subsampled/12-bit streams rather than guessing.
+
+Determinism contract (shared with the DuckDB oracles): every rounding is
+``floor(x + 0.5 + 1e-9)`` — half-up with an epsilon that absorbs float
+DCT noise (~1e-13) so exact-half ties resolve identically to the oracle's
+exact FLOOR(x + 0.5) arithmetic. For a CONSTANT block value v this gives
+the closed form the x_video_decode_mjpeg oracle states:
+
+    decoded(v) = clip( 2 * floor((v - 128)/2 + 0.5) + 128 , 0, 255 )
+
+(DC of a constant block is 8(v-128); luma q[0][0] = 16; all AC quantize
+to zero; IDCT of a DC-only block is constant F00*q/8.)
+
+Reference parity note: the reference (kerighan/kinbaku) has no media
+surface at all; this extends the multimodal pipeline family
+(operators/codecs.py) — same mapInPandas executor-side shape.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ITU-T T.81 Annex K.1 quantization tables (quality 50)
+QT_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+QT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int32)
+
+# ITU-T T.81 Annex K.3 typical Huffman tables: (bits[1..16], values)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_EPS = 1e-9  # half-up tie bias absorbing ~1e-13 float DCT noise
+
+
+def _zigzag():
+    """(row, col) pairs in zigzag order, generated (not transcribed)."""
+    order = []
+    for s in range(15):
+        rng = range(min(s, 7), max(0, s - 7) - 1, -1)  # rows high->low
+        cells = [(r, s - r) for r in rng]
+        if s % 2 == 1:
+            cells.reverse()  # odd diagonals run top-right -> bottom-left
+        order.extend(cells)
+    return order
+
+
+# standard zigzag starts (0,0),(0,1),(1,0),(2,0),(1,1),(0,2),(0,3),...
+ZIGZAG = _zigzag()
+assert ZIGZAG[:6] == [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2)]
+assert len(set(ZIGZAG)) == 64
+
+
+def _dct_matrix() -> np.ndarray:
+    c = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+            c[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    return c
+
+
+_C = _dct_matrix()
+
+
+def _round_half_up(x):
+    return np.floor(x + 0.5 + _EPS)
+
+
+def _canonical_codes(bits, vals):
+    """(symbol -> (code, length)) per the T.81 canonical construction;
+    validates the length counts describe a real prefix code."""
+    codes, code = {}, 0
+    k = 0
+    total = 0
+    for length in range(1, 17):
+        total = (total + bits[length - 1]) << 1
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    assert total <= (1 << 17), "invalid Huffman length counts"
+    assert k == len(vals) == sum(bits)
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # fill with 1-bits
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG: entropy stream truncated")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("JPEG: unexpected marker in entropy data")
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, raw bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    t = a.bit_length()
+    bits = v if v > 0 else v + (1 << t) - 1
+    return t, bits
+
+
+def _extend(v: int, t: int) -> int:
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def make_jpeg_codec():
+    """Closure factory (same pattern as make_media_codecs): executor-side
+    pipelines close over the returned functions."""
+
+    enc_tables = {
+        0: (_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+            _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)),
+        1: (_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+            _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)),
+    }
+
+    def _blocks(plane: np.ndarray):
+        """Pad to 8-multiples by edge replication; yield 8x8 blocks in
+        raster order."""
+        h, w = plane.shape
+        ph, pw = -h % 8, -w % 8
+        p = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+        for by in range(0, h + ph, 8):
+            for bx in range(0, w + pw, 8):
+                yield p[by:by + 8, bx:bx + 8]
+
+    def _encode_block(bw, block, qt, dc_codes, ac_codes, prev_dc):
+        coeffs = _C @ (block.astype(np.float64) - 128.0) @ _C.T
+        # half-up everywhere (module docstring): the oracle's closed form
+        # is FLOOR(x + 0.5), so quantization must not round half away
+        # from zero like libjpeg does
+        q = _round_half_up(coeffs / qt).astype(np.int64)
+        zz = [int(q[r, c]) for r, c in ZIGZAG]
+        # DC (DPCM)
+        t, bits = _magnitude(zz[0] - prev_dc)
+        code, length = dc_codes[t]
+        bw.write(code, length)
+        if t:
+            bw.write(bits, t)
+        # AC run-length
+        run = 0
+        last_nz = 0
+        for i in range(63, 0, -1):
+            if zz[i] != 0:
+                last_nz = i
+                break
+        for i in range(1, last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL
+                bw.write(code, length)
+                run -= 16
+            t, bits = _magnitude(zz[i])
+            code, length = ac_codes[(run << 4) | t]
+            bw.write(code, length)
+            bw.write(bits, t)
+            run = 0
+        if last_nz < 63:
+            code, length = ac_codes[0x00]  # EOB
+            bw.write(code, length)
+        return zz[0]
+
+    def encode_jpeg(arr) -> bytes:
+        """HxWx3 uint8 RGB (or HxW grayscale) -> baseline JFIF bytes."""
+        a = np.asarray(arr, dtype=np.uint8)
+        gray = a.ndim == 2
+        if not gray and (a.ndim != 3 or a.shape[2] != 3):
+            raise ValueError("encode_jpeg expects HxWx3 RGB or HxW gray")
+        h, w = a.shape[0], a.shape[1]
+        if gray:
+            planes = [a.astype(np.float64)]
+        else:
+            r = a[:, :, 0].astype(np.float64)
+            g = a[:, :, 1].astype(np.float64)
+            b = a[:, :, 2].astype(np.float64)
+            y = _round_half_up(0.299 * r + 0.587 * g + 0.114 * b)
+            cb = _round_half_up(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+            cr = _round_half_up(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+            planes = [np.clip(p, 0, 255) for p in (y, cb, cr)]
+
+        def dqt(tid, qt):
+            zz = bytes(int(qt[r, c]) for r, c in ZIGZAG)
+            return _seg(0xDB, bytes([tid]) + zz)
+
+        def dht(cls, tid, bits, vals):
+            return _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+        def _seg(marker, body):
+            return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+        ncomp = 1 if gray else 3
+        sof_comps = b"".join(
+            bytes([cid + 1, 0x11, 0 if cid == 0 else 1]) for cid in range(ncomp)
+        )
+        sos_comps = b"".join(
+            bytes([cid + 1, 0x00 if cid == 0 else 0x11]) for cid in range(ncomp)
+        )
+        head = (
+            b"\xff\xd8"  # SOI
+            + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+            + dqt(0, QT_LUMA)
+            + (dqt(1, QT_CHROMA) if not gray else b"")
+            + _seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+            + dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+            + dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+            + (
+                dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+                + dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+                if not gray
+                else b""
+            )
+            + _seg(0xDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
+        )
+        bw = _BitWriter()
+        qts = [QT_LUMA] + [QT_CHROMA] * (ncomp - 1)
+        tids = [0] + [1] * (ncomp - 1)
+        block_iters = [list(_blocks(p)) for p in planes]
+        prev = [0] * ncomp
+        for m in range(len(block_iters[0])):  # interleaved MCUs (4:4:4)
+            for c in range(ncomp):
+                dc_codes, ac_codes = enc_tables[tids[c]]
+                prev[c] = _encode_block(
+                    bw, block_iters[c][m], qts[c], dc_codes, ac_codes, prev[c]
+                )
+        return head + bw.flush() + b"\xff\xd9"
+
+    def decode_jpeg(payload: bytes):
+        """Baseline JFIF bytes -> HxWx3 uint8 RGB (grayscale replicated
+        to 3 channels). General: tables come from the file's own
+        DQT/DHT segments."""
+        if payload[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG")
+        pos = 2
+        qts: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        h = w = None
+        comps: list[tuple[int, int, int]] = []  # (id, sampling, qt_id)
+        scan: list[tuple[int, int, int]] = []  # (comp_idx, dc_tid, ac_tid)
+        data_start = None
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("JPEG: marker sync lost")
+            marker = payload[pos + 1]
+            if marker == 0xD9:
+                break
+            (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+            if pos + 2 + seglen > len(payload):
+                raise ValueError("JPEG: truncated segment")
+            body = payload[pos + 4:pos + 2 + seglen]
+            if marker == 0xDB:
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 0xF
+                    if pq != 0:
+                        raise ValueError("JPEG: 16-bit quant tables unsupported")
+                    qt = np.zeros((8, 8), np.int32)
+                    for j, (r, c) in enumerate(ZIGZAG):
+                        qt[r, c] = body[i + 1 + j]
+                    qts[tq] = qt
+                    i += 65
+            elif marker in (0xC1, 0xC2, 0xC3):
+                raise ValueError("JPEG: only baseline (SOF0) supported")
+            elif marker == 0xC0:
+                prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+                if prec != 8:
+                    raise ValueError("JPEG: only 8-bit precision supported")
+                for c in range(nc):
+                    cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
+                    if samp != 0x11:
+                        raise ValueError("JPEG: subsampling unsupported (4:4:4 only)")
+                    comps.append((cid, samp, tq))
+            elif marker == 0xC4:
+                i = 0
+                while i < len(body):
+                    cls, tid = body[i] >> 4, body[i] & 0xF
+                    bits = list(body[i + 1:i + 17])
+                    n = sum(bits)
+                    vals = list(body[i + 17:i + 17 + n])
+                    codes = _canonical_codes(bits, vals)
+                    # invert: (length, code) -> symbol
+                    huff[(cls, tid)] = {
+                        (length, code): sym for sym, (code, length) in codes.items()
+                    }
+                    i += 17 + n
+            elif marker == 0xDD:
+                raise ValueError("JPEG: restart intervals unsupported")
+            elif marker == 0xDA:
+                ns = body[0]
+                for c in range(ns):
+                    cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                    idx = next(
+                        i for i, (id_, _, _) in enumerate(comps) if id_ == cid
+                    )
+                    scan.append((idx, tt >> 4, tt & 0xF))
+                data_start = pos + 2 + seglen
+                break
+            pos += 2 + seglen
+        if h is None or data_start is None or not scan:
+            raise ValueError("JPEG: missing SOF0/SOS")
+
+        def read_symbol(br, table):
+            code, length = 0, 0
+            while length < 16:
+                code = (code << 1) | br.read_bit()
+                length += 1
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("JPEG: invalid Huffman code")
+
+        br = _BitReader(payload, data_start)
+        bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+        planes = [np.zeros((bh_ * 8, bw_ * 8), np.float64) for _ in scan]
+        prev = [0] * len(scan)
+        for my in range(bh_):
+            for mx in range(bw_):
+                for s, (ci, dct, act) in enumerate(scan):
+                    dc_tab = huff.get((0, dct))
+                    ac_tab = huff.get((1, act))
+                    if dc_tab is None or ac_tab is None:
+                        raise ValueError("JPEG: scan references missing DHT")
+                    qt = qts.get(comps[ci][2])
+                    if qt is None:
+                        raise ValueError("JPEG: scan references missing DQT")
+                    zz = [0] * 64
+                    t = read_symbol(br, dc_tab)
+                    diff = _extend(br.read_bits(t), t) if t else 0
+                    prev[s] += diff
+                    zz[0] = prev[s]
+                    k = 1
+                    while k < 64:
+                        sym = read_symbol(br, ac_tab)
+                        if sym == 0x00:  # EOB
+                            break
+                        run, t = sym >> 4, sym & 0xF
+                        if t == 0:
+                            if run != 15:
+                                raise ValueError("JPEG: bad AC symbol")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("JPEG: AC run past block end")
+                        zz[k] = _extend(br.read_bits(t), t)
+                        k += 1
+                    f = np.zeros((8, 8), np.float64)
+                    for j, (r, c) in enumerate(ZIGZAG):
+                        f[r, c] = zz[j] * qt[r, c]
+                    block = _C.T @ f @ _C + 128.0
+                    planes[s][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = block
+        planes = [p[:h, :w] for p in planes]
+        if len(planes) == 1:
+            g = np.clip(_round_half_up(planes[0]), 0, 255).astype(np.uint8)
+            return np.stack([g, g, g], axis=2)
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack(
+            [np.clip(_round_half_up(p), 0, 255) for p in (r, g, b)], axis=2
+        )
+        return rgb.astype(np.uint8)
+
+    return {"encode_jpeg": encode_jpeg, "decode_jpeg": decode_jpeg}

@@ -144,6 +144,7 @@ _PRIORITY = [
     "g_cc_incremental",
     "x_dedup_recall_sampled",
     "x_dedup_embedding_lsh_wide",
+    "x_video_decode_mjpeg",
     "x_mad_outliers",
     "x_cusum_changepoint",
     "x_autocorrelation",

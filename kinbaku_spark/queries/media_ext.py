@@ -317,6 +317,116 @@ def x_video_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _V_FRAME_MS = VIDEO_USEC // 1000
 
+
+def x_video_decode_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_video_decode_real through the COMPRESSED path (VERDICT r04
+    next-round #8): the same per-document constant frames are encoded as
+    Motion-JPEG AVI (one baseline JPEG per '00dc' chunk — stdlib+numpy
+    codec, operators/jpeg.py) and decoded back through the full entropy
+    decoder: marker parse, DHT canonical rebuild, Huffman + EXTEND,
+    dequant, un-zigzag, float IDCT, YCbCr→RGB. JPEG is lossy, so the
+    oracle states the CLOSED FORM of the decoded constant value —
+    decoded(v) = clip(2*floor((v-128)/2 + 0.5) + 128) with the Annex-K
+    luma q[0][0]=16 (derivation in operators/jpeg.py docstring) — and
+    pixel_sum is exact over the sampled DECODED frames, so any entropy/
+    quant/IDCT bug breaks the driver's value hash. Position-dependent
+    frames are pinned in tests/test_codecs.py (a constant-frame oracle is
+    arithmetically blind to row/channel-order bugs; the unit tests are
+    not).
+
+    Scale notes: identical mapInPandas single-pass shape as the DIB form —
+    frame bytes never leave the executor."""
+    from kinbaku_spark.operators.codecs import make_media_codecs
+
+    codecs = make_media_codecs()
+    _enc, _dec = codecs["encode_avi_mjpeg"], codecs["decode_avi"]
+    usec, every_ms = VIDEO_USEC, VIDEO_SAMPLE_MS
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, nfs, ws, hs, sfs, sums, durs = [], [], [], [], [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(n_chars) % 15 + 1
+                h = int(n_chars) % 9 + 1
+                nf = int(doc_id) % 5 + 1
+                frames = [
+                    _np.full((h, w, 3), (int(doc_id) * 7 + k * 31) % 251, _np.uint8)
+                    for k in range(nf)
+                ]
+                du, dw, dh, decoded = _dec(_enc(frames, usec))  # real decode
+                # same sampler math as x_video_decode_real — keep in sync
+                frame_ms = max(du // 1000, 1)
+                duration_ms = frame_ms * len(decoded)
+                n_samples = max(1, duration_ms // every_ms)
+                px = 0
+                for s in range(int(n_samples)):
+                    fi = min((s * every_ms) // frame_ms, len(decoded) - 1)
+                    px += int(decoded[int(fi)].astype(_np.int64).sum())
+                ids.append(int(doc_id))
+                nfs.append(len(decoded))
+                ws.append(int(dw))
+                hs.append(int(dh))
+                sfs.append(int(n_samples))
+                sums.append(px)
+                durs.append(int(du) * len(decoded))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "n_frames": _pd.Series(nfs, dtype="int32"),
+                    "width": _pd.Series(ws, dtype="int32"),
+                    "height": _pd.Series(hs, dtype="int32"),
+                    "sampled_frames": _pd.Series(sfs, dtype="int32"),
+                    "pixel_sum": _pd.Series(sums, dtype="int64"),
+                    "duration_us": _pd.Series(durs, dtype="int64"),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return docs.mapInPandas(roundtrip, VIDEO_DECODE_SCHEMA)
+
+
+# decoded constant value: DC-only block, Annex-K luma q00=16 —
+# clip(2*floor((v-128)/2 + 0.5) + 128); chroma decodes to exactly 128 so
+# RGB == the decoded luma on all three channels (operators/jpeg.py)
+_MJPEG_DECODED = (
+    "least(255, greatest(0,"
+    " 2 * CAST(FLOOR(((doc_id * 7 +"
+    " least((k * {sample_ms}) // {frame_ms}, nf - 1) * 31) % 251 - 128)"
+    " / 2.0 + 0.5) AS BIGINT) + 128))"
+).format(sample_ms=VIDEO_SAMPLE_MS, frame_ms=_V_FRAME_MS)
+
+X_VIDEO_DECODE_MJPEG_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         n_chars % 15 + 1 AS w,
+         n_chars % 9 + 1 AS h,
+         doc_id % 5 + 1 AS nf
+  FROM documents
+),
+s AS (
+  SELECT doc_id, w, h, nf,
+         greatest(1, ({_V_FRAME_MS} * nf) // {VIDEO_SAMPLE_MS}) AS n_samples
+  FROM p
+),
+samp AS (
+  SELECT doc_id, w, h, nf, n_samples,
+         unnest(generate_series(0, n_samples - 1)) AS k
+  FROM s
+)
+SELECT doc_id,
+  CAST(MAX(nf) AS INT) AS n_frames,
+  CAST(MAX(w) AS INT) AS width,
+  CAST(MAX(h) AS INT) AS height,
+  CAST(MAX(n_samples) AS INT) AS sampled_frames,
+  CAST(SUM(w * h * 3 * {_MJPEG_DECODED}) AS BIGINT) AS pixel_sum,
+  CAST(MAX(nf) * {VIDEO_USEC} AS BIGINT) AS duration_us
+FROM samp
+GROUP BY doc_id
+"""
+
 X_VIDEO_DECODE_REAL_SQL = f"""
 WITH p AS (
   SELECT doc_id,
@@ -354,6 +464,7 @@ QUERIES = {
     "x_audio_decode_real": x_audio_decode_real,
     "x_image_resize_real": x_image_resize_real,
     "x_video_decode_real": x_video_decode_real,
+    "x_video_decode_mjpeg": x_video_decode_mjpeg,
 }
 
 ORACLES = {
@@ -361,4 +472,5 @@ ORACLES = {
     "x_audio_decode_real": X_AUDIO_DECODE_REAL_SQL,
     "x_image_resize_real": X_IMAGE_RESIZE_REAL_SQL,
     "x_video_decode_real": X_VIDEO_DECODE_REAL_SQL,
+    "x_video_decode_mjpeg": X_VIDEO_DECODE_MJPEG_SQL,
 }

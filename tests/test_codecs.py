@@ -256,3 +256,169 @@ def test_avi_zero_frames_and_truncation(spark):
 
     with _pytest.raises(ValueError):
         CODECS["decode_avi"](full[:20])
+
+
+# --------------------------------------------------------------- JPEG/MJPEG
+
+
+def _jpeg():
+    from kinbaku_spark.operators.jpeg import make_jpeg_codec
+
+    return make_jpeg_codec()
+
+
+def test_jpeg_constant_closed_form_all_values():
+    """decoded(v) = clip(2*floor((v-128)/2 + 0.5) + 128) — the closed form
+    the x_video_decode_mjpeg oracle states, checked for every constant
+    value the query synthesizes (0..250) including both parities."""
+    import numpy as np
+
+    c = _jpeg()
+    for v in range(0, 251, 1):
+        out = c["decode_jpeg"](c["encode_jpeg"](np.full((9, 15, 3), v, np.uint8)))
+        want = min(255, max(0, 2 * int(np.floor((v - 128) / 2 + 0.5)) + 128))
+        assert (out == want).all(), (v, np.unique(out), want)
+
+
+def test_jpeg_position_dependent_block_matches_independent_dct():
+    """One 8x8 grayscale block decoded must equal an INDEPENDENT
+    re-derivation of the pipeline: direct O(n^4) loop DCT (not the
+    module's matrix form), same half-up quantization, loop IDCT. Catches
+    transposed matrices, zigzag mistakes, and DPCM errors that a
+    constant-frame oracle is arithmetically blind to."""
+    import numpy as np
+
+    from kinbaku_spark.operators.jpeg import QT_LUMA
+
+    c = _jpeg()
+    block = ((np.arange(8)[:, None] * 37 + np.arange(8)[None, :] * 11) % 256).astype(
+        np.uint8
+    )
+    out = c["decode_jpeg"](c["encode_jpeg"](block))  # grayscale path
+
+    def cc(u):
+        return 1 / np.sqrt(2) if u == 0 else 1.0
+
+    shifted = block.astype(float) - 128.0
+    F = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            s = sum(
+                shifted[x, y]
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                * np.cos((2 * y + 1) * v * np.pi / 16)
+                for x in range(8)
+                for y in range(8)
+            )
+            F[u, v] = 0.25 * cc(u) * cc(v) * s
+    q = np.floor(F / QT_LUMA + 0.5 + 1e-9) * QT_LUMA
+    rec = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = sum(
+                cc(u) * cc(v) * q[u, v]
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                * np.cos((2 * y + 1) * v * np.pi / 16)
+                for u in range(8)
+                for v in range(8)
+            )
+            rec[x, y] = 0.25 * s + 128.0
+    want = np.clip(np.floor(rec + 0.5 + 1e-9), 0, 255).astype(np.uint8)
+    assert (out[:, :, 0] == want).all()
+    assert (out[:, :, 1] == want).all() and (out[:, :, 2] == want).all()
+
+
+def test_jpeg_decodes_handwritten_spec_bytes():
+    """Decoder vs bytes written BY HAND from the T.81 spec (independent of
+    our encoder): flat-16 quant table, a two-symbol DC DHT, DC-only 8x8
+    grayscale block with quantized DC = +3 -> decoded constant
+    3*16/8 + 128 = 134."""
+    import struct
+
+    import numpy as np
+
+    from kinbaku_spark.operators.jpeg import ZIGZAG
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qt = seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    # DC table: symbols {0: category 0, 2: category 2} with 1- and 2-bit
+    # codes: bits=[1,1,0,...], vals=[2,0] -> '0'=cat2, '10'=cat0
+    dc = seg(0xC4, bytes([0x00]) + bytes([1, 1] + [0] * 14) + bytes([2, 0]))
+    # AC table: single 1-bit code '0' = EOB
+    ac = seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # entropy: '0' (DC cat 2) + '11' (diff=+3) + '0' (EOB), padded with 1s
+    entropy = bytes([0b01101111])
+    payload = b"\xff\xd8" + qt + sof + dc + ac + sos + entropy + b"\xff\xd9"
+    out = _jpeg()["decode_jpeg"](payload)
+    assert out.shape == (8, 8, 3) and (out == 134).all()
+    assert ZIGZAG[0] == (0, 0)
+
+
+def test_jpeg_roundtrip_error_bounded_on_smooth_image():
+    import numpy as np
+
+    c = _jpeg()
+    x, y = np.meshgrid(np.arange(40), np.arange(24))
+    img = np.stack(
+        [(x * 3 + y * 2) // 2, (x + y) // 2 + 60, x * 2], axis=2
+    ).astype(np.uint8)
+    out = c["decode_jpeg"](c["encode_jpeg"](img))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 10
+
+
+def test_jpeg_rejects_progressive_and_truncated():
+    import pytest
+
+    c = _jpeg()
+    import numpy as np
+
+    good = c["encode_jpeg"](np.full((8, 8, 3), 10, np.uint8))
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        c["decode_jpeg"](prog)
+    with pytest.raises(ValueError):
+        c["decode_jpeg"](good[:40])
+    with pytest.raises(ValueError):
+        c["decode_jpeg"](b"\x00\x01")
+
+
+def test_mjpeg_avi_roundtrip_and_position_dependence():
+    """MJPEG AVI end-to-end through decode_avi: constant frames hit the
+    closed form EXACTLY; a position-dependent frame must be close (lossy)
+    but NOT constant — guarding against a decoder that ignores AC
+    coefficients entirely."""
+    import numpy as np
+
+    from kinbaku_spark.operators.codecs import make_media_codecs
+
+    c = make_media_codecs()
+    consts = [np.full((9, 15, 3), v, np.uint8) for v in (0, 7, 128, 250)]
+    usec, w, h, out = c["decode_avi"](c["encode_avi_mjpeg"](consts, 50000))
+    assert (usec, w, h, len(out)) == (50000, 15, 9, 4)
+    for f, v in zip(out, (0, 7, 128, 250)):
+        want = min(255, max(0, 2 * int(np.floor((v - 128) / 2 + 0.5)) + 128))
+        assert (f == want).all()
+    grad = (np.arange(16)[:, None] * 16 + np.arange(16)[None, :]).astype(np.uint8)
+    img = np.stack([grad, grad, grad], axis=2)
+    _, _, _, out2 = c["decode_avi"](c["encode_avi_mjpeg"]([img]))
+    err = np.abs(out2[0].astype(int) - img.astype(int))
+    assert err.max() <= 12
+    assert out2[0].std() > 10  # actually position-dependent
+
+
+def test_avi_unknown_codec_still_raises():
+    import numpy as np
+    import pytest
+
+    from kinbaku_spark.operators.codecs import make_media_codecs
+
+    c = make_media_codecs()
+    avi = c["encode_avi_mjpeg"]([np.full((8, 8, 3), 5, np.uint8)])
+    h264 = avi.replace(b"MJPG", b"H264")
+    with pytest.raises(ValueError):
+        c["decode_avi"](h264)
