@@ -184,6 +184,13 @@ EXTENSION_HEADLINE = [
     "g_densest_subgraph",
     "g_local_clustering",
     "g_scc_bounded",
+    # round 5 (g_cc_incremental stays OUT: its three sequential state
+    # round-trips are a correctness-gate shape, ~22 s cold at sf0.1 —
+    # documented in COVERAGE.md round-4 notes)
+    "x_dedup_recall_sampled",
+    "x_dedup_embedding_lsh_wide",
+    "x_dedup_embedding_recall_sampled",
+    "x_video_decode_mjpeg",
 ]
 
 
