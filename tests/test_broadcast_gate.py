@@ -177,3 +177,32 @@ def test_demoted_plan_past_bound(spark, sf_dir, name, gate_closed):
         )
     # and the demoted plan still computes: a row-count job must succeed
     assert df.count() >= 0
+
+
+def test_streaming_cc_correct_with_gate_closed(spark, gate_closed):
+    """ADVICE r04: cc_ingest_batch's batch-sized hints (resolved label map,
+    contraction relabel map) go through size_hint. With the gate forced
+    shut the hints must disengage (demoted deployment shape) and the
+    ingest must still converge to the exact batch-mode CC labels."""
+    import shutil
+    import tempfile
+
+    import networkx as nx
+
+    from kinbaku_spark.streaming.graph_cc import cc_ingest_batch, cc_read_state
+
+    edges = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(40)]
+    d = tempfile.mkdtemp(prefix="kb_cc_gate_")
+    try:
+        for chunk in (edges[0::2], edges[1::2]):
+            cc_ingest_batch(
+                spark.createDataFrame(chunk, "src string, dst string"), f"{d}/labels"
+            )
+        got = sorted(
+            (r.key, r.label) for r in cc_read_state(spark, f"{d}/labels").collect()
+        )
+        g = nx.Graph(edges)
+        want = sorted((n, min(c)) for c in nx.connected_components(g) for n in c)
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
