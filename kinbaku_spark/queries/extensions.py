@@ -252,13 +252,17 @@ def x_dedup_embedding(spark, sf_dir):
     return embedding_near_duplicates(emb, threshold=EMB_NEAR_DUP_THRESHOLD)
 
 
-X_DEDUP_EMBEDDING_SQL = f"""
+def _emb_truth_sql(source: str = "embeddings") -> str:
+    return f"""
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
        ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS sim
-FROM embeddings a, embeddings b
+FROM {source} a, {source} b
 WHERE a.vec_id < b.vec_id
   AND ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= {EMB_NEAR_DUP_THRESHOLD}
 """
+
+
+X_DEDUP_EMBEDDING_SQL = _emb_truth_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1316,7 +1320,11 @@ def x_dedup_embedding_lsh(spark, sf_dir):
     )
 
 
-def _emb_lsh_sql(planes: list | None = None, bands: int | None = None) -> str:
+def _emb_lsh_sql(
+    planes: list | None = None,
+    bands: int | None = None,
+    source: str = "embeddings",
+) -> str:
     planes = EMB_LSH_PLANES if planes is None else planes
     bands = EMB_LSH_BANDS if bands is None else bands
     width = len(planes) // bands
@@ -1326,8 +1334,9 @@ def _emb_lsh_sql(planes: list | None = None, bands: int | None = None) -> str:
         for k in range(bands)
     )
     return f"""
-WITH sigs AS (
-  SELECT vec_id, {_sql_lsh_sig('embedding', planes)} AS sig FROM embeddings
+WITH es AS (SELECT * FROM {source}),
+sigs AS (
+  SELECT vec_id, {_sql_lsh_sig('embedding', planes)} AS sig FROM es
 ),
 bands AS (
   {band_selects}
@@ -1340,8 +1349,8 @@ cand AS (
 SELECT c.vec_id_a, c.vec_id_b,
        ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS sim
 FROM cand c
-JOIN embeddings a ON a.vec_id = c.vec_id_a
-JOIN embeddings b ON b.vec_id = c.vec_id_b
+JOIN es a ON a.vec_id = c.vec_id_a
+JOIN es b ON b.vec_id = c.vec_id_b
 WHERE ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= {EMB_NEAR_DUP_THRESHOLD}
 """
 
@@ -1419,15 +1428,22 @@ _SAMPLED_DOCS_SQL = (
 
 
 def x_dedup_recall_sampled(spark, sf_dir):
+    from kinbaku_spark.operators.dedup import shingle_hashes
+
     docs = _sampled_documents(spark, sf_dir)
-    base = simhash_near_duplicates(docs, max_hamming=SIMHASH_MAX_HAMMING).select(
-        "doc_id_a", "doc_id_b"
-    )
+    # one shingle/signature pipeline feeds BOTH legs (the x_dedup_simhash
+    # sh= pattern): without it the stratum filter + shingle explode + the
+    # 60-bit signature aggregation would run twice per readout
+    sh = pin(shingle_hashes(docs, "doc_id", "text", 3))
+    base = simhash_near_duplicates(
+        docs, max_hamming=SIMHASH_MAX_HAMMING, sh=sh
+    ).select("doc_id_a", "doc_id_b")
     banded = simhash_near_duplicates(
         docs,
         max_hamming=SIMHASH_BANDED_HAMMING,
         banded=True,
         bands=SIMHASH_BANDS,
+        sh=sh,
     ).select("doc_id_a", "doc_id_b")
     return _pair_recall(
         base, banded, ["doc_id_a", "doc_id_b"], "n_baseline", "n_banded"
@@ -1498,8 +1514,9 @@ def _sampled_embeddings(spark, sf_dir):
     )
 
 
-_SAMPLED_EMB_PRED = (
-    f"{sql_md5_long('CAST(vec_id AS VARCHAR)')} % {DEDUP_RECALL_SAMPLE_MOD} = 0"
+_SAMPLED_EMB_SRC = (
+    "(SELECT * FROM embeddings WHERE "
+    f"{sql_md5_long('CAST(vec_id AS VARCHAR)')} % {DEDUP_RECALL_SAMPLE_MOD} = 0)"
 )
 
 
@@ -1522,47 +1539,13 @@ def x_dedup_embedding_recall_sampled(spark, sf_dir):
     return _pair_recall(truth, lsh, ["vec_id_a", "vec_id_b"], "n_truth", "n_lsh")
 
 
-def _sampled_emb_truth_sql() -> str:
-    return f"""
-SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
-FROM (SELECT * FROM embeddings WHERE {_SAMPLED_EMB_PRED}) a,
-     (SELECT * FROM embeddings WHERE {_SAMPLED_EMB_PRED}) b
-WHERE a.vec_id < b.vec_id
-  AND ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= {EMB_NEAR_DUP_THRESHOLD}
-"""
-
-
-def _sampled_emb_lsh_sql() -> str:
-    width = len(EMB_LSH_PLANES) // EMB_LSH_BANDS
-    mask = (1 << width) - 1
-    band_selects = "\n  UNION ALL\n  ".join(
-        f"SELECT vec_id, {k} AS band, (sig >> {k * width}) & {mask} AS bk FROM sigs"
-        for k in range(EMB_LSH_BANDS)
-    )
-    return f"""
-WITH es AS (SELECT * FROM embeddings WHERE {_SAMPLED_EMB_PRED}),
-sigs AS (
-  SELECT vec_id, {_sql_lsh_sig('embedding', EMB_LSH_PLANES)} AS sig FROM es
-),
-bands AS (
-  {band_selects}
-),
-cand AS (
-  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
-  WHERE a.vec_id < b.vec_id
-)
-SELECT c.vec_id_a, c.vec_id_b
-FROM cand c
-JOIN es a ON a.vec_id = c.vec_id_a
-JOIN es b ON b.vec_id = c.vec_id_b
-WHERE ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= {EMB_NEAR_DUP_THRESHOLD}
-"""
-
-
 QUERIES["x_dedup_embedding_recall_sampled"] = x_dedup_embedding_recall_sampled
+# both legs REUSE the canonical SQL builders with the sampled stratum as
+# the source relation — one definition of the sig/band/verify math, so a
+# fix to the canonical oracle cannot silently diverge from the sampled one
 ORACLES["x_dedup_embedding_recall_sampled"] = _pair_recall_sql(
-    _sampled_emb_truth_sql(), _sampled_emb_lsh_sql(),
+    _emb_truth_sql(_SAMPLED_EMB_SRC),
+    _emb_lsh_sql(source=_SAMPLED_EMB_SRC),
     "vec_id_a", "vec_id_b", "n_truth", "n_lsh",
 )
 

@@ -111,6 +111,11 @@ def write_graphml(g: Graph, path: str, directed: bool = True) -> None:
             )
         kind = "directed" if directed else "undirected"
         f.write(f'  <graph edgedefault="{kind}">\n')
+        # undirected writes emit ONE <edge> per unordered endpoint pair:
+        # a graph loaded via read_graphml stores both orientations (its
+        # symmetrization), so writing every row would double edges on the
+        # next read — the write->read round trip must be stable
+        seen_pairs: set = set()
         for row in g.nodes_df.toLocalIterator():
             f.write(f"    <node id={quoteattr(str(row['key']))}")
             datas = [
@@ -126,6 +131,11 @@ def write_graphml(g: Graph, path: str, directed: bool = True) -> None:
                 f.write(f'<data key="dn{i}">{escape(_fmt(v))}</data>')
             f.write("</node>\n")
         for row in g.edges_df.toLocalIterator():
+            if not directed:
+                pair = frozenset((str(row["src"]), str(row["dst"])))
+                if pair in seen_pairs:
+                    continue
+                seen_pairs.add(pair)
             f.write(
                 f"    <edge source={quoteattr(str(row['src']))}"
                 f" target={quoteattr(str(row['dst']))}"
@@ -210,7 +220,12 @@ def read_graphml(spark: SparkSession, path: str) -> Graph:
         # edgedefault=undirected (per-edge `directed` overrides honored):
         # store both orientations so traversals match NetworkX's reading
         per_edge = e.get("directed")
-        directed = per_edge == "true" if per_edge is not None else not undirected_default
+        # xs:boolean lexical forms: both "true" and "1" are true
+        directed = (
+            per_edge in ("true", "1")
+            if per_edge is not None
+            else not undirected_default
+        )
         if not directed and row[0] != row[1]:
             edge_rows.append(tuple([row[1], row[0]] + list(row[2:])))
     node_schema = T.StructType(

@@ -33,7 +33,8 @@ Crash safety (ADVICE r04): the state is VERSIONED — each batch writes
 ``_CURRENT`` pointer file (write-temp + ``os.replace``, atomic on POSIX).
 A crash mid-write leaves ``_CURRENT`` on the previous complete version, so
 a replayed batch re-merges against intact prior state (re-merge is
-idempotent); the superseded version is GC'd only after the pointer swing.
+idempotent); GC runs only after the pointer swing and keeps ONE superseded
+version as a grace window for lazy ``cc_read_state`` handles.
 At 100 TB the state is a Delta table and this becomes MERGE INTO + the
 transaction log — the pointer file is the single-file-system stand-in for
 that log, same pattern as the MinHash band index (streaming/windows.py).
@@ -60,9 +61,23 @@ _POINTER = "_CURRENT"
 
 
 def _current_state_path(labels_dir: str) -> str | None:
-    """Directory of the newest COMMITTED state version, or None."""
+    """Directory of the newest COMMITTED state version, or None.
+
+    Raises on a LEGACY layout (parquet files directly in ``labels_dir``
+    with no pointer — the pre-versioning format): treating it as empty
+    would silently discard the accumulated labels, exactly the
+    silent-wrongness class the versioned format exists to eliminate."""
     ptr = os.path.join(labels_dir, _POINTER)
     if not os.path.isfile(ptr):
+        if os.path.isdir(labels_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(labels_dir)
+        ):
+            raise ValueError(
+                f"{labels_dir} holds a legacy flat-parquet CC state (no"
+                f" {_POINTER} pointer); migrate it by moving the parquet"
+                f" files into {labels_dir}/state_v000000/ and writing"
+                f" 'state_v000000' to {labels_dir}/{_POINTER}"
+            )
         return None
     with open(ptr) as f:
         name = f.read().strip()
@@ -72,14 +87,22 @@ def _current_state_path(labels_dir: str) -> str | None:
 
 def cc_read_state(spark: SparkSession, labels_dir: str) -> DataFrame | None:
     """Read the committed label state (key string, label string); None if
-    no batch has committed yet."""
+    no batch has committed yet.
+
+    The returned DataFrame is LAZY and bound to the version directory
+    current at call time; commits keep one superseded version as a grace
+    window, so the handle survives exactly ONE subsequent
+    ``cc_ingest_batch`` — pin it (``localCheckpoint``) or collect before
+    ingesting further batches."""
     path = _current_state_path(labels_dir)
     return None if path is None else spark.read.parquet(path)
 
 
 def _commit_state(merged: DataFrame, labels_dir: str) -> None:
     """Write ``merged`` as a new state version and atomically swing the
-    pointer; GC the superseded version only after the swing."""
+    pointer; GC versions older than the immediately superseded one (kept
+    as the grace window for lazy cc_read_state handles) only after the
+    swing."""
     os.makedirs(labels_dir, exist_ok=True)
     prev = _current_state_path(labels_dir)
     ver = (
@@ -95,8 +118,10 @@ def _commit_state(merged: DataFrame, labels_dir: str) -> None:
     with open(tmp, "w") as f:
         f.write(new_name)
     os.replace(tmp, os.path.join(labels_dir, _POINTER))
-    if prev is not None:
-        shutil.rmtree(prev, ignore_errors=True)
+    keep = {new_name, os.path.basename(prev)} if prev else {new_name}
+    for entry in os.listdir(labels_dir):
+        if entry.startswith("state_v") and entry not in keep:
+            shutil.rmtree(os.path.join(labels_dir, entry), ignore_errors=True)
 
 
 def cc_ingest_batch(batch_df: DataFrame, labels_dir: str) -> None:

@@ -196,3 +196,43 @@ def test_shared_attr_name_typed_per_scope(spark, tmp_path):
     assert dict(back.edges_df.dtypes)["score"] == "double"
     assert back.node("a")["score"] == 7
     assert back.edge("a", "b")["score"] == 0.5
+
+
+def test_undirected_write_read_roundtrip_stable(spark, tmp_path):
+    """Review finding: a symmetrized (read-from-undirected) graph written
+    back with directed=False must emit ONE edge per unordered pair, so the
+    write->read round trip is stable instead of doubling edges."""
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_edge("a", "b", weight=2.0)
+    g.add_edge("b", "c", weight=3.0)
+    p1, p2 = str(tmp_path / "r1.graphml"), str(tmp_path / "r2.graphml")
+    nx.write_graphml(g, p1)
+    loaded = read_graphml(spark, p1)  # stores both orientations
+    assert loaded.n_edges == 4
+    write_graphml(loaded, p2, directed=False)
+    again = read_graphml(spark, p2)
+    assert again.n_edges == 4  # stable, not 8
+    assert sorted(again.neighbors("b")) == ["a", "c"]
+    # networkx reads our undirected output identically
+    nxg = nx.read_graphml(p2)
+    assert not nxg.is_directed() and sorted(nxg.edges()) == sorted(g.edges())
+
+
+def test_per_edge_directed_numeric_form(spark, tmp_path):
+    """xs:boolean '1' counts as directed=true on a per-edge override."""
+    p = str(tmp_path / "num.graphml")
+    with open(p, "w") as f:
+        f.write(
+            '<?xml version="1.0" encoding="utf-8"?>\n'
+            '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">\n'
+            '  <graph edgedefault="undirected">\n'
+            '    <node id="a"/><node id="b"/><node id="c"/>\n'
+            '    <edge source="a" target="b" directed="1"/>\n'
+            '    <edge source="b" target="c"/>\n'
+            "  </graph>\n</graphml>\n"
+        )
+    back = read_graphml(spark, p)
+    assert list(back.neighbors("b")) == ["c"]  # a->b NOT symmetrized
+    assert sorted(back.predecessors("b")) == ["a", "c"]

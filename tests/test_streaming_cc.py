@@ -196,3 +196,53 @@ def test_crash_between_write_and_commit_preserves_prior_state(spark):
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_legacy_flat_state_raises_instead_of_silently_resetting(spark):
+    """Review finding: a pre-versioning flat-parquet state directory must
+    RAISE (with migration instructions), not be treated as empty."""
+    import pytest
+
+    d = tempfile.mkdtemp(prefix="kb_cc_legacy_")
+    try:
+        spark.createDataFrame(
+            [("a", "a")], "key string, label string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/labels")
+        with pytest.raises(ValueError, match="legacy"):
+            cc_ingest_batch(
+                spark.createDataFrame([("a", "b")], "src string, dst string"),
+                f"{d}/labels",
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_read_state_handle_survives_one_commit(spark):
+    """GC keeps one superseded version: a lazy cc_read_state handle taken
+    before an ingest still collects afterwards (and older versions are
+    gone after two)."""
+    d = tempfile.mkdtemp(prefix="kb_cc_grace_")
+    try:
+        cc_ingest_batch(
+            spark.createDataFrame([("a", "b")], "src string, dst string"),
+            f"{d}/labels",
+        )
+        handle = cc_read_state(spark, f"{d}/labels")
+        cc_ingest_batch(
+            spark.createDataFrame([("c", "d")], "src string, dst string"),
+            f"{d}/labels",
+        )
+        assert sorted((r.key, r.label) for r in handle.collect()) == [
+            ("a", "a"),
+            ("b", "a"),
+        ]
+        cc_ingest_batch(
+            spark.createDataFrame([("e", "f")], "src string, dst string"),
+            f"{d}/labels",
+        )
+        vers = sorted(
+            e for e in os.listdir(f"{d}/labels") if e.startswith("state_v")
+        )
+        assert len(vers) == 2  # current + one grace version
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
