@@ -374,13 +374,17 @@ def make_media_codecs():
             b"DIB ", b"\x00\x00\x00\x00", b"00db",
         )
 
+    # built once per make_media_codecs() call (not per AVI): the factory
+    # builds the four canonical Huffman tables
+    from kinbaku_spark.operators.jpeg import make_jpeg_codec
+
+    _jpeg = make_jpeg_codec()
+    encode_jpeg, decode_jpeg = _jpeg["encode_jpeg"], _jpeg["decode_jpeg"]
+
     def encode_avi_mjpeg(frames, micro_sec_per_frame: int = 40000) -> bytes:
         """Motion-JPEG AVI encoder: one baseline JPEG (operators/jpeg.py)
         per '00dc' frame chunk, 'MJPG' stream handler + biCompression.
         Deterministic byte-for-byte (the JPEG encoder is)."""
-        from kinbaku_spark.operators.jpeg import make_jpeg_codec
-
-        encode_jpeg = make_jpeg_codec()["encode_jpeg"]
         fs = _check_frames(frames, "encode_avi_mjpeg")
         h, w = fs[0].shape[0], fs[0].shape[1]
         return _build_avi(
@@ -436,9 +440,6 @@ def make_media_codecs():
             raise ValueError("AVI: missing avih header")
         out = []
         if handler == b"MJPG":
-            from kinbaku_spark.operators.jpeg import make_jpeg_codec
-
-            decode_jpeg = make_jpeg_codec()["decode_jpeg"]
             for lo, size in frames:
                 frame = decode_jpeg(payload[lo:lo + size])
                 if frame.shape[0] != h or frame.shape[1] != w:

@@ -102,6 +102,10 @@ AC_CHROMA_VALS = [
 
 _EPS = 1e-9  # half-up tie bias absorbing ~1e-13 float DCT noise
 
+# decoded Huffman tables keyed by the raw DHT (bits+vals) bytes — an MJPEG
+# stream repeats the identical four tables in every frame's JPEG
+_DHT_CACHE: dict = {}
+
 
 def _zigzag():
     """(row, col) pairs in zigzag order, generated (not transcribed)."""
@@ -119,6 +123,10 @@ def _zigzag():
 ZIGZAG = _zigzag()
 assert ZIGZAG[:6] == [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2)]
 assert len(set(ZIGZAG)) == 64
+# flat raveled index of the j-th zigzag cell: a[r*8+c] — lets both codec
+# directions replace the 64-iteration per-block Python loop with one
+# numpy fancy-index (the decode hot spot in the census profile)
+_ZZ_FLAT = np.array([r * 8 + c for r, c in ZIGZAG])
 
 
 def _dct_matrix() -> np.ndarray:
@@ -250,7 +258,7 @@ def make_jpeg_codec():
         # is FLOOR(x + 0.5), so quantization must not round half away
         # from zero like libjpeg does
         q = _round_half_up(coeffs / qt).astype(np.int64)
-        zz = [int(q[r, c]) for r, c in ZIGZAG]
+        zz = q.ravel()[_ZZ_FLAT].tolist()
         # DC (DPCM)
         t, bits = _magnitude(zz[0] - prev_dc)
         code, length = dc_codes[t]
@@ -375,10 +383,11 @@ def make_jpeg_codec():
                     pq, tq = body[i] >> 4, body[i] & 0xF
                     if pq != 0:
                         raise ValueError("JPEG: 16-bit quant tables unsupported")
-                    qt = np.zeros((8, 8), np.int32)
-                    for j, (r, c) in enumerate(ZIGZAG):
-                        qt[r, c] = body[i + 1 + j]
-                    qts[tq] = qt
+                    qt = np.zeros(64, np.int64)
+                    qt[_ZZ_FLAT] = np.frombuffer(
+                        body, np.uint8, 64, i + 1
+                    ).astype(np.int64)
+                    qts[tq] = qt.reshape(8, 8)
                     i += 65
             elif marker in (0xC1, 0xC2, 0xC3):
                 raise ValueError("JPEG: only baseline (SOF0) supported")
@@ -397,12 +406,18 @@ def make_jpeg_codec():
                     cls, tid = body[i] >> 4, body[i] & 0xF
                     bits = list(body[i + 1:i + 17])
                     n = sum(bits)
-                    vals = list(body[i + 17:i + 17 + n])
-                    codes = _canonical_codes(bits, vals)
-                    # invert: (length, code) -> symbol
-                    huff[(cls, tid)] = {
-                        (length, code): sym for sym, (code, length) in codes.items()
-                    }
+                    key = bytes(body[i + 1:i + 17 + n])
+                    table = _DHT_CACHE.get(key)
+                    if table is None:
+                        vals = list(body[i + 17:i + 17 + n])
+                        codes = _canonical_codes(bits, vals)
+                        # invert: (length, code) -> symbol
+                        table = {
+                            (length, code): sym
+                            for sym, (code, length) in codes.items()
+                        }
+                        _DHT_CACHE[key] = table
+                    huff[(cls, tid)] = table
                     i += 17 + n
             elif marker == 0xDD:
                 raise ValueError("JPEG: restart intervals unsupported")
@@ -434,16 +449,20 @@ def make_jpeg_codec():
         bw_, bh_ = (w + 7) // 8, (h + 7) // 8
         planes = [np.zeros((bh_ * 8, bw_ * 8), np.float64) for _ in scan]
         prev = [0] * len(scan)
+        # resolve per-scan tables once; qt is pre-raveled into zigzag
+        # order so per-block dequant+unzigzag is one fancy-index
+        resolved = []
+        for ci, dct, act in scan:
+            dc_tab, ac_tab = huff.get((0, dct)), huff.get((1, act))
+            if dc_tab is None or ac_tab is None:
+                raise ValueError("JPEG: scan references missing DHT")
+            qt = qts.get(comps[ci][2])
+            if qt is None:
+                raise ValueError("JPEG: scan references missing DQT")
+            resolved.append((dc_tab, ac_tab, qt.ravel()[_ZZ_FLAT].astype(float)))
         for my in range(bh_):
             for mx in range(bw_):
-                for s, (ci, dct, act) in enumerate(scan):
-                    dc_tab = huff.get((0, dct))
-                    ac_tab = huff.get((1, act))
-                    if dc_tab is None or ac_tab is None:
-                        raise ValueError("JPEG: scan references missing DHT")
-                    qt = qts.get(comps[ci][2])
-                    if qt is None:
-                        raise ValueError("JPEG: scan references missing DQT")
+                for s, (dc_tab, ac_tab, qt_zz) in enumerate(resolved):
                     zz = [0] * 64
                     t = read_symbol(br, dc_tab)
                     diff = _extend(br.read_bits(t), t) if t else 0
@@ -465,10 +484,9 @@ def make_jpeg_codec():
                             raise ValueError("JPEG: AC run past block end")
                         zz[k] = _extend(br.read_bits(t), t)
                         k += 1
-                    f = np.zeros((8, 8), np.float64)
-                    for j, (r, c) in enumerate(ZIGZAG):
-                        f[r, c] = zz[j] * qt[r, c]
-                    block = _C.T @ f @ _C + 128.0
+                    f = np.zeros(64, np.float64)
+                    f[_ZZ_FLAT] = np.asarray(zz, np.float64) * qt_zz
+                    block = _C.T @ f.reshape(8, 8) @ _C + 128.0
                     planes[s][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = block
         planes = [p[:h, :w] for p in planes]
         if len(planes) == 1:
