@@ -81,3 +81,48 @@ def test_unknown_magic_rejected(junk):
         return  # could legitimately sniff as a real (truncated) format
     with pytest.raises(ValueError):
         CODECS["image_dims"](junk)
+
+
+# --------------------------------------------------------------- JPEG/MJPEG
+
+from kinbaku_spark.operators.jpeg import make_jpeg_codec
+
+_JPEG = make_jpeg_codec()
+
+
+@given(hw=dims, seed=st.integers(0, 2**31 - 1))
+@SETTINGS
+def test_jpeg_decodes_any_size_without_error_and_deterministically(hw, seed):
+    """JPEG is lossy, so the property is structural: any HxWx3 input
+    encodes to a stream our general decoder accepts, with the original
+    dimensions, uint8 range, and byte-identical re-encode (determinism —
+    the MJPEG AVI byte-level contract depends on it)."""
+    h, w = hw
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3), np.uint8)
+    payload = _JPEG["encode_jpeg"](img)
+    assert payload == _JPEG["encode_jpeg"](img.copy())
+    out = _JPEG["decode_jpeg"](payload)
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+
+
+@given(hw=dims, v=st.integers(0, 255))
+@SETTINGS
+def test_jpeg_constant_closed_form_property(hw, v):
+    """Constant inputs of ANY shape decode to the oracle's closed form
+    (padding to 8-multiples must not leak into the cropped output)."""
+    h, w = hw
+    out = _JPEG["decode_jpeg"](_JPEG["encode_jpeg"](np.full((h, w, 3), v, np.uint8)))
+    want = min(255, max(0, 2 * int(np.floor((v - 128) / 2 + 0.5)) + 128))
+    assert (out == want).all()
+
+
+@given(hw=dims, seed=st.integers(0, 2**31 - 1), nf=st.integers(1, 4))
+@SETTINGS
+def test_mjpeg_avi_roundtrip_structure(hw, seed, nf):
+    h, w = hw
+    rng = np.random.RandomState(seed)
+    frames = [rng.randint(0, 256, (h, w, 3), np.uint8) for _ in range(nf)]
+    usec, dw, dh, out = CODECS["decode_avi"](CODECS["encode_avi_mjpeg"](frames, 40000))
+    assert (usec, dw, dh, len(out)) == (40000, w, h, nf)
+    for f in out:
+        assert f.shape == (h, w, 3)
