@@ -422,3 +422,15 @@ def test_avi_unknown_codec_still_raises():
     h264 = avi.replace(b"MJPG", b"H264")
     with pytest.raises(ValueError):
         c["decode_avi"](h264)
+
+
+def test_jpeg_tolerates_fill_bytes_before_markers():
+    """T.81 B.1.1.2: 0xFF fill bytes may precede any marker; insert some
+    before DQT and the decoder must still parse the stream."""
+    import numpy as np
+
+    c = _jpeg()
+    good = c["encode_jpeg"](np.full((8, 8, 3), 40, np.uint8))
+    filled = good[:2] + b"\xff\xff" + good[2:]
+    out = c["decode_jpeg"](filled)
+    assert (out == c["decode_jpeg"](good)).all()
