@@ -381,15 +381,27 @@ def make_media_codecs():
     _jpeg = make_jpeg_codec()
     encode_jpeg, decode_jpeg = _jpeg["encode_jpeg"], _jpeg["decode_jpeg"]
 
-    def encode_avi_mjpeg(frames, micro_sec_per_frame: int = 40000) -> bytes:
+    def encode_avi_mjpeg(
+        frames,
+        micro_sec_per_frame: int = 40000,
+        subsampling: str = "444",
+        restart_interval: int = 0,
+    ) -> bytes:
         """Motion-JPEG AVI encoder: one baseline JPEG (operators/jpeg.py)
         per '00dc' frame chunk, 'MJPG' stream handler + biCompression.
+        ``subsampling``/``restart_interval`` pass through to the JPEG
+        encoder (4:2:0 + RSTn is what hardware MJPEG encoders emit).
         Deterministic byte-for-byte (the JPEG encoder is)."""
         fs = _check_frames(frames, "encode_avi_mjpeg")
         h, w = fs[0].shape[0], fs[0].shape[1]
         return _build_avi(
-            [encode_jpeg(f) for f in fs], w, h, int(micro_sec_per_frame),
-            b"MJPG", b"MJPG", b"00dc",
+            [
+                encode_jpeg(
+                    f, subsampling=subsampling, restart_interval=restart_interval
+                )
+                for f in fs
+            ],
+            w, h, int(micro_sec_per_frame), b"MJPG", b"MJPG", b"00dc",
         )
 
     def decode_avi(payload: bytes):

@@ -216,6 +216,20 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def sync_restart(self) -> int:
+        """Byte-align, scan past pad/stuffed bytes to the next RSTn
+        marker, consume it, and return n (0-7)."""
+        self.n = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00:
+                marker = self.data[self.pos + 1]
+                if 0xD0 <= marker <= 0xD7:
+                    self.pos += 2
+                    return marker - 0xD0
+                raise ValueError("JPEG: expected restart marker")
+            self.pos += 1
+        raise ValueError("JPEG: truncated at restart marker")
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """(category, raw bits) for a DC diff / AC coefficient."""
@@ -290,12 +304,28 @@ def make_jpeg_codec():
             bw.write(code, length)
         return zz[0]
 
-    def encode_jpeg(arr) -> bytes:
-        """HxWx3 uint8 RGB (or HxW grayscale) -> baseline JFIF bytes."""
+    def _downsample2x2(p: np.ndarray) -> np.ndarray:
+        """2x2 mean with the half-up discipline (edge-replicated to even
+        dims first) — the deterministic 4:2:0 chroma reduction."""
+        hh, ww = p.shape
+        pe = np.pad(p, ((0, hh % 2), (0, ww % 2)), mode="edge")
+        q = (pe[0::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 0::2] + pe[1::2, 1::2]) / 4.0
+        return _round_half_up(q)
+
+    def encode_jpeg(arr, subsampling: str = "444", restart_interval: int = 0) -> bytes:
+        """HxWx3 uint8 RGB (or HxW grayscale) -> baseline JFIF bytes.
+
+        ``subsampling``: "444" (one block per component per MCU) or "420"
+        (Y at 2x2 sampling, chroma 2x2-mean-downsampled — the dominant
+        real-world JPEG layout). ``restart_interval`` > 0 emits a DRI
+        segment and an RSTn marker every N MCUs (DC predictors reset) —
+        the resync machinery hardware MJPEG encoders emit."""
         a = np.asarray(arr, dtype=np.uint8)
         gray = a.ndim == 2
         if not gray and (a.ndim != 3 or a.shape[2] != 3):
             raise ValueError("encode_jpeg expects HxWx3 RGB or HxW gray")
+        if subsampling not in ("444", "420"):
+            raise ValueError("subsampling must be '444' or '420'")
         h, w = a.shape[0], a.shape[1]
         if gray:
             planes = [a.astype(np.float64)]
@@ -319,8 +349,19 @@ def make_jpeg_codec():
             return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
         ncomp = 1 if gray else 3
+        if gray:
+            factors = [(1, 1)]
+        elif subsampling == "420":
+            factors = [(2, 2), (1, 1), (1, 1)]
+            planes = [planes[0], _downsample2x2(planes[1]), _downsample2x2(planes[2])]
+        else:
+            factors = [(1, 1)] * 3
+        h_max = max(f[0] for f in factors)
+        v_max = max(f[1] for f in factors)
         sof_comps = b"".join(
-            bytes([cid + 1, 0x11, 0 if cid == 0 else 1]) for cid in range(ncomp)
+            bytes([cid + 1, (factors[cid][0] << 4) | factors[cid][1],
+                   0 if cid == 0 else 1])
+            for cid in range(ncomp)
         )
         sos_comps = b"".join(
             bytes([cid + 1, 0x00 if cid == 0 else 0x11]) for cid in range(ncomp)
@@ -339,20 +380,55 @@ def make_jpeg_codec():
                 if not gray
                 else b""
             )
+            + (
+                _seg(0xDD, struct.pack(">H", restart_interval))
+                if restart_interval
+                else b""
+            )
             + _seg(0xDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
         )
-        bw = _BitWriter()
+        mcu_cols = -(-w // (8 * h_max))
+        mcu_rows = -(-h // (8 * v_max))
         qts = [QT_LUMA] + [QT_CHROMA] * (ncomp - 1)
         tids = [0] + [1] * (ncomp - 1)
-        block_iters = [list(_blocks(p)) for p in planes]
+        # pad each plane to its MCU-grid extent (content dims first: the
+        # chroma planes were downsampled above)
+        padded = []
+        for c in range(ncomp):
+            fh, fv = factors[c]
+            ph, pw = mcu_rows * 8 * fv, mcu_cols * 8 * fh
+            p = planes[c]
+            padded.append(
+                np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+            )
+        bw = _BitWriter()
         prev = [0] * ncomp
-        for m in range(len(block_iters[0])):  # interleaved MCUs (4:4:4)
-            for c in range(ncomp):
-                dc_codes, ac_codes = enc_tables[tids[c]]
-                prev[c] = _encode_block(
-                    bw, block_iters[c][m], qts[c], dc_codes, ac_codes, prev[c]
-                )
-        return head + bw.flush() + b"\xff\xd9"
+        out = bytearray(head)
+        mcu_n = 0
+        rst = 0
+        for my in range(mcu_rows):
+            for mx in range(mcu_cols):
+                if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                    out += bw.flush()
+                    bw = _BitWriter()
+                    out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    prev = [0] * ncomp
+                for c in range(ncomp):
+                    fh, fv = factors[c]
+                    dc_codes, ac_codes = enc_tables[tids[c]]
+                    for by in range(fv):
+                        for bx in range(fh):
+                            r0 = (my * fv + by) * 8
+                            c0 = (mx * fh + bx) * 8
+                            block = padded[c][r0:r0 + 8, c0:c0 + 8]
+                            prev[c] = _encode_block(
+                                bw, block, qts[c], dc_codes, ac_codes, prev[c]
+                            )
+                mcu_n += 1
+        out += bw.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
 
     def decode_jpeg(payload: bytes):
         """Baseline JFIF bytes -> HxWx3 uint8 RGB (grayscale replicated
@@ -367,6 +443,7 @@ def make_jpeg_codec():
         comps: list[tuple[int, int, int]] = []  # (id, sampling, qt_id)
         scan: list[tuple[int, int, int]] = []  # (comp_idx, dc_tid, ac_tid)
         data_start = None
+        restart_interval = 0
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
                 raise ValueError("JPEG: marker sync lost")
@@ -401,8 +478,11 @@ def make_jpeg_codec():
                     raise ValueError("JPEG: only 8-bit precision supported")
                 for c in range(nc):
                     cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
-                    if samp != 0x11:
-                        raise ValueError("JPEG: subsampling unsupported (4:4:4 only)")
+                    fh, fv = samp >> 4, samp & 0xF
+                    if fh not in (1, 2) or fv not in (1, 2):
+                        raise ValueError(
+                            "JPEG: sampling factors beyond 2x2 unsupported"
+                        )
                     comps.append((cid, samp, tq))
             elif marker == 0xC4:
                 i = 0
@@ -424,7 +504,7 @@ def make_jpeg_codec():
                     huff[(cls, tid)] = table
                     i += 17 + n
             elif marker == 0xDD:
-                raise ValueError("JPEG: restart intervals unsupported")
+                (restart_interval,) = struct.unpack_from(">H", body, 0)
             elif marker == 0xDA:
                 ns = body[0]
                 for c in range(ns):
@@ -450,8 +530,20 @@ def make_jpeg_codec():
             raise ValueError("JPEG: invalid Huffman code")
 
         br = _BitReader(payload, data_start)
-        bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-        planes = [np.zeros((bh_ * 8, bw_ * 8), np.float64) for _ in scan]
+        # sampling-aware MCU geometry: comp i contributes fh x fv blocks
+        # per MCU; its plane is (mcu_rows*8*fv, mcu_cols*8*fh)
+        sfac = []
+        for ci, _dct, _act in scan:
+            samp = comps[ci][1]
+            sfac.append((samp >> 4, samp & 0xF))
+        h_max = max(f[0] for f in sfac)
+        v_max = max(f[1] for f in sfac)
+        mcu_cols = -(-w // (8 * h_max))
+        mcu_rows = -(-h // (8 * v_max))
+        planes = [
+            np.zeros((mcu_rows * 8 * fv, mcu_cols * 8 * fh), np.float64)
+            for fh, fv in sfac
+        ]
         prev = [0] * len(scan)
         # resolve per-scan tables once; qt is pre-raveled into zigzag
         # order so per-block dequant+unzigzag is one fancy-index
@@ -464,35 +556,63 @@ def make_jpeg_codec():
             if qt is None:
                 raise ValueError("JPEG: scan references missing DQT")
             resolved.append((dc_tab, ac_tab, qt.ravel()[_ZZ_FLAT].astype(float)))
-        for my in range(bh_):
-            for mx in range(bw_):
+
+        def read_block(s, dc_tab, ac_tab, qt_zz):
+            zz = [0] * 64
+            t = read_symbol(br, dc_tab)
+            diff = _extend(br.read_bits(t), t) if t else 0
+            prev[s] += diff
+            zz[0] = prev[s]
+            k = 1
+            while k < 64:
+                sym = read_symbol(br, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                run, t = sym >> 4, sym & 0xF
+                if t == 0:
+                    if run != 15:
+                        raise ValueError("JPEG: bad AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG: AC run past block end")
+                zz[k] = _extend(br.read_bits(t), t)
+                k += 1
+            f = np.zeros(64, np.float64)
+            f[_ZZ_FLAT] = np.asarray(zz, np.float64) * qt_zz
+            return _C.T @ f.reshape(8, 8) @ _C + 128.0
+
+        mcu_n = 0
+        for my in range(mcu_rows):
+            for mx in range(mcu_cols):
+                if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                    br.sync_restart()  # byte-align, consume RSTn
+                    for s in range(len(prev)):
+                        prev[s] = 0
                 for s, (dc_tab, ac_tab, qt_zz) in enumerate(resolved):
-                    zz = [0] * 64
-                    t = read_symbol(br, dc_tab)
-                    diff = _extend(br.read_bits(t), t) if t else 0
-                    prev[s] += diff
-                    zz[0] = prev[s]
-                    k = 1
-                    while k < 64:
-                        sym = read_symbol(br, ac_tab)
-                        if sym == 0x00:  # EOB
-                            break
-                        run, t = sym >> 4, sym & 0xF
-                        if t == 0:
-                            if run != 15:
-                                raise ValueError("JPEG: bad AC symbol")
-                            k += 16  # ZRL
-                            continue
-                        k += run
-                        if k > 63:
-                            raise ValueError("JPEG: AC run past block end")
-                        zz[k] = _extend(br.read_bits(t), t)
-                        k += 1
-                    f = np.zeros(64, np.float64)
-                    f[_ZZ_FLAT] = np.asarray(zz, np.float64) * qt_zz
-                    block = _C.T @ f.reshape(8, 8) @ _C + 128.0
-                    planes[s][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = block
-        planes = [p[:h, :w] for p in planes]
+                    fh, fv = sfac[s]
+                    for by in range(fv):
+                        for bx in range(fh):
+                            block = read_block(s, dc_tab, ac_tab, qt_zz)
+                            r0 = (my * fv + by) * 8
+                            c0 = (mx * fh + bx) * 8
+                            planes[s][r0:r0 + 8, c0:c0 + 8] = block
+                mcu_n += 1
+        # crop each plane to its content dims, then replicate-upsample the
+        # subsampled components to full resolution
+        full = []
+        for s, p in enumerate(planes):
+            fh, fv = sfac[s]
+            ch = -(-h * fv // v_max)
+            cw = -(-w * fh // h_max)
+            p = p[:ch, :cw]
+            if fv != v_max:
+                p = np.repeat(p, v_max // fv, axis=0)
+            if fh != h_max:
+                p = np.repeat(p, h_max // fh, axis=1)
+            full.append(p[:h, :w])
+        planes = full
         if len(planes) == 1:
             g = np.clip(_round_half_up(planes[0]), 0, 255).astype(np.uint8)
             return np.stack([g, g, g], axis=2)

@@ -324,8 +324,14 @@ def x_video_decode_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Motion-JPEG AVI (one baseline JPEG per '00dc' chunk — stdlib+numpy
     codec, operators/jpeg.py) and decoded back through the full entropy
     decoder: marker parse, DHT canonical rebuild, Huffman + EXTEND,
-    dequant, un-zigzag, float IDCT, YCbCr→RGB. JPEG is lossy, so the
-    oracle states the CLOSED FORM of the decoded constant value —
+    dequant, un-zigzag, float IDCT, YCbCr→RGB. EVEN doc_ids encode 4:4:4;
+    ODD doc_ids encode 4:2:0 with a 2-MCU restart interval — the
+    hardware-MJPEG layout — so the subsampled-MCU geometry, chroma
+    replicate-upsample, RSTn resync, and DC-predictor resets all sit
+    under the driver's hash gate (constant frames have identical closed
+    forms in both layouts: chroma is exactly 128 either way). JPEG is
+    lossy, so the oracle states the CLOSED FORM of the decoded constant
+    value —
     decoded(v) = clip(2*floor((v-128)/2 + 0.5) + 128) with the Annex-K
     luma q[0][0]=16 (derivation in operators/jpeg.py docstring) — and
     pixel_sum is exact over the sampled DECODED frames, so any entropy/
@@ -356,7 +362,11 @@ def x_video_decode_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _np.full((h, w, 3), (int(doc_id) * 7 + k * 31) % 251, _np.uint8)
                     for k in range(nf)
                 ]
-                du, dw, dh, decoded = _dec(_enc(frames, usec))  # real decode
+                if doc_id % 2 == 0:
+                    avi = _enc(frames, usec)  # 4:4:4, no restarts
+                else:
+                    avi = _enc(frames, usec, subsampling="420", restart_interval=2)
+                du, dw, dh, decoded = _dec(avi)  # real decode
                 # same sampler math as x_video_decode_real — keep in sync
                 frame_ms = max(du // 1000, 1)
                 duration_ms = frame_ms * len(decoded)

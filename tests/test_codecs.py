@@ -434,3 +434,49 @@ def test_jpeg_tolerates_fill_bytes_before_markers():
     filled = good[:2] + b"\xff\xff" + good[2:]
     out = c["decode_jpeg"](filled)
     assert (out == c["decode_jpeg"](good)).all()
+
+
+def test_jpeg_420_and_restart_markers():
+    """4:2:0 subsampling + DRI/RSTn: constant frames hit the same closed
+    form as 4:4:4 (chroma decodes to exactly 128 in both layouts);
+    position-dependent content through 4:2:0 stays bounded and restart
+    markers do not change the decoded pixels (DC reset round-trips)."""
+    import numpy as np
+
+    c = _jpeg()
+    for v in (0, 51, 128, 250):
+        out = c["decode_jpeg"](
+            c["encode_jpeg"](
+                np.full((9, 15, 3), v, np.uint8),
+                subsampling="420",
+                restart_interval=2,
+            )
+        )
+        want = min(255, max(0, 2 * int(np.floor((v - 128) / 2 + 0.5)) + 128))
+        assert (out == want).all(), (v, np.unique(out), want)
+    x, y = np.meshgrid(np.arange(40), np.arange(24))
+    img = np.stack(
+        [(x * 3 + y * 2) // 2, (x + y) // 2 + 60, x * 2], axis=2
+    ).astype(np.uint8)
+    plain = c["decode_jpeg"](c["encode_jpeg"](img, subsampling="420"))
+    rst = c["decode_jpeg"](
+        c["encode_jpeg"](img, subsampling="420", restart_interval=3)
+    )
+    assert (plain == rst).all()
+    assert np.abs(plain.astype(int) - img.astype(int)).max() <= 12
+
+
+def test_mjpeg_avi_420_restart_roundtrip():
+    import numpy as np
+
+    from kinbaku_spark.operators.codecs import make_media_codecs
+
+    c = make_media_codecs()
+    frames = [np.full((17, 33, 3), v, np.uint8) for v in (9, 130)]
+    usec, w, h, out = c["decode_avi"](
+        c["encode_avi_mjpeg"](frames, 40000, subsampling="420", restart_interval=2)
+    )
+    assert (usec, w, h, len(out)) == (40000, 33, 17, 2)
+    for f, v in zip(out, (9, 130)):
+        want = min(255, max(0, 2 * int(np.floor((v - 128) / 2 + 0.5)) + 128))
+        assert (f == want).all()
