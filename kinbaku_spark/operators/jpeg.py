@@ -2,17 +2,20 @@
 this environment — VERDICT r04 next-round #8, closing MJPEG the way
 DIB-AVI closed uncompressed video).
 
-Encoder: 4:4:4 (no chroma subsampling), ITU-T T.81 Annex K quantization
-tables (quality-50) and Annex K typical Huffman tables, full 2-D DCT on
-every 8x8 block, zigzag + DPCM-DC + run-length/magnitude Huffman entropy
-coding, 0xFF byte stuffing. Deterministic byte-for-byte.
+Encoder: 4:4:4 or 4:2:0 (half-up 2x2-mean chroma downsampling), ITU-T
+T.81 Annex K quantization tables (quality-50) and Annex K typical Huffman
+tables, full 2-D DCT on every 8x8 block, zigzag + DPCM-DC +
+run-length/magnitude Huffman entropy coding, 0xFF byte stuffing, optional
+DRI/RSTn restart intervals. Deterministic byte-for-byte.
 
-Decoder: general baseline decoder — parses DQT/SOF0/DHT/SOS, rebuilds the
-canonical Huffman codes from the DHT segments in the FILE (so any
-spec-valid table works, not just ours), entropy-decodes with EXTEND,
-dequantizes, un-zigzags, float IDCT, YCbCr->RGB. Supports 8-bit
-3-component 4:4:4 and 1-component grayscale; raises ValueError on
-progressive/subsampled/12-bit streams rather than guessing.
+Decoder: general baseline decoder — parses DQT/SOF0/DHT/SOS/DRI, rebuilds
+the canonical Huffman codes from the DHT segments in the FILE (so any
+spec-valid table works, not just ours), entropy-decodes with EXTEND and
+RSTn resync (byte-align + DC-predictor reset), dequantizes, un-zigzags,
+float IDCT, replicate-upsamples subsampled components, YCbCr->RGB.
+Supports 8-bit streams with sampling factors up to 2x2 (4:4:4, 4:2:0,
+4:2:2) and 1-component grayscale; raises ValueError on
+progressive/12-bit streams rather than guessing.
 
 Determinism contract (shared with the DuckDB oracles): every rounding is
 ``floor(x + 0.5 + 1e-9)`` — half-up with an epsilon that absorbs float
@@ -304,13 +307,16 @@ def make_jpeg_codec():
             bw.write(code, length)
         return zz[0]
 
-    def _downsample2x2(p: np.ndarray) -> np.ndarray:
-        """2x2 mean with the half-up discipline (edge-replicated to even
-        dims first) — the deterministic 4:2:0 chroma reduction."""
+    def _downsample(p: np.ndarray, fx: int, fy: int) -> np.ndarray:
+        """fx x fy mean with the half-up discipline (edge-replicated to
+        factor-multiple dims first) — the deterministic chroma reduction
+        (2x2 for 4:2:0, 2x1 for 4:2:2)."""
         hh, ww = p.shape
-        pe = np.pad(p, ((0, hh % 2), (0, ww % 2)), mode="edge")
-        q = (pe[0::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 0::2] + pe[1::2, 1::2]) / 4.0
-        return _round_half_up(q)
+        pe = np.pad(p, ((0, -hh % fy), (0, -ww % fx)), mode="edge")
+        acc = sum(
+            pe[dy::fy, dx::fx] for dy in range(fy) for dx in range(fx)
+        ) / float(fx * fy)
+        return _round_half_up(acc)
 
     def encode_jpeg(arr, subsampling: str = "444", restart_interval: int = 0) -> bytes:
         """HxWx3 uint8 RGB (or HxW grayscale) -> baseline JFIF bytes.
@@ -324,8 +330,8 @@ def make_jpeg_codec():
         gray = a.ndim == 2
         if not gray and (a.ndim != 3 or a.shape[2] != 3):
             raise ValueError("encode_jpeg expects HxWx3 RGB or HxW gray")
-        if subsampling not in ("444", "420"):
-            raise ValueError("subsampling must be '444' or '420'")
+        if subsampling not in ("444", "422", "420"):
+            raise ValueError("subsampling must be '444', '422', or '420'")
         h, w = a.shape[0], a.shape[1]
         if gray:
             planes = [a.astype(np.float64)]
@@ -353,7 +359,10 @@ def make_jpeg_codec():
             factors = [(1, 1)]
         elif subsampling == "420":
             factors = [(2, 2), (1, 1), (1, 1)]
-            planes = [planes[0], _downsample2x2(planes[1]), _downsample2x2(planes[2])]
+            planes = [planes[0]] + [_downsample(p, 2, 2) for p in planes[1:]]
+        elif subsampling == "422":
+            factors = [(2, 1), (1, 1), (1, 1)]
+            planes = [planes[0]] + [_downsample(p, 2, 1) for p in planes[1:]]
         else:
             factors = [(1, 1)] * 3
         h_max = max(f[0] for f in factors)

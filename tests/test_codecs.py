@@ -480,3 +480,28 @@ def test_mjpeg_avi_420_restart_roundtrip():
     for f, v in zip(out, (9, 130)):
         want = min(255, max(0, 2 * int(np.floor((v - 128) / 2 + 0.5)) + 128))
         assert (f == want).all()
+
+
+def test_jpeg_422_layout():
+    """4:2:2 (luma 2x1): constant closed form holds, gradients bounded,
+    arbitrary dims round-trip — exercises the asymmetric-sampling decode
+    geometry (horizontal chroma upsample only)."""
+    import numpy as np
+
+    c = _jpeg()
+    for v in (3, 128, 247):
+        out = c["decode_jpeg"](
+            c["encode_jpeg"](np.full((9, 15, 3), v, np.uint8), subsampling="422")
+        )
+        want = min(255, max(0, 2 * int(np.floor((v - 128) / 2 + 0.5)) + 128))
+        assert (out == want).all()
+    x, y = np.meshgrid(np.arange(40), np.arange(24))
+    img = np.stack(
+        [(x * 3 + y * 2) // 2, (x + y) // 2 + 60, x * 2], axis=2
+    ).astype(np.uint8)
+    out = c["decode_jpeg"](c["encode_jpeg"](img, subsampling="422"))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
+    for h, w in [(1, 1), (7, 9), (8, 17)]:
+        im3 = np.stack([((x[:h, :w] + y[:h, :w]) % 251).astype(np.uint8)] * 3, axis=2)
+        assert c["decode_jpeg"](c["encode_jpeg"](im3, subsampling="422")).shape == im3.shape
