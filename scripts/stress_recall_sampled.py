@@ -82,6 +82,50 @@ def run(spark, sf_dir: str, mod: int, reps: int = 2):
     return best, row, n_docs
 
 
+def sampled_emb_recall(spark, sf_dir: str, mod: int):
+    """x_dedup_embedding_recall_sampled with the modulus as the scale
+    knob (same contract as the simhash twin)."""
+    from kinbaku_spark.operators.similarity import (
+        embedding_near_duplicates,
+        embedding_near_duplicates_lsh,
+    )
+    from kinbaku_spark.queries.extensions import (
+        EMB_LSH_BANDS,
+        EMB_LSH_PLANES,
+        EMB_NEAR_DUP_THRESHOLD,
+        _pair_recall,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            F.pmod(md5_long(F.col("vec_id").cast("string")), F.lit(mod)) == 0
+        )
+        .localCheckpoint(eager=True)
+    )
+    truth = embedding_near_duplicates(emb, threshold=EMB_NEAR_DUP_THRESHOLD).select(
+        "vec_id_a", "vec_id_b"
+    )
+    lsh = embedding_near_duplicates_lsh(
+        emb,
+        threshold=EMB_NEAR_DUP_THRESHOLD,
+        planes=EMB_LSH_PLANES,
+        bands=EMB_LSH_BANDS,
+    ).select("vec_id_a", "vec_id_b")
+    return _pair_recall(truth, lsh, ["vec_id_a", "vec_id_b"], "n_truth", "n_lsh")
+
+
+def run_emb(spark, sf_dir: str, mod: int, reps: int = 2):
+    best, row = None, None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        rows = sampled_emb_recall(spark, sf_dir, mod).collect()
+        dt = time.perf_counter() - t0
+        if best is None or dt < best:
+            best, row = dt, rows[0]
+    return best, row
+
+
 if __name__ == "__main__":
     spark = get_spark(app_name="kb_recall_sampled_drill")
     if not os.path.exists(HUNDREDX):
@@ -91,6 +135,8 @@ if __name__ == "__main__":
 
     t_base, r_base, n_base = run(spark, BASE, 2)
     t_100x, r_100x, n_100x = run(spark, HUNDREDX, 200)
+    te_base, re_base = run_emb(spark, BASE, 2)
+    te_100x, re_100x = run_emb(spark, HUNDREDX, 200)
     lines = [
         "",
         "## Sampled recall monitor (scripts/stress_recall_sampled.py,"
@@ -114,6 +160,18 @@ if __name__ == "__main__":
         " scale drills). The stratum filter is a pushed-down predicate on"
         " the parquet scan, so the 100x run reads more input but"
         " shingles/compares the same ~2,500 docs.",
+        "",
+        "Embedding twin (`x_dedup_embedding_recall_sampled`, modulus"
+        " 2 -> 200 holding the vector stratum at ~1,000):",
+        "",
+        "| corpus | modulus | wall s | recall_ppm | n_truth |",
+        "|---|---|---|---|---|",
+        f"| sf0.1 (2,000 vecs) | 2 | {te_base:.2f} |"
+        f" {re_base['recall_ppm']} | {re_base['n_truth']} |",
+        f"| 100x (200,000 vecs) | 200 | {te_100x:.2f} |"
+        f" {re_100x['recall_ppm']} | {re_100x['n_truth']} |",
+        "",
+        f"Embedding time ratio at 100x: **{te_100x / te_base:.2f}x**.",
     ]
     with open(os.path.join(ROOT, "STRESS_PIPELINE_100X.md"), "a") as fh:
         fh.write("\n".join(lines) + "\n")
