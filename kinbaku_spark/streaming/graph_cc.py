@@ -132,12 +132,14 @@ def cc_ingest_batch(batch_df: DataFrame, labels_dir: str) -> None:
     from kinbaku_spark.operators.dedup import duplicate_clusters
 
     spark = batch_df.sparkSession
-    if batch_df.isEmpty():
-        return
     edges = batch_df.select("src", "dst").localCheckpoint(eager=True)
-    # batch size bound for every broadcast below: endpoints, the resolved
-    # label map, and the contraction relabel map are all <= 2x batch edges
-    hint = size_hint(2 * edges.count())
+    # one count on the checkpointed batch serves both the empty-batch
+    # early-out and the broadcast bound (endpoints, the resolved label
+    # map, and the contraction relabel map are all <= 2x batch edges)
+    n_edges = edges.count()
+    if n_edges == 0:
+        return
+    hint = size_hint(2 * n_edges)
     endpoints = (
         edges.select(F.col("src").alias("key"))
         .union(edges.select("dst"))
