@@ -157,12 +157,14 @@ def _canonical_codes(bits, vals):
     for length in range(1, 17):
         total = (total + bits[length - 1]) << 1
         for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                raise ValueError("JPEG: DHT value list shorter than counts")
             codes[vals[k]] = (code, length)
             code += 1
             k += 1
         code <<= 1
-    assert total <= (1 << 17), "invalid Huffman length counts"
-    assert k == len(vals) == sum(bits)
+    if total > (1 << 17) or k != len(vals) or k != sum(bits):
+        raise ValueError("JPEG: invalid Huffman length counts")
     return codes
 
 
@@ -439,10 +441,26 @@ def make_jpeg_codec():
         out += b"\xff\xd9"
         return bytes(out)
 
-    def decode_jpeg(payload: bytes):
+    def decode_jpeg(payload: bytes, max_pixels: int = 1 << 26):
         """Baseline JFIF bytes -> HxWx3 uint8 RGB (grayscale replicated
         to 3 channels). General: tables come from the file's own
-        DQT/DHT segments."""
+        DQT/DHT segments.
+
+        Hostile-input contract (the 100-TB executor-safety bar, fuzz-
+        locked in tests): any malformed payload raises ValueError — never
+        IndexError/StopIteration/struct.error — and declared dimensions
+        above ``max_pixels`` (default 2^26 ≈ an 8K×8K frame) raise before
+        any allocation, so a corrupted SOF cannot OOM an executor."""
+        try:
+            return _decode_jpeg(payload, max_pixels)
+        except (IndexError, StopIteration, struct.error) as e:
+            # a corrupted length/count walked past a buffer or table —
+            # the decoder boundary speaks ValueError only
+            raise ValueError(
+                f"JPEG: malformed stream ({type(e).__name__})"
+            ) from None
+
+    def _decode_jpeg(payload: bytes, max_pixels: int):
         if payload[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG")
         pos = 2
@@ -485,6 +503,11 @@ def make_jpeg_codec():
                 prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
                 if prec != 8:
                     raise ValueError("JPEG: only 8-bit precision supported")
+                if h == 0 or w == 0 or h * w > max_pixels:
+                    raise ValueError(
+                        f"JPEG: declared dimensions {w}x{h} outside the"
+                        f" decode bound (max_pixels={max_pixels})"
+                    )
                 for c in range(nc):
                     cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
                     fh, fv = samp >> 4, samp & 0xF

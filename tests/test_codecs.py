@@ -505,3 +505,47 @@ def test_jpeg_422_layout():
     for h, w in [(1, 1), (7, 9), (8, 17)]:
         im3 = np.stack([((x[:h, :w] + y[:h, :w]) % 251).astype(np.uint8)] * 3, axis=2)
         assert c["decode_jpeg"](c["encode_jpeg"](im3, subsampling="422")).shape == im3.shape
+
+
+def test_jpeg_fuzz_malformed_raises_valueerror_only():
+    """Executor-safety contract: byte-flipped or truncated payloads either
+    decode or raise ValueError — never IndexError/StopIteration/
+    struct.error (fuzz found all three before the decoder boundary was
+    hardened), and never an unbounded allocation."""
+    import random
+
+    import numpy as np
+
+    c = _jpeg()
+    good = c["encode_jpeg"](np.arange(192, dtype=np.uint8).reshape(8, 8, 3))
+    rng = random.Random(7)
+    for _ in range(1000):
+        b = bytearray(good)
+        for _ in range(rng.randint(1, 3)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            c["decode_jpeg"](bytes(b))
+        except ValueError:
+            pass
+    for cut in range(1, len(good), 7):
+        try:
+            c["decode_jpeg"](good[:cut])
+        except ValueError:
+            pass
+
+
+def test_jpeg_dimension_bomb_rejected_before_allocation():
+    """A corrupted SOF declaring 65535x65535 must raise on the declared
+    bound, not allocate ~100 GB of planes."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest
+
+    c = _jpeg()
+    good = bytearray(c["encode_jpeg"](np.full((8, 8, 3), 5, np.uint8)))
+    i = bytes(good).index(b"\xff\xc0")
+    # SOF0 body: len(2) prec(1) h(2) w(2) — patch h and w
+    good[i + 5:i + 9] = _struct.pack(">HH", 65535, 65535)
+    with pytest.raises(ValueError, match="decode bound"):
+        c["decode_jpeg"](bytes(good))
