@@ -153,7 +153,12 @@ def make_media_codecs():
         nch = _PNG_CHANNELS.get(color_type)
         if nch is None:
             raise ValueError(f"PNG: unknown color type {color_type}")
-        raw = zlib.decompress(b"".join(idat))
+        try:
+            raw = zlib.decompress(b"".join(idat))
+        except zlib.error as e:
+            # corrupted IDAT — the decoder boundary speaks ValueError only
+            # (fuzz-locked; same contract as decode_jpeg)
+            raise ValueError(f"PNG: corrupt compressed data ({e})") from None
         px = _png_unfilter(raw, w, h, nch)
         if color_type == 3:
             if plte is None:
@@ -283,12 +288,20 @@ def make_media_codecs():
         return buf.getvalue()
 
     def decode_wav(payload: bytes):
-        """PCM WAV decode → (sample_rate, n_frames, int16 numpy samples)."""
-        with wave.open(io.BytesIO(payload), "rb") as wf:
-            sr = wf.getframerate()
-            n = wf.getnframes()
-            width = wf.getsampwidth()
-            raw = wf.readframes(n)
+        """PCM WAV decode → (sample_rate, n_frames, int16 numpy samples).
+        Malformed headers raise ValueError (never the stdlib wave
+        module's Error/EOFError — fuzz-locked, same contract as
+        decode_jpeg)."""
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as wf:
+                sr = wf.getframerate()
+                n = wf.getnframes()
+                width = wf.getsampwidth()
+                raw = wf.readframes(n)
+        except (wave.Error, EOFError, RuntimeError) as e:
+            raise ValueError(
+                f"WAV: malformed stream ({type(e).__name__}: {e})"
+            ) from None
         if width != 2:
             raise ValueError("WAV: only 16-bit PCM supported")
         return int(sr), int(n), np.frombuffer(raw, np.int16)

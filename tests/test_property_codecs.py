@@ -126,3 +126,38 @@ def test_mjpeg_avi_roundtrip_structure(hw, seed, nf):
     assert (usec, dw, dh, len(out)) == (40000, w, h, nf)
     for f in out:
         assert f.shape == (h, w, 3)
+
+
+@given(
+    fmt=st.sampled_from(["png", "bmp", "wav", "avi", "mjpg"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=120, deadline=None)
+def test_all_decoders_raise_valueerror_only_on_byte_flips(fmt, seed):
+    """Executor-safety contract across every codec: a byte-flipped payload
+    either decodes or raises ValueError — no zlib.error, wave.Error,
+    EOFError, IndexError, or struct.error escapes the decode boundary."""
+    import random
+
+    rng = random.Random(seed)
+    img = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+    if fmt == "png":
+        good, dec = CODECS["encode_png"](img), CODECS["decode_png"]
+    elif fmt == "bmp":
+        good, dec = CODECS["encode_bmp"](img), CODECS["decode_bmp"]
+    elif fmt == "wav":
+        good, dec = (
+            CODECS["encode_wav"](np.arange(50, dtype=np.int16), 16000),
+            CODECS["decode_wav"],
+        )
+    elif fmt == "avi":
+        good, dec = CODECS["encode_avi"]([img]), CODECS["decode_avi"]
+    else:
+        good, dec = CODECS["encode_avi_mjpeg"]([img]), CODECS["decode_avi"]
+    b = bytearray(good)
+    for _ in range(rng.randint(1, 3)):
+        b[rng.randrange(len(b))] = rng.randrange(256)
+    try:
+        dec(bytes(b))
+    except ValueError:
+        pass
