@@ -128,7 +128,14 @@ def make_media_codecs():
         """Full PNG decode → (width, height, HxWxC uint8 pixels).
 
         Supports bit depth 8, color types 0/2/3/4/6, no interlace. Palette
-        images are expanded to RGB via PLTE."""
+        images are expanded to RGB via PLTE. Malformed input raises
+        ValueError only (fuzz-locked boundary, like every decoder here)."""
+        try:
+            return _decode_png(payload)
+        except (IndexError, struct.error) as e:
+            raise ValueError(f"PNG: malformed stream ({type(e).__name__})") from None
+
+    def _decode_png(payload: bytes):
         if payload[:8] != _PNG_MAGIC:
             raise ValueError("not a PNG")
         pos, idat, ihdr, plte = 8, [], None, None
@@ -188,7 +195,14 @@ def make_media_codecs():
         return header + dib + bytes(body)
 
     def decode_bmp(payload: bytes):
-        """Uncompressed 24/32-bit BMP decode → (width, height, HxWx3 uint8)."""
+        """Uncompressed 24/32-bit BMP decode → (width, height, HxWx3 uint8).
+        Malformed input raises ValueError only (fuzz-locked boundary)."""
+        try:
+            return _decode_bmp(payload)
+        except (IndexError, struct.error) as e:
+            raise ValueError(f"BMP: malformed stream ({type(e).__name__})") from None
+
+    def _decode_bmp(payload: bytes):
         if payload[:2] != b"BM":
             raise ValueError("not a BMP")
         (pixel_off,) = struct.unpack_from("<I", payload, 10)
@@ -238,6 +252,186 @@ def make_media_codecs():
             raise ValueError("not a GIF")
         w, h = struct.unpack_from("<HH", payload, 6)
         return int(w), int(h)
+
+    # ----------------------------------------------------------------- GIF
+    # Real LZW both directions (round 5): GIF is LOSSLESS, so unlike JPEG
+    # the decode oracle is exact pixel replay — the same contract as
+    # PNG/BMP. Grayscale identity palette on encode; decode honors any
+    # global palette. Single-frame, non-interlaced, no local color tables.
+
+    def encode_gif(arr) -> bytes:
+        """HxW uint8 grayscale -> GIF89a with a 256-entry identity
+        palette and real LZW compression. Deterministic byte-for-byte."""
+        a = np.asarray(arr, dtype=np.uint8)
+        if a.ndim != 2:
+            raise ValueError("encode_gif expects an HxW grayscale array")
+        h, w = a.shape
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HH", w, h)
+        out += bytes([0xF7, 0, 0])  # global table, 8-bit, 256 entries
+        for i in range(256):
+            out += bytes([i, i, i])  # identity grayscale palette
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        mcs = 8  # min LZW code size for 8-bit pixels
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        # LZW encode (LSB-first bit packing, growing code width, 12-bit cap)
+        bits = bytearray()
+        acc = n = 0
+
+        def emit(code, width):
+            nonlocal acc, n
+            acc |= code << n
+            n += width
+            while n >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                n -= 8
+
+        table = {bytes([i]): i for i in range(1 << mcs)}
+        next_code = end + 1
+        width = mcs + 1
+        emit(clear, width)
+        pixels = a.tobytes()
+        cur = b""
+        for px in pixels:
+            nxt = cur + bytes([px])
+            if nxt in table:
+                cur = nxt
+                continue
+            emit(table[cur], width)
+            if next_code < (1 << 12):
+                table[nxt] = next_code
+                next_code += 1
+                if next_code - 1 == (1 << width) and width < 12:
+                    width += 1
+            else:  # table full: reset (keeps the stream simple + valid)
+                emit(clear, width)
+                table = {bytes([i]): i for i in range(1 << mcs)}
+                next_code = end + 1
+                width = mcs + 1
+            cur = bytes([px])
+        if cur:
+            emit(table[cur], width)
+        emit(end, width)
+        if n:
+            bits.append(acc & 0xFF)
+        out += bytes([mcs])
+        for i in range(0, len(bits), 255):
+            chunk = bits[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00\x3b"
+        return bytes(out)
+
+    def decode_gif(payload: bytes):
+        """GIF89a -> (width, height, HxWx3 uint8 RGB via the palette).
+        Full LZW decode (growing widths, clear/end codes, the cScSc
+        special case); extensions skipped; first image frame decoded;
+        interlace unsupported (raises). Malformed input raises ValueError
+        (same contract as every decoder here)."""
+        try:
+            return _decode_gif(payload)
+        except (IndexError, struct.error) as e:
+            raise ValueError(f"GIF: malformed stream ({type(e).__name__})") from None
+
+    def _decode_gif(payload: bytes):
+        if payload[:6] not in (b"GIF89a", b"GIF87a"):
+            raise ValueError("not a GIF")
+        w, h = struct.unpack_from("<HH", payload, 6)
+        flags, _bg, _aspect = payload[10], payload[11], payload[12]
+        pos = 13
+        palette = None
+        if flags & 0x80:
+            size = 2 << (flags & 0x07)
+            palette = np.frombuffer(
+                payload, np.uint8, size * 3, pos
+            ).reshape(size, 3)
+            pos += size * 3
+        while pos < len(payload):
+            b0 = payload[pos]
+            if b0 == 0x3B:  # trailer
+                raise ValueError("GIF: no image data before trailer")
+            if b0 == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:
+                raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
+            left, top, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+            iflags = payload[pos + 9]
+            pos += 10
+            if iflags & 0x40:
+                raise ValueError("GIF: interlaced images unsupported")
+            if iflags & 0x80:
+                size = 2 << (iflags & 0x07)
+                palette = np.frombuffer(
+                    payload, np.uint8, size * 3, pos
+                ).reshape(size, 3)
+                pos += size * 3
+            if palette is None:
+                raise ValueError("GIF: no color table")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            # LZW decode
+            clear, end = 1 << mcs, (1 << mcs) + 1
+            acc = n = bit = 0
+            width = mcs + 1
+            table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+            out = bytearray()
+            prev = None
+            i = 0
+            while True:
+                while n < width:
+                    if i >= len(data):
+                        raise ValueError("GIF: truncated LZW stream")
+                    acc |= data[i] << n
+                    n += 8
+                    i += 1
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                n -= width
+                if code == clear:
+                    table = [bytes([j]) for j in range(1 << mcs)] + [b"", b""]
+                    width = mcs + 1
+                    prev = None
+                    continue
+                if code == end:
+                    break
+                if prev is None:
+                    if code >= len(table):
+                        raise ValueError("GIF: bad first LZW code")
+                    entry = table[code]
+                elif code < len(table):
+                    entry = table[code]
+                    if len(table) < (1 << 12):
+                        table.append(prev + entry[:1])
+                elif code == len(table):  # cScSc
+                    entry = prev + prev[:1]
+                    if len(table) < (1 << 12):
+                        table.append(entry)
+                else:
+                    raise ValueError("GIF: LZW code out of range")
+                out += entry
+                prev = entry
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+                if len(out) >= iw * ih:
+                    # some encoders omit the explicit end code
+                    break
+            if len(out) < iw * ih:
+                raise ValueError("GIF: LZW output short of image size")
+            idx = np.frombuffer(bytes(out[:iw * ih]), np.uint8).reshape(ih, iw)
+            if int(idx.max(initial=0)) >= palette.shape[0]:
+                raise ValueError("GIF: pixel index outside the color table")
+            return int(w), int(h), palette[idx]
+        raise ValueError("GIF: truncated before image data")
 
     # --------------------------------------------------------------- sniff
 
@@ -489,6 +683,8 @@ def make_media_codecs():
         "decode_bmp": decode_bmp,
         "decode_jpeg_dims": decode_jpeg_dims,
         "decode_gif_dims": decode_gif_dims,
+        "encode_gif": encode_gif,
+        "decode_gif": decode_gif,
         "image_dims": image_dims,
         "image_pixels": image_pixels,
         "encode_wav": encode_wav,

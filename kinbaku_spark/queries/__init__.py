@@ -126,13 +126,14 @@ except ImportError:  # extensions land incrementally
 # Round-5 rotation (VERDICT r04 next-round #2): 195/279 unique entries are
 # driver-green over rounds 1-4 with 0 failures; those stay green via the
 # local replica gate (tests/test_oracle_parity.py). This round's 50-entry
-# window front-loads (a) the five entries that are new or whose engine
+# window front-loads (a) the six entries that are new or whose engine
 # path changed this round (g_cc_incremental rides the new convergent CC
 # kernel + versioned state; x_dedup_recall_sampled,
-# x_dedup_embedding_lsh_wide, x_video_decode_mjpeg, and
-# x_dedup_embedding_recall_sampled are new registrations), then (b) 45
-# never-driver-checked entries that NO party has verified beyond the local
-# replica — the stats/mlprep/mining/timeseries tail the r04 judge named.
+# x_dedup_embedding_lsh_wide, x_video_decode_mjpeg,
+# x_dedup_embedding_recall_sampled, and x_image_decode_gif are new
+# registrations), then (b) 44 never-driver-checked entries that NO party
+# has verified beyond the local replica — the
+# stats/mlprep/mining/timeseries tail the r04 judge named.
 # The 19 entries the r03/r04 judges personally oracle-spot-checked
 # (g_closeness, g_ppr_seeded, x_dedup_probe, x_ks_statistic,
 # x_stationary_markov, x_doc_lm_score, x_rrf_fusion, x_histogram_equidepth,
@@ -147,6 +148,7 @@ _PRIORITY = [
     "x_dedup_embedding_lsh_wide",
     "x_video_decode_mjpeg",
     "x_dedup_embedding_recall_sampled",
+    "x_image_decode_gif",
     "x_mad_outliers",
     "x_cusum_changepoint",
     "x_autocorrelation",

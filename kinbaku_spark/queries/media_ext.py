@@ -469,12 +469,88 @@ GROUP BY doc_id
 """
 
 
+def x_image_decode_gif(spark, sf_dir):
+    """Real GIF decode through the LZW codec (operators/codecs.py
+    encode_gif/decode_gif, round 5): each document synthesizes a
+    POSITION-DEPENDENT grayscale image — pixel(y, x) = (doc_id % 251 + x
+    + y) % 256, width = n_chars % 31 + 1, height = n_chars % 17 + 1 —
+    encodes it as a GIF89a (identity palette, real LZW), decodes it back,
+    and emits the decoded dims + exact pixel sum. GIF is LOSSLESS, so
+    unlike the JPEG query the oracle replays the position-dependent sum
+    exactly (generate_series cross join) — a wrong LZW width bump, a
+    broken cScSc case, or a palette mix-up breaks the value hash.
+
+    Scale notes: one mapInPandas pass, payload bytes never leave the
+    executor — identical shape to the PNG/BMP decode query."""
+    from kinbaku_spark.operators.codecs import make_media_codecs
+
+    codecs = make_media_codecs()
+    _enc, _dec = codecs["encode_gif"], codecs["decode_gif"]
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, ws, hs, sums = [], [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(n_chars) % 31 + 1
+                h = int(n_chars) % 17 + 1
+                v = int(doc_id) % 251
+                img = (
+                    (v + _np.add.outer(_np.arange(h), _np.arange(w))) % 256
+                ).astype(_np.uint8)
+                dw, dh, px = _dec(_enc(img))  # real LZW decode
+                ids.append(int(doc_id))
+                ws.append(int(dw))
+                hs.append(int(dh))
+                sums.append(int(px.astype(_np.int64).sum()))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "width": _pd.Series(ws, dtype="int32"),
+                    "height": _pd.Series(hs, dtype="int32"),
+                    "pixel_sum": _pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return docs.mapInPandas(
+        roundtrip, "doc_id bigint, width int, height int, pixel_sum bigint"
+    )
+
+
+X_IMAGE_DECODE_GIF_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         n_chars % 31 + 1 AS w,
+         n_chars % 17 + 1 AS h,
+         doc_id % 251 AS v
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, w, h,
+         (v + xx.x + yy.y) % 256 AS px
+  FROM p,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xx,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) yy
+)
+SELECT doc_id,
+  CAST(MAX(w) AS INT) AS width,
+  CAST(MAX(h) AS INT) AS height,
+  CAST(SUM(px) * 3 AS BIGINT) AS pixel_sum
+FROM cells
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "x_image_decode_real": x_image_decode_real,
     "x_audio_decode_real": x_audio_decode_real,
     "x_image_resize_real": x_image_resize_real,
     "x_video_decode_real": x_video_decode_real,
     "x_video_decode_mjpeg": x_video_decode_mjpeg,
+    "x_image_decode_gif": x_image_decode_gif,
 }
 
 ORACLES = {
@@ -483,4 +559,5 @@ ORACLES = {
     "x_image_resize_real": X_IMAGE_RESIZE_REAL_SQL,
     "x_video_decode_real": X_VIDEO_DECODE_REAL_SQL,
     "x_video_decode_mjpeg": X_VIDEO_DECODE_MJPEG_SQL,
+    "x_image_decode_gif": X_IMAGE_DECODE_GIF_SQL,
 }

@@ -549,3 +549,42 @@ def test_jpeg_dimension_bomb_rejected_before_allocation():
     good[i + 5:i + 9] = _struct.pack(">HH", 65535, 65535)
     with pytest.raises(ValueError, match="decode bound"):
         c["decode_jpeg"](bytes(good))
+
+
+def test_gif_lzw_roundtrip_lossless():
+    """GIF is lossless: encode->decode must be pixel-exact, including
+    shapes that force LZW width growth and the 12-bit table reset."""
+    import numpy as np
+
+    from kinbaku_spark.operators.codecs import make_media_codecs
+
+    c = make_media_codecs()
+    rng = np.random.RandomState(1)
+    for h, w in [(1, 1), (3, 5), (17, 31), (64, 64)]:
+        img = rng.randint(0, 256, (h, w), np.uint8)
+        dw, dh, px = c["decode_gif"](c["encode_gif"](img))
+        assert (dw, dh) == (w, h)
+        assert (px == np.stack([img] * 3, axis=2)).all()
+    # long uniform runs exercise width bumps and the table-full reset
+    big = np.full((120, 120), 9, np.uint8)
+    _, _, px = c["decode_gif"](c["encode_gif"](big))
+    assert (px == 9).all()
+
+
+def test_gif_cscsc_special_case_and_errors():
+    """The LZW code==next_index (cScSc) path decodes correctly (ababab
+    patterns hit it), and malformed inputs raise ValueError."""
+    import numpy as np
+    import pytest
+
+    from kinbaku_spark.operators.codecs import make_media_codecs
+
+    c = make_media_codecs()
+    ab = np.tile(np.array([[65, 66]], np.uint8), (4, 8))
+    _, _, px = c["decode_gif"](c["encode_gif"](ab))
+    assert (px[:, :, 0] == ab).all()
+    good = c["encode_gif"](ab)
+    with pytest.raises(ValueError):
+        c["decode_gif"](b"NOTGIF")
+    with pytest.raises(ValueError):
+        c["decode_gif"](good[:20])

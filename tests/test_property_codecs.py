@@ -129,7 +129,7 @@ def test_mjpeg_avi_roundtrip_structure(hw, seed, nf):
 
 
 @given(
-    fmt=st.sampled_from(["png", "bmp", "wav", "avi", "mjpg"]),
+    fmt=st.sampled_from(["png", "bmp", "wav", "avi", "mjpg", "gif"]),
     seed=st.integers(0, 2**31 - 1),
 )
 @settings(max_examples=120, deadline=None)
@@ -152,6 +152,8 @@ def test_all_decoders_raise_valueerror_only_on_byte_flips(fmt, seed):
         )
     elif fmt == "avi":
         good, dec = CODECS["encode_avi"]([img]), CODECS["decode_avi"]
+    elif fmt == "gif":
+        good, dec = CODECS["encode_gif"](img[:, :, 0]), CODECS["decode_gif"]
     else:
         good, dec = CODECS["encode_avi_mjpeg"]([img]), CODECS["decode_avi"]
     b = bytearray(good)
@@ -161,3 +163,13 @@ def test_all_decoders_raise_valueerror_only_on_byte_flips(fmt, seed):
         dec(bytes(b))
     except ValueError:
         pass
+
+
+@given(hw=dims, seed=st.integers(0, 2**31 - 1))
+@SETTINGS
+def test_gif_roundtrip_any_size(hw, seed):
+    h, w = hw
+    img = np.random.RandomState(seed).randint(0, 256, (h, w), np.uint8)
+    dw, dh, px = CODECS["decode_gif"](CODECS["encode_gif"](img))
+    assert (dw, dh) == (w, h)
+    assert (px[:, :, 0] == img).all()
