@@ -191,6 +191,7 @@ EXTENSION_HEADLINE = [
     "x_dedup_embedding_lsh_wide",
     "x_dedup_embedding_recall_sampled",
     "x_video_decode_mjpeg",
+    "x_image_decode_gif",
 ]
 
 

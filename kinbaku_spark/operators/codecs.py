@@ -461,12 +461,17 @@ def make_media_codecs():
         raise ValueError("unknown image format (magic bytes not recognized)")
 
     def image_pixels(payload: bytes):
-        """Full pixel decode for the formats that support it (PNG, BMP)."""
+        """Full pixel decode for the formats that support it
+        (PNG, BMP, GIF, JPEG)."""
         if payload[:8] == _PNG_MAGIC:
             return decode_png(payload)[2]
         if payload[:2] == b"BM":
             return decode_bmp(payload)[2]
-        raise ValueError("pixel decode supports PNG and BMP payloads")
+        if payload[:4] == b"GIF8":
+            return decode_gif(payload)[2]
+        if payload[:2] == b"\xff\xd8":
+            return decode_jpeg(payload)
+        raise ValueError("pixel decode supports PNG/BMP/GIF/JPEG payloads")
 
     # ----------------------------------------------------------------- WAV
 
@@ -685,6 +690,8 @@ def make_media_codecs():
         "decode_gif_dims": decode_gif_dims,
         "encode_gif": encode_gif,
         "decode_gif": decode_gif,
+        "encode_jpeg": encode_jpeg,
+        "decode_jpeg": decode_jpeg,
         "image_dims": image_dims,
         "image_pixels": image_pixels,
         "encode_wav": encode_wav,

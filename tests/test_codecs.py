@@ -588,3 +588,20 @@ def test_gif_cscsc_special_case_and_errors():
         c["decode_gif"](b"NOTGIF")
     with pytest.raises(ValueError):
         c["decode_gif"](good[:20])
+
+
+def test_image_pixels_sniffs_gif_and_jpeg():
+    """The sniffing decoder now covers all four image formats, so every
+    image query/stream built on image_pixels gains GIF/JPEG transparently."""
+    import numpy as np
+
+    from kinbaku_spark.operators.codecs import make_media_codecs
+
+    c = make_media_codecs()
+    g = (np.add.outer(np.arange(9), np.arange(12)) % 256).astype(np.uint8)
+    px = c["image_pixels"](c["encode_gif"](g))
+    assert (px[:, :, 0] == g).all()  # lossless
+    v = 44
+    px = c["image_pixels"](c["encode_jpeg"](np.full((8, 8, 3), v, np.uint8)))
+    want = min(255, max(0, 2 * int(np.floor((v - 128) / 2 + 0.5)) + 128))
+    assert (px == want).all()
