@@ -32,6 +32,12 @@ stdlib-expressible formats.
 
 from __future__ import annotations
 
+# executor-safety decode bound shared by the pixel decoders (the JPEG
+# decoder takes it as its max_pixels default): hostile payloads declaring
+# giant dimensions raise BEFORE any allocation — 2^26 pixels covers an
+# 8K x 8K frame
+MAX_PIXELS = 1 << 26
+
 
 def make_media_codecs():
     """Build the codec namespace as self-contained closures (see module
@@ -160,12 +166,23 @@ def make_media_codecs():
         nch = _PNG_CHANNELS.get(color_type)
         if nch is None:
             raise ValueError(f"PNG: unknown color type {color_type}")
+        if w == 0 or h == 0 or w * h > MAX_PIXELS:
+            raise ValueError(
+                f"PNG: declared dimensions {w}x{h} outside the decode"
+                f" bound (max {MAX_PIXELS} pixels)"
+            )
+        expected = h * (w * nch + 1)
         try:
-            raw = zlib.decompress(b"".join(idat))
+            # bounded inflate: a zlib bomb cannot expand past the size the
+            # declared dimensions require (+1 so overrun is detectable)
+            d = zlib.decompressobj()
+            raw = d.decompress(b"".join(idat), expected + 1)
         except zlib.error as e:
             # corrupted IDAT — the decoder boundary speaks ValueError only
             # (fuzz-locked; same contract as decode_jpeg)
             raise ValueError(f"PNG: corrupt compressed data ({e})") from None
+        if len(raw) > expected:
+            raise ValueError("PNG: inflated size exceeds dimensions")
         px = _png_unfilter(raw, w, h, nch)
         if color_type == 3:
             if plte is None:
@@ -337,7 +354,12 @@ def make_media_codecs():
         if payload[:6] not in (b"GIF89a", b"GIF87a"):
             raise ValueError("not a GIF")
         w, h = struct.unpack_from("<HH", payload, 6)
-        flags, _bg, _aspect = payload[10], payload[11], payload[12]
+        if w == 0 or h == 0 or w * h > MAX_PIXELS:
+            raise ValueError(
+                f"GIF: declared dimensions {w}x{h} outside the decode"
+                f" bound (max {MAX_PIXELS} pixels)"
+            )
+        flags, bg_index, _aspect = payload[10], payload[11], payload[12]
         pos = 13
         palette = None
         if flags & 0x80:
@@ -363,6 +385,11 @@ def make_media_codecs():
             pos += 10
             if iflags & 0x40:
                 raise ValueError("GIF: interlaced images unsupported")
+            if iw == 0 or ih == 0 or left + iw > w or top + ih > h:
+                raise ValueError(
+                    f"GIF: frame rect {iw}x{ih}@({left},{top}) outside the"
+                    f" {w}x{h} logical screen"
+                )
             if iflags & 0x80:
                 size = 2 << (iflags & 0x07)
                 palette = np.frombuffer(
@@ -430,7 +457,14 @@ def make_media_codecs():
             idx = np.frombuffer(bytes(out[:iw * ih]), np.uint8).reshape(ih, iw)
             if int(idx.max(initial=0)) >= palette.shape[0]:
                 raise ValueError("GIF: pixel index outside the color table")
-            return int(w), int(h), palette[idx]
+            # composite the frame onto the logical screen at its offset
+            # (background-index canvas), so the returned dims and the
+            # array always agree — optimized GIFs carry sub-rect frames
+            canvas = np.full(
+                (h, w), min(int(bg_index), palette.shape[0] - 1), np.uint8
+            )
+            canvas[top:top + ih, left:left + iw] = idx
+            return int(w), int(h), palette[canvas]
         raise ValueError("GIF: truncated before image data")
 
     # --------------------------------------------------------------- sniff

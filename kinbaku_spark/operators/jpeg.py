@@ -106,8 +106,11 @@ AC_CHROMA_VALS = [
 _EPS = 1e-9  # half-up tie bias absorbing ~1e-13 float DCT noise
 
 # decoded Huffman tables keyed by the raw DHT (bits+vals) bytes — an MJPEG
-# stream repeats the identical four tables in every frame's JPEG
+# stream repeats the identical four tables in every frame's JPEG. Bounded:
+# past the cap new tables are built per decode instead of cached (correct,
+# just slower), so per-image optimized tables cannot leak memory forever.
 _DHT_CACHE: dict = {}
+_DHT_CACHE_MAX = 256
 
 
 def _zigzag():
@@ -260,16 +263,6 @@ def make_jpeg_codec():
         1: (_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
             _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)),
     }
-
-    def _blocks(plane: np.ndarray):
-        """Pad to 8-multiples by edge replication; yield 8x8 blocks in
-        raster order."""
-        h, w = plane.shape
-        ph, pw = -h % 8, -w % 8
-        p = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
-        for by in range(0, h + ph, 8):
-            for bx in range(0, w + pw, 8):
-                yield p[by:by + 8, bx:bx + 8]
 
     def _encode_block(bw, block, qt, dc_codes, ac_codes, prev_dc):
         coeffs = _C @ (block.astype(np.float64) - 128.0) @ _C.T
@@ -532,18 +525,31 @@ def make_jpeg_codec():
                             (length, code): sym
                             for sym, (code, length) in codes.items()
                         }
-                        _DHT_CACHE[key] = table
+                        # bounded cache: MJPEG repeats the same 4 tables
+                        # per frame (the hit case); per-image optimized
+                        # tables — or a hostile DHT spam — must not grow
+                        # executor memory forever
+                        if len(_DHT_CACHE) < _DHT_CACHE_MAX:
+                            _DHT_CACHE[key] = table
                     huff[(cls, tid)] = table
                     i += 17 + n
             elif marker == 0xDD:
                 (restart_interval,) = struct.unpack_from(">H", body, 0)
             elif marker == 0xDA:
                 ns = body[0]
+                # T.81 baseline bounds Ns <= 4; without this, a tiny
+                # hostile SOS declaring 255 (possibly duplicate) component
+                # refs would allocate 255 full-size planes below and
+                # defeat the max_pixels guard
+                if ns == 0 or ns > 4:
+                    raise ValueError(f"JPEG: SOS component count {ns} invalid")
                 for c in range(ns):
                     cid, tt = body[1 + 2 * c], body[2 + 2 * c]
                     idx = next(
                         i for i, (id_, _, _) in enumerate(comps) if id_ == cid
                     )
+                    if any(s[0] == idx for s in scan):
+                        raise ValueError("JPEG: duplicate component in SOS")
                     scan.append((idx, tt >> 4, tt & 0xF))
                 data_start = pos + 2 + seglen
                 break

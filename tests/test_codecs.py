@@ -605,3 +605,97 @@ def test_image_pixels_sniffs_gif_and_jpeg():
     px = c["image_pixels"](c["encode_jpeg"](np.full((8, 8, 3), v, np.uint8)))
     want = min(255, max(0, 2 * int(np.floor((v - 128) / 2 + 0.5)) + 128))
     assert (px == want).all()
+
+
+def test_jpeg_sos_component_spam_rejected():
+    """A hostile SOS declaring many (or duplicate) component refs must
+    raise, not allocate one full-size plane per ref (review finding: 255
+    refs x 8192x8192 float64 = 127 GiB)."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest
+
+    c = _jpeg()
+    good = bytearray(c["encode_jpeg"](np.full((8, 8, 3), 5, np.uint8)))
+    i = bytes(good).index(b"\xff\xda")
+    # rewrite SOS: ns=255 (length field grows accordingly)
+    ns = 255
+    sos_body = bytes([ns]) + b"".join(bytes([1, 0x00]) for _ in range(ns)) + b"\x00\x3f\x00"
+    (old_len,) = _struct.unpack_from(">H", bytes(good), i + 2)
+    patched = bytes(good[:i + 2]) + _struct.pack(">H", len(sos_body) + 2) + sos_body + bytes(good[i + 2 + old_len:])
+    with pytest.raises(ValueError, match="component"):
+        c["decode_jpeg"](patched)
+
+
+def test_gif_dimension_bomb_and_subrect_frames():
+    """Review findings: (a) a GIF declaring a giant logical screen raises
+    on the decode bound before any allocation; (b) a sub-rect frame at an
+    offset composites onto the background-index canvas so the returned
+    dims always agree with the array."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest
+
+    from kinbaku_spark.operators.codecs import make_media_codecs
+
+    c = make_media_codecs()
+    good = bytearray(c["encode_gif"](np.full((4, 4), 7, np.uint8)))
+    bomb = bytes(good[:6]) + _struct.pack("<HH", 65535, 65535) + bytes(good[10:])
+    with pytest.raises(ValueError, match="decode bound"):
+        c["decode_gif"](bomb)
+    # sub-rect: patch the logical screen to 10x10, bg index 3, frame 4x4 at (2,5)
+    sub = bytearray(good)
+    sub[6:10] = _struct.pack("<HH", 10, 10)
+    sub[11] = 3  # background index
+    desc = 6 + 7 + 256 * 3  # header + LSD + identity palette
+    assert sub[desc] == 0x2C
+    sub[desc + 1:desc + 9] = _struct.pack("<HHHH", 2, 5, 4, 4)
+    w, h, px = c["decode_gif"](bytes(sub))
+    assert (w, h) == (10, 10) and px.shape == (10, 10, 3)
+    assert (px[5:9, 2:6, 0] == 7).all()  # the frame at its offset
+    assert (px[0, 0] == 3).all()  # background palette entry (identity)
+    # frame rect escaping the screen raises
+    sub[desc + 1:desc + 9] = _struct.pack("<HHHH", 8, 8, 4, 4)
+    with pytest.raises(ValueError, match="outside"):
+        c["decode_gif"](bytes(sub))
+
+
+def test_png_zlib_bomb_bounded():
+    """A PNG whose IDAT inflates past what the declared dims require must
+    raise without materializing the bomb (bounded decompressobj)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+    import pytest
+
+    from kinbaku_spark.operators.codecs import make_media_codecs
+
+    c = make_media_codecs()
+    good = bytearray(c["encode_png"](np.full((4, 4, 3), 5, np.uint8)))
+    # replace IDAT with a 50 MB-of-zeros bomb (compresses to ~50 KB)
+    bomb_raw = b"\x00" * (50 * 1024 * 1024)
+    bomb = _zlib.compress(bomb_raw, 9)
+    out = bytearray()
+    pos = 8
+    out += good[:8]
+    while pos + 8 <= len(good):
+        (length,) = _struct.unpack_from(">I", bytes(good), pos)
+        tag = bytes(good[pos + 4:pos + 8])
+        if tag == b"IDAT":
+            body = bomb
+            chunk = _struct.pack(">I", len(body)) + b"IDAT" + body
+            chunk += _struct.pack(">I", _zlib.crc32(b"IDAT" + body) & 0xFFFFFFFF)
+            out += chunk
+        else:
+            out += good[pos:pos + 12 + length]
+        pos += 12 + length
+    with pytest.raises(ValueError, match="inflated size exceeds"):
+        c["decode_png"](bytes(out))
+    # giant declared dims also raise on the bound
+    big = bytearray(good)
+    big[16:24] = _struct.pack(">II", 65535, 65535)
+    with pytest.raises(ValueError):
+        c["decode_png"](bytes(big))
