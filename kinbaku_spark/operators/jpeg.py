@@ -313,14 +313,23 @@ def make_jpeg_codec():
         ) / float(fx * fy)
         return _round_half_up(acc)
 
-    def encode_jpeg(arr, subsampling: str = "444", restart_interval: int = 0) -> bytes:
+    def encode_jpeg(
+        arr,
+        subsampling: str = "444",
+        restart_interval: int = 0,
+        component_order=None,
+    ) -> bytes:
         """HxWx3 uint8 RGB (or HxW grayscale) -> baseline JFIF bytes.
 
         ``subsampling``: "444" (one block per component per MCU) or "420"
         (Y at 2x2 sampling, chroma 2x2-mean-downsampled — the dominant
         real-world JPEG layout). ``restart_interval`` > 0 emits a DRI
         segment and an RSTn marker every N MCUs (DC predictors reset) —
-        the resync machinery hardware MJPEG encoders emit."""
+        the resync machinery hardware MJPEG encoders emit.
+        ``component_order`` permutes the (Y, Cb, Cr) declaration/interleave
+        order in SOF/SOS, e.g. (1, 0, 2) — component IDs stay the JFIF
+        1=Y/2=Cb/3=Cr so any id-aware decoder recovers the same pixels
+        (exercises the decode path ADVICE r05 flagged)."""
         a = np.asarray(arr, dtype=np.uint8)
         gray = a.ndim == 2
         if not gray and (a.ndim != 3 or a.shape[2] != 3):
@@ -360,15 +369,27 @@ def make_jpeg_codec():
             planes = [planes[0]] + [_downsample(p, 2, 1) for p in planes[1:]]
         else:
             factors = [(1, 1)] * 3
+        order = (
+            tuple(component_order)
+            if component_order is not None
+            else tuple(range(ncomp))
+        )
+        if sorted(order) != list(range(ncomp)):
+            raise ValueError(
+                f"component_order must be a permutation of 0..{ncomp - 1}"
+            )
+        planes = [planes[i] for i in order]
+        factors = [factors[i] for i in order]
         h_max = max(f[0] for f in factors)
         v_max = max(f[1] for f in factors)
         sof_comps = b"".join(
-            bytes([cid + 1, (factors[cid][0] << 4) | factors[cid][1],
-                   0 if cid == 0 else 1])
-            for cid in range(ncomp)
+            bytes([order[c] + 1, (factors[c][0] << 4) | factors[c][1],
+                   0 if order[c] == 0 else 1])
+            for c in range(ncomp)
         )
         sos_comps = b"".join(
-            bytes([cid + 1, 0x00 if cid == 0 else 0x11]) for cid in range(ncomp)
+            bytes([order[c] + 1, 0x00 if order[c] == 0 else 0x11])
+            for c in range(ncomp)
         )
         head = (
             b"\xff\xd8"  # SOI
@@ -393,8 +414,8 @@ def make_jpeg_codec():
         )
         mcu_cols = -(-w // (8 * h_max))
         mcu_rows = -(-h // (8 * v_max))
-        qts = [QT_LUMA] + [QT_CHROMA] * (ncomp - 1)
-        tids = [0] + [1] * (ncomp - 1)
+        qts = [QT_LUMA if order[c] == 0 else QT_CHROMA for c in range(ncomp)]
+        tids = [0 if order[c] == 0 else 1 for c in range(ncomp)]
         # pad each plane to its MCU-grid extent (content dims first: the
         # chroma planes were downsampled above)
         padded = []
@@ -654,7 +675,11 @@ def make_jpeg_codec():
         if len(planes) == 1:
             g = np.clip(_round_half_up(planes[0]), 0, 255).astype(np.uint8)
             return np.stack([g, g, g], axis=2)
-        y, cb, cr = planes
+        # a spec-valid SOS may list components in any order; assign color
+        # roles by SOF component id (smallest id = luma, then chroma in id
+        # order — JFIF convention), not by scan position (ADVICE r05)
+        by_cid = sorted(zip((comps[ci][0] for ci, _, _ in scan), planes))
+        y, cb, cr = (p for _, p in by_cid)
         r = y + 1.402 * (cr - 128.0)
         g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
         b = y + 1.772 * (cb - 128.0)

@@ -82,7 +82,17 @@ def _current_state_path(labels_dir: str) -> str | None:
     with open(ptr) as f:
         name = f.read().strip()
     path = os.path.join(labels_dir, name)
-    return path if os.path.isdir(path) else None
+    if not os.path.isdir(path):
+        # A pointer naming a missing directory is corruption, not an empty
+        # state: treating it as empty would let the next _commit_state
+        # (prev=None) GC every surviving state_v* directory — the same
+        # silent-reset class the legacy-layout guard above raises on.
+        raise ValueError(
+            f"{ptr} names {name!r} but {path} does not exist; the CC state"
+            f" is corrupt (pointer without its target). Restore the"
+            f" directory or repoint {_POINTER} at a surviving state_v*"
+        )
+    return path
 
 
 def cc_read_state(spark: SparkSession, labels_dir: str) -> DataFrame | None:
@@ -98,11 +108,17 @@ def cc_read_state(spark: SparkSession, labels_dir: str) -> DataFrame | None:
     return None if path is None else spark.read.parquet(path)
 
 
-def _commit_state(merged: DataFrame, labels_dir: str) -> None:
+def _commit_state(
+    merged: DataFrame, labels_dir: str, retain_versions: int = 1
+) -> None:
     """Write ``merged`` as a new state version and atomically swing the
-    pointer; GC versions older than the immediately superseded one (kept
-    as the grace window for lazy cc_read_state handles) only after the
-    swing."""
+    pointer; GC versions older than the ``retain_versions`` most recently
+    superseded ones (the grace window for lazy cc_read_state handles) only
+    after the swing. A reader lagging more than ``retain_versions`` commits
+    fails loudly at collect time (its parquet directory is gone), never
+    silently reads stale-then-missing data."""
+    if retain_versions < 0:
+        raise ValueError(f"retain_versions must be >= 0, got {retain_versions}")
     os.makedirs(labels_dir, exist_ok=True)
     prev = _current_state_path(labels_dir)
     ver = (
@@ -118,17 +134,33 @@ def _commit_state(merged: DataFrame, labels_dir: str) -> None:
     with open(tmp, "w") as f:
         f.write(new_name)
     os.replace(tmp, os.path.join(labels_dir, _POINTER))
-    keep = {new_name, os.path.basename(prev)} if prev else {new_name}
+    # keep the new version plus the retain_versions highest-numbered
+    # versions BELOW it; anything above it is a crashed batch's orphan
+    # partial output (never pointed at) and is GC'd too
+    below = sorted(
+        e
+        for e in os.listdir(labels_dir)
+        if e.startswith("state_v") and e < new_name
+    )
+    keep = {new_name}
+    if retain_versions:
+        keep.update(below[-retain_versions:])
     for entry in os.listdir(labels_dir):
         if entry.startswith("state_v") and entry not in keep:
             shutil.rmtree(os.path.join(labels_dir, entry), ignore_errors=True)
 
 
-def cc_ingest_batch(batch_df: DataFrame, labels_dir: str) -> None:
+def cc_ingest_batch(
+    batch_df: DataFrame, labels_dir: str, retain_versions: int = 1
+) -> None:
     """One incremental-CC step: merge a batch of (src, dst) edges into the
     versioned label state at ``labels_dir`` (parquet, schema ``key string,
     label string``). Isolated new nodes (self-loop-only or endpoint-only
-    rows) still enter the state with their own key as label."""
+    rows) still enter the state with their own key as label.
+
+    ``retain_versions`` is the grace window for concurrent lazy readers: a
+    cc_read_state handle survives exactly that many subsequent ingests
+    (default 1); a reader lagging further fails loudly at collect."""
     from kinbaku_spark.operators.dedup import duplicate_clusters
 
     spark = batch_df.sparkSession
@@ -175,18 +207,21 @@ def cc_ingest_batch(batch_df: DataFrame, labels_dir: str) -> None:
         .join(hint(relabel), F.col("label") == F.col("old_label"), "left")
         .select("key", F.coalesce("new_label", "label").alias("label"))
     )
-    _commit_state(merged, labels_dir)
+    _commit_state(merged, labels_dir, retain_versions)
 
 
 def cc_ingest_to_parquet(
-    edge_stream: DataFrame, labels_dir: str, checkpoint_dir: str | None = None
+    edge_stream: DataFrame,
+    labels_dir: str,
+    checkpoint_dir: str | None = None,
+    retain_versions: int = 1,
 ):
     """Streaming wrapper: foreachBatch over an edge stream, availableNow
     trigger (drain-then-stop, same cadence as heavy_hitters_to_parquet).
     Returns the StreamingQuery."""
 
     def step(bdf: DataFrame, _bid: int) -> None:
-        cc_ingest_batch(bdf, labels_dir)
+        cc_ingest_batch(bdf, labels_dir, retain_versions)
 
     writer = edge_stream.writeStream.foreachBatch(step).trigger(availableNow=True)
     if checkpoint_dir:

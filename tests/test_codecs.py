@@ -699,3 +699,36 @@ def test_png_zlib_bomb_bounded():
     big[16:24] = _struct.pack(">II", 65535, 65535)
     with pytest.raises(ValueError):
         c["decode_png"](bytes(big))
+
+
+def test_jpeg_scan_component_order_assigned_by_id():
+    """ADVICE r05: decode must assign color roles by SOF component id
+    (1=Y, 2=Cb, 3=Cr per JFIF), not by scan position. Encode the same
+    image with every permutation of the component declaration/interleave
+    order; all six streams must decode to identical pixels — the old
+    positional 'y, cb, cr = planes' produced channel-swapped colors."""
+    import itertools
+
+    import numpy as np
+
+    c = _jpeg()
+    rng = np.random.default_rng(7)
+    # strongly chromatic image so a channel swap is loudly visible
+    img = np.zeros((24, 40, 3), np.uint8)
+    img[:, :, 0] = 200  # red-dominant
+    img[:12, :, 2] = 180
+    img[:, 20:, 1] = 90
+    img += rng.integers(0, 20, img.shape).astype(np.uint8)
+    want = c["decode_jpeg"](c["encode_jpeg"](img))
+    for sub in ("444", "420"):
+        for perm in itertools.permutations(range(3)):
+            out = c["decode_jpeg"](
+                c["encode_jpeg"](img, subsampling=sub, component_order=perm)
+            )
+            ref = c["decode_jpeg"](c["encode_jpeg"](img, subsampling=sub))
+            assert (out == ref).all(), (sub, perm)
+    assert (want == c["decode_jpeg"](c["encode_jpeg"](img))).all()
+    import pytest
+
+    with pytest.raises(ValueError, match="permutation"):
+        c["encode_jpeg"](img, component_order=(0, 0, 1))

@@ -246,3 +246,86 @@ def test_read_state_handle_survives_one_commit(spark):
         assert len(vers) == 2  # current + one grace version
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dangling_pointer_raises_instead_of_silently_resetting(spark):
+    """ADVICE r05: a _CURRENT pointer naming a missing directory is
+    corruption — treating it as empty would let the next commit GC every
+    surviving state version. It must raise, like the legacy-layout case."""
+    import pytest
+
+    d = tempfile.mkdtemp(prefix="kb_cc_dangling_")
+    try:
+        for batch in ([("a", "b")], [("x", "y")]):
+            cc_ingest_batch(
+                spark.createDataFrame(batch, "src string, dst string"),
+                f"{d}/labels",
+            )
+        with open(f"{d}/labels/_CURRENT") as f:
+            current = f.read().strip()
+        shutil.rmtree(f"{d}/labels/{current}")
+        with pytest.raises(ValueError, match="corrupt"):
+            cc_read_state(spark, f"{d}/labels")
+        with pytest.raises(ValueError, match="corrupt"):
+            cc_ingest_batch(
+                spark.createDataFrame([("b", "c")], "src string, dst string"),
+                f"{d}/labels",
+            )
+        # the surviving grace version was NOT GC'd by the failed ingest
+        assert any(
+            e.startswith("state_v") for e in os.listdir(f"{d}/labels")
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_retention_knob_two_commit_lag(spark):
+    """VERDICT r05 #8: retention is configurable. At the default window a
+    reader lagging TWO commits fails loudly at collect (its version dir is
+    gone); at retain_versions=2 the same two-commit-lag handle survives."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    batches = [[("a", "b")], [("c", "d")], [("e", "f")]]
+    # default retention=1: handle taken before two further ingests raises
+    d = tempfile.mkdtemp(prefix="kb_cc_lag_")
+    try:
+        cc_ingest_batch(
+            spark.createDataFrame(batches[0], "src string, dst string"),
+            f"{d}/labels",
+        )
+        handle = cc_read_state(spark, f"{d}/labels")
+        for b in batches[1:]:
+            cc_ingest_batch(
+                spark.createDataFrame(b, "src string, dst string"),
+                f"{d}/labels",
+            )
+        with pytest.raises(Py4JJavaError):
+            handle.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # retain_versions=2: the same lag pattern still reads the old version
+    d = tempfile.mkdtemp(prefix="kb_cc_lag2_")
+    try:
+        cc_ingest_batch(
+            spark.createDataFrame(batches[0], "src string, dst string"),
+            f"{d}/labels",
+            retain_versions=2,
+        )
+        handle = cc_read_state(spark, f"{d}/labels")
+        for b in batches[1:]:
+            cc_ingest_batch(
+                spark.createDataFrame(b, "src string, dst string"),
+                f"{d}/labels",
+                retain_versions=2,
+            )
+        assert sorted((r.key, r.label) for r in handle.collect()) == [
+            ("a", "a"),
+            ("b", "a"),
+        ]
+        vers = [
+            e for e in os.listdir(f"{d}/labels") if e.startswith("state_v")
+        ]
+        assert len(vers) == 3  # current + two grace versions
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
