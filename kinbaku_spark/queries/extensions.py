@@ -221,8 +221,14 @@ def x_dedup_simhash(spark, sf_dir):
 
 
 def _simhash_sql(
-    max_hamming: int = SIMHASH_MAX_HAMMING, source: str = "documents"
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    source: str = "documents",
+    stratum_mod_sql: str | None = None,
 ) -> str:
+    """``stratum_mod_sql``: restrict the pair space to WITHIN-residue pairs
+    (md5(doc_id) % mod equal on both sides) — the multi-stratum-union
+    monitor's exact pair-sampling semantics, one extra equi-term on the
+    self-join."""
     bit_sums = ",\n    ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
         for b in range(SIMHASH_BITS)
@@ -231,15 +237,21 @@ def _simhash_sql(
         f"(CASE WHEN s{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
         for b in range(SIMHASH_BITS)
     )
+    strat_col = (
+        f", {sql_md5_long('CAST(doc_id AS VARCHAR)')} % {stratum_mod_sql} AS strat"
+        if stratum_mod_sql
+        else ""
+    )
+    strat_pred = "  AND a.strat = b.strat\n" if stratum_mod_sql else ""
     return f"""
 WITH {_sql_shingle_cte(3, source=source)},
 sums AS (SELECT doc_id, {bit_sums} FROM hx GROUP BY doc_id),
-sigs AS (SELECT doc_id, {sig} AS sig FROM sums)
+sigs AS (SELECT doc_id, {sig} AS sig{strat_col} FROM sums)
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
        CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
 FROM sigs a, sigs b
 WHERE a.doc_id < b.doc_id
-  AND bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+{strat_pred}  AND bit_count(xor(a.sig, b.sig)) <= {max_hamming}
 """
 
 
@@ -1390,39 +1402,77 @@ ORACLES["x_dedup_embedding_lsh_recall"] = _pair_recall_sql(
 
 # ---------------------------------------------------------------------------
 # x_dedup_recall_sampled — the 100-TB MONITORING shape of the recall
-# readouts (VERDICT r04 next-round #3). The full readouts above
-# deliberately run the quadratic all-pairs truth leg; that is correct as a
-# small-scale diagnostic but cannot run as a production monitor. Here an
-# md5-stratum sample of the CORPUS feeds BOTH legs, so the truth side is
-# (|corpus|/mod)² — at 100 TB the modulus is turned until the stratum is a
-# fixed ~10⁵-doc evaluation slice and the readout cost is CONSTANT in
-# corpus size (STRESS_PIPELINE_100X.md carries the near-constant-time
-# row). The stratum is content-hash-deterministic (md5 of doc_id, the
+# readouts (VERDICT r04 next-round #3; production-shaped per VERDICT r05
+# next-round #1). The full readouts above deliberately run the quadratic
+# all-pairs truth leg; that is correct as a small-scale diagnostic but
+# cannot run as a production monitor. Here an md5-stratum sample of the
+# CORPUS feeds BOTH legs, so the truth side is bounded at
+# DEDUP_RECALL_TARGET_STRATUM² regardless of corpus size: the modulus is
+# DERIVED from the corpus count (max(1, n // target) — the identical
+# integer expression inlined in the DuckDB oracle as a scalar subquery,
+# so both engines compute the same stratum without anyone editing code at
+# scale). The stratum is content-hash-deterministic (md5 of doc_id, the
 # engine's cross-engine 60-bit hash), never a Bernoulli sample, so the
 # oracle replays the identical slice and the readout is reproducible
-# run-over-run. Sampling the CORPUS (not the pair set) keeps both legs
-# honest: recall is measured on exactly the dup pairs whose BOTH endpoints
-# fall in the stratum — an unbiased estimator of pairwise recall under a
-# uniform stratum.
+# run-over-run. Sampling the CORPUS keeps both legs honest: recall is
+# measured on exactly the dup pairs whose BOTH endpoints fall in the
+# stratum — an unbiased estimator of pairwise recall under a uniform
+# stratum, with inclusion probability (1/mod)² per pair. That quadratic
+# thinning is the shape's statistical limit: support falls as corpus
+# grows (the r05 drill's n_baseline=1 row), so the readout now carries
+# sample_mod / stratum_n / low_support columns — the minimum-support
+# guard a dashboard alerts on — and the CONSTANT-SUPPORT shape lives in
+# x_dedup_recall_stratified below.
 # ---------------------------------------------------------------------------
 
-DEDUP_RECALL_SAMPLE_MOD = 2
+DEDUP_RECALL_TARGET_STRATUM = 2500  # docs per evaluation stratum
+EMB_RECALL_TARGET_STRATUM = 1000  # vectors per evaluation stratum
+DEDUP_RECALL_MIN_SUPPORT = 30  # truth pairs below which low_support fires
 
 
-def _sampled_documents(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.filter(
-        F.pmod(
-            md5_long(F.col("doc_id").cast("string")),
-            F.lit(DEDUP_RECALL_SAMPLE_MOD),
-        )
-        == 0
+def _stratum_mod(df, target: int) -> int:
+    """max(1, count // target) — the corpus-count-derived stratum modulus
+    (VERDICT r05 #1). One driver-side count (parquet metadata-backed, a
+    rounding error next to the readout); the DuckDB oracle inlines the
+    SAME integer expression (GREATEST(1, COUNT(*) // target)) so both
+    engines derive the identical modulus at any corpus size."""
+    return max(1, df.count() // target)
+
+
+def _sql_stratum_mod(table: str, target: int) -> str:
+    return f"(SELECT GREATEST(1, COUNT(*) // {target}) FROM {table})"
+
+
+def _with_support(readout, mod: int, stratum_n: int, truth_name: str):
+    """Append the monitor's support columns: the modulus used, the stratum
+    row count, and the minimum-support guard (truth pairs below
+    DEDUP_RECALL_MIN_SUPPORT ⇒ the recall_ppm readout is statistically
+    unsupported and must not be alerted on)."""
+    return readout.select(
+        "*",
+        F.lit(mod).cast("long").alias("sample_mod"),
+        F.lit(stratum_n).cast("long").alias("stratum_n"),
+        (F.col(truth_name) < DEDUP_RECALL_MIN_SUPPORT).alias("low_support"),
     )
 
 
+def _with_support_sql(
+    inner: str, mod_sql: str, stratum_n_sql: str, truth_name: str
+) -> str:
+    return f"""
+SELECT r.*, CAST({mod_sql} AS BIGINT) AS sample_mod,
+       CAST({stratum_n_sql} AS BIGINT) AS stratum_n,
+       r.{truth_name} < {DEDUP_RECALL_MIN_SUPPORT} AS low_support
+FROM ({inner}) r
+"""
+
+
+_SAMPLED_DOCS_MOD_SQL = _sql_stratum_mod(
+    "documents", DEDUP_RECALL_TARGET_STRATUM
+)
 _SAMPLED_DOCS_SQL = (
     "(SELECT * FROM documents WHERE "
-    f"{sql_md5_long('CAST(doc_id AS VARCHAR)')} % {DEDUP_RECALL_SAMPLE_MOD} = 0)"
+    f"{sql_md5_long('CAST(doc_id AS VARCHAR)')} % {_SAMPLED_DOCS_MOD_SQL} = 0)"
     " dsamp"
 )
 
@@ -1430,7 +1480,12 @@ _SAMPLED_DOCS_SQL = (
 def x_dedup_recall_sampled(spark, sf_dir):
     from kinbaku_spark.operators.dedup import shingle_hashes
 
-    docs = _sampled_documents(spark, sf_dir)
+    docs_all = load_table(spark, sf_dir, "documents")
+    mod = _stratum_mod(docs_all, DEDUP_RECALL_TARGET_STRATUM)
+    docs = docs_all.filter(
+        F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(mod)) == 0
+    )
+    stratum_n = docs.count()
     # one shingle/signature pipeline feeds BOTH legs (the x_dedup_simhash
     # sh= pattern): without it the stratum filter + shingle explode + the
     # 60-bit signature aggregation would run twice per readout
@@ -1445,16 +1500,112 @@ def x_dedup_recall_sampled(spark, sf_dir):
         bands=SIMHASH_BANDS,
         sh=sh,
     ).select("doc_id_a", "doc_id_b")
-    return _pair_recall(
+    readout = _pair_recall(
         base, banded, ["doc_id_a", "doc_id_b"], "n_baseline", "n_banded"
     )
+    return _with_support(readout, mod, stratum_n, "n_baseline")
 
 
 QUERIES["x_dedup_recall_sampled"] = x_dedup_recall_sampled
-ORACLES["x_dedup_recall_sampled"] = _pair_recall_sql(
-    _simhash_sql(source=_SAMPLED_DOCS_SQL),
-    _simhash_sql(SIMHASH_BANDED_HAMMING, source=_SAMPLED_DOCS_SQL),
-    "doc_id_a", "doc_id_b", "n_baseline", "n_banded",
+ORACLES["x_dedup_recall_sampled"] = _with_support_sql(
+    _pair_recall_sql(
+        _simhash_sql(source=_SAMPLED_DOCS_SQL),
+        _simhash_sql(SIMHASH_BANDED_HAMMING, source=_SAMPLED_DOCS_SQL),
+        "doc_id_a", "doc_id_b", "n_baseline", "n_banded",
+    ),
+    _SAMPLED_DOCS_MOD_SQL,
+    f"(SELECT COUNT(*) FROM {_SAMPLED_DOCS_SQL})",
+    "n_baseline",
+)
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_recall_stratified — the CONSTANT-SUPPORT monitoring shape
+# (VERDICT r05 next-round #1, "multi-stratum union"). The single-stratum
+# monitor above has constant COST but pair support that thins as
+# (1/mod)²; this form partitions the WHOLE corpus into mod md5-residue
+# strata and measures recall over the union of all WITHIN-stratum pairs —
+# every pair is included with probability exactly 1/mod (endpoint hashes
+# agree mod m), so expected support is true_pairs/mod = dup_rate × target
+# stratum size: CONSTANT in corpus size for a fixed dup rate. Cost is one
+# residue-keyed self-join — n × target/2 popcount comparisons, linear in
+# the corpus with a tiny constant, embarrassingly parallel across strata
+# (md5 residues are uniform, so no skewed stratum), and the signature
+# table it joins is the SAME session-persisted artifact the production
+# banded dedup already computes (dedup_state.shingle_state), so the
+# monitor's marginal cost at 100 TB is the popcount join alone. The
+# banded leg is the REAL production banded operator's output restricted
+# to within-stratum pairs (same inclusion rule ⇒ same pair population ⇒
+# unbiased recall; banded ⊆ baseline still holds, so fp = 0 stays an
+# oracle-locked invariant).
+# ---------------------------------------------------------------------------
+
+
+def x_dedup_recall_stratified(spark, sf_dir):
+    from kinbaku_spark.operators.dedup import simhash_signatures_df
+    from kinbaku_spark.queries.dedup_state import shingle_state
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    mod = max(1, n_docs // DEDUP_RECALL_TARGET_STRATUM)
+    sh, _ = shingle_state(spark, sf_dir)
+
+    def strat_of(col):
+        return F.pmod(md5_long(F.col(col).cast("string")), F.lit(mod))
+
+    # signatures over the FULL corpus (shared production state), each row
+    # tagged with its md5-residue stratum; pinned — two legs consume it
+    sig = pin(
+        simhash_signatures_df(sh, "doc_id").withColumn(
+            "strat", strat_of("doc_id")
+        )
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a"), "strat"
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b"), "strat"
+    )
+    base = (
+        a.join(b, "strat")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .filter(
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            <= SIMHASH_MAX_HAMMING
+        )
+        .select("doc_id_a", "doc_id_b")
+    )
+    banded = (
+        simhash_near_duplicates(
+            docs,
+            max_hamming=SIMHASH_BANDED_HAMMING,
+            banded=True,
+            bands=SIMHASH_BANDS,
+            sh=sh,
+        )
+        .filter(strat_of("doc_id_a") == strat_of("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+    )
+    readout = _pair_recall(
+        base, banded, ["doc_id_a", "doc_id_b"], "n_baseline", "n_banded"
+    )
+    # stratum_n here is the NOMINAL per-stratum size n // mod (the knob
+    # the target controls); the modulus column disambiguates the shape
+    return _with_support(readout, mod, n_docs // mod, "n_baseline")
+
+
+QUERIES["x_dedup_recall_stratified"] = x_dedup_recall_stratified
+ORACLES["x_dedup_recall_stratified"] = _with_support_sql(
+    _pair_recall_sql(
+        _simhash_sql(stratum_mod_sql=_SAMPLED_DOCS_MOD_SQL),
+        _simhash_sql(
+            SIMHASH_BANDED_HAMMING, stratum_mod_sql=_SAMPLED_DOCS_MOD_SQL
+        ),
+        "doc_id_a", "doc_id_b", "n_baseline", "n_banded",
+    ),
+    _SAMPLED_DOCS_MOD_SQL,
+    f"(SELECT COUNT(*) // {_SAMPLED_DOCS_MOD_SQL} FROM documents)",
+    "n_baseline",
 )
 
 
@@ -1503,20 +1654,10 @@ ORACLES["x_dedup_embedding_lsh_wide"] = _emb_lsh_sql(
 # ---------------------------------------------------------------------------
 
 
-def _sampled_embeddings(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
-    return emb.filter(
-        F.pmod(
-            md5_long(F.col("vec_id").cast("string")),
-            F.lit(DEDUP_RECALL_SAMPLE_MOD),
-        )
-        == 0
-    )
-
-
+_SAMPLED_EMB_MOD_SQL = _sql_stratum_mod("embeddings", EMB_RECALL_TARGET_STRATUM)
 _SAMPLED_EMB_SRC = (
     "(SELECT * FROM embeddings WHERE "
-    f"{sql_md5_long('CAST(vec_id AS VARCHAR)')} % {DEDUP_RECALL_SAMPLE_MOD} = 0)"
+    f"{sql_md5_long('CAST(vec_id AS VARCHAR)')} % {_SAMPLED_EMB_MOD_SQL} = 0)"
 )
 
 
@@ -1526,7 +1667,12 @@ def x_dedup_embedding_recall_sampled(spark, sf_dir):
         embedding_near_duplicates_lsh,
     )
 
-    emb = _sampled_embeddings(spark, sf_dir).localCheckpoint(eager=True)
+    emb_all = load_table(spark, sf_dir, "embeddings")
+    mod = _stratum_mod(emb_all, EMB_RECALL_TARGET_STRATUM)
+    emb = emb_all.filter(
+        F.pmod(md5_long(F.col("vec_id").cast("string")), F.lit(mod)) == 0
+    ).localCheckpoint(eager=True)
+    stratum_n = emb.count()
     truth = embedding_near_duplicates(emb, threshold=EMB_NEAR_DUP_THRESHOLD).select(
         "vec_id_a", "vec_id_b"
     )
@@ -1536,17 +1682,25 @@ def x_dedup_embedding_recall_sampled(spark, sf_dir):
         planes=EMB_LSH_PLANES,
         bands=EMB_LSH_BANDS,
     ).select("vec_id_a", "vec_id_b")
-    return _pair_recall(truth, lsh, ["vec_id_a", "vec_id_b"], "n_truth", "n_lsh")
+    readout = _pair_recall(
+        truth, lsh, ["vec_id_a", "vec_id_b"], "n_truth", "n_lsh"
+    )
+    return _with_support(readout, mod, stratum_n, "n_truth")
 
 
 QUERIES["x_dedup_embedding_recall_sampled"] = x_dedup_embedding_recall_sampled
 # both legs REUSE the canonical SQL builders with the sampled stratum as
 # the source relation — one definition of the sig/band/verify math, so a
 # fix to the canonical oracle cannot silently diverge from the sampled one
-ORACLES["x_dedup_embedding_recall_sampled"] = _pair_recall_sql(
-    _emb_truth_sql(_SAMPLED_EMB_SRC),
-    _emb_lsh_sql(source=_SAMPLED_EMB_SRC),
-    "vec_id_a", "vec_id_b", "n_truth", "n_lsh",
+ORACLES["x_dedup_embedding_recall_sampled"] = _with_support_sql(
+    _pair_recall_sql(
+        _emb_truth_sql(_SAMPLED_EMB_SRC),
+        _emb_lsh_sql(source=_SAMPLED_EMB_SRC),
+        "vec_id_a", "vec_id_b", "n_truth", "n_lsh",
+    ),
+    _SAMPLED_EMB_MOD_SQL,
+    f"(SELECT COUNT(*) FROM {_SAMPLED_EMB_SRC} esamp)",
+    "n_truth",
 )
 
 
