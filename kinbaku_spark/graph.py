@@ -500,24 +500,31 @@ class Graph:
     def find(self, pattern: str) -> DataFrame:
         """GraphFrames-style motif finding (extension — the reference has
         no multi-hop query surface, SURVEY.md §2.4). The pattern is a
-        ';'-separated list of edge terms ``(a)-[]->(b)``; a leading ``!``
-        negates a term (the edge must NOT exist). Vertex names are free
-        identifiers; the result has one string column per named vertex,
-        one row per binding, duplicates removed.
+        ';'-separated list of edge terms ``(a)-[]->(b)`` or, with a NAMED
+        edge, ``(a)-[e]->(b)``; a leading ``!`` negates a term (the edge
+        must NOT exist; negated terms cannot name their edge — there is
+        no edge to expose). Vertex names are free identifiers; the result
+        has one string column per named vertex PLUS one STRUCT column per
+        named edge carrying every edge attribute except the endpoints
+        (``type`` and any extra attrs — GraphFrames motif parity), one
+        row per binding, duplicates removed. Attribute predicates are
+        plain filters on the struct:
 
-            g.find("(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+            g.find("(a)-[e]->(b); (b)-[]->(c); !(a)-[]->(c)")
+             .filter("e.type = 2")
 
         Compiles to a chain of joins over the edge table (one aliased
         self-join per positive term, a left-anti join per negated term) —
-        Catalyst plans/reorders them like any relational query, so the
-        same pattern scales to a cluster-sized edge table; every join is
-        keyed on vertex columns (hash-shuffle or broadcast as sizes
-        dictate).
+        Catalyst plans/reorders them like any relational query, and a
+        struct-field predicate prunes/pushes down to the edge scan like
+        any column filter, so the same pattern scales to a cluster-sized
+        edge table; every join is keyed on vertex columns (hash-shuffle
+        or broadcast as sizes dictate).
         """
         import re as _re
 
         term_re = _re.compile(
-            r"^\s*(!?)\s*\((\w+)\)\s*-\s*\[\s*\]\s*->\s*\((\w+)\)\s*$"
+            r"^\s*(!?)\s*\((\w+)\)\s*-\s*\[\s*(\w*)\s*\]\s*->\s*\((\w+)\)\s*$"
         )
         terms = []
         for raw in pattern.split(";"):
@@ -526,16 +533,36 @@ class Graph:
             m = term_re.match(raw)
             if m is None:
                 raise BadArgument(f"unparseable motif term: {raw!r}")
-            terms.append((m.group(1) == "!", m.group(2), m.group(3)))
+            terms.append(
+                (m.group(1) == "!", m.group(2), m.group(4), m.group(3))
+            )
         if not terms or terms[0][0]:
             raise BadArgument("pattern needs a positive first term")
 
-        edges = self.edges_df.select("src", "dst")
+        attr_cols = [c for c in self.edges_df.columns if c not in ("src", "dst")]
+        edges = self.edges_df
+        vnames = {a for _, a, b, _ in terms} | {b for _, a, b, _ in terms}
+        enames = [en for _, _, _, en in terms if en]
+        if len(enames) != len(set(enames)):
+            raise BadArgument("edge names must be unique across terms")
+        clash = set(enames) & vnames
+        if clash:
+            raise BadArgument(f"edge names clash with vertex names: {clash}")
+
         result: DataFrame | None = None
         bound: set[str] = set()
         # positive terms first (negation is a filter, not a generator)
-        for neg, a, b in sorted(terms, key=lambda t: t[0]):
-            e = edges.select(F.col("src").alias(a), F.col("dst").alias(b))
+        for neg, a, b, ename in sorted(terms, key=lambda t: t[0]):
+            if a == b:
+                raise BadArgument(f"self-loop term ({a})->({b}) not supported")
+            cols = [F.col("src").alias(a), F.col("dst").alias(b)]
+            if ename:
+                if neg:
+                    raise BadArgument(
+                        f"negated term cannot name its edge: [{ename}]"
+                    )
+                cols.append(F.struct(*attr_cols).alias(ename))
+            e = edges.select(*cols)
             if result is None:
                 result = e
                 bound |= {a, b}
@@ -554,8 +581,8 @@ class Graph:
                     )
                 result = result.join(e, on=on)
                 bound |= {a, b}
-        cols = sorted(bound)
-        return result.select(*cols).distinct()
+        out_cols = sorted(bound) + sorted(enames)
+        return result.select(*out_cols).distinct()
 
     # -- iteration (reference graph.py:152-171; order is canonicalized to key
     #    order — the reference's DFS/file order is a storage artifact,
@@ -1188,6 +1215,35 @@ class Graph:
         from kinbaku_spark.operators.components import scc_bounded
 
         return scc_bounded(self.edges_df, prop_rounds=prop_rounds, peels=peels)
+
+    def scc(
+        self,
+        max_iters: int = 30,
+        max_rounds: int = 256,
+        local_threshold: int = 100_000,
+    ) -> DataFrame:
+        """Strongly connected components TO CONVERGENCE (key, comp) — comp
+        is the min key of the node's true SCC, including isolated nodes
+        (comp = own key). Multi-pivot FW-BW with hashed labels and
+        argmin-label shortcutting plus the Multistep serial tail
+        (operators/components.scc); budgets exhaust into
+        SCCConvergenceError, never silently-bounded labels — the directed
+        twin of connected_components' convergence contract. scc_bounded
+        remains the fixed-budget form (sound per-group containment)."""
+        from kinbaku_spark.operators.components import scc
+
+        labelled = scc(
+            self.edges_df,
+            max_iters=max_iters,
+            max_rounds=max_rounds,
+            local_threshold=local_threshold,
+        )
+        isolated = (
+            self.nodes_df.select("key")
+            .join(labelled.select("key"), "key", "left_anti")
+            .select("key", F.col("key").alias("comp"))
+        )
+        return labelled.unionByName(isolated)
 
     def katz_centrality(self, rounds: int = 3, scale: int = 8) -> DataFrame:
         """Katz centrality (α = 1/scale, β = 1) over the symmetrized edge

@@ -119,6 +119,329 @@ def scc_bounded(
     return out.unionByName(pending)
 
 
+class SCCConvergenceError(RuntimeError):
+    """scc() exhausted a budget with work still pending — raised instead of
+    returning silently-bounded labels (the same contract as
+    cc_kernel.CCConvergenceError on the undirected side)."""
+
+
+def _tarjan_components(node_list: list, adj: dict) -> list:
+    """Iterative Tarjan SCC (explicit work stack — residuals can be 10^5
+    nodes, far past the recursion limit). Returns a list of components,
+    each a list of node keys."""
+    index: dict = {}
+    low: dict = {}
+    onstack: set = set()
+    stack: list = []
+    out: list = []
+    counter = 0
+    for root in node_list:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                onstack.add(v)
+            nbrs = adj.get(v, ())
+            descended = False
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    descended = True
+                    break
+                if w in onstack:
+                    low[v] = min(low[v], index[w])
+            if descended:
+                continue
+            work.pop()
+            if work:
+                u = work[-1][0]
+                low[u] = min(low[u], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                out.append(comp)
+    return out
+
+
+def scc(
+    edges: DataFrame,
+    bound_rows: int | None = None,
+    max_iters: int = 30,
+    max_rounds: int = 256,
+    local_threshold: int = 100_000,
+) -> DataFrame:
+    """Certified TO-CONVERGENCE strongly connected components over a
+    directed (src, dst) edge table (VERDICT r05 next-round #3 — the
+    directed twin of cc_kernel.min_label_fixpoint's raise-not-truncate
+    contract). Returns (key, comp) for every endpoint, comp = the MIN key
+    of the node's true SCC — the partition NetworkX
+    strongly_connected_components produces (differential- and
+    adversarially tested, tests/test_scc_convergent.py). scc_bounded above
+    remains the fixed-budget peel (sound containment per group, possibly
+    split large-diameter SCCs across peels); this form never returns a
+    split: budgets exhaust into :class:`SCCConvergenceError`.
+
+    Algorithm — multi-pivot FW-BW (Orzan coloring / the Multistep family)
+    with hashed labels and argmin-witness shortcutting:
+
+    per outer iteration, every ACTIVE class (initially one class holding
+    the whole graph) in parallel:
+
+    1. f/b min-label fixpoint on the class-induced subgraph: f(v) = min
+       hashed label over in-class ancestors ∪ self, b(v) = the descendant
+       twin. One-hop rounds alone need longest-path-many rounds, so each
+       round also JUMPS THROUGH THE LABEL ITSELF: a label is
+       md5(key)||key, so node(f(v)) — the argmin ancestor found so far —
+       is read right out of the label suffix, and
+       f(v) <- min(f(v), f(node(f(v)))) composes coverage through the
+       current argmin exactly like the CC kernel's label[label]
+       Shiloach-Vishkin shortcut (a static or re-hooked pointer column
+       does NOT work: measured 119 rounds at sf0.1 — the static chain
+       misses where the min actually flows, and re-hooking resets the
+       doubled distance every improvement; the label-suffix jump needs
+       ~17). Exactness: f only ever holds labels of ancestors∪self (an
+       upper bound on the true min), and a one-hop round with ZERO
+       changes certifies 1-hop stability, which forces f = f* exactly
+       (induction along any ancestor path) — so the loop exit condition
+       IS the convergence certificate.
+    2. Certify: at the exact fixpoint, {v : f(v)=b(v)=m} is the COMPLETE
+       SCC of m's node (m reaches v and v reaches m for every member, and
+       every same-SCC node shares ancestor/descendant sets hence both
+       labels). comp = min original key per certified group.
+    3. Split: remaining nodes partition by the (f, b) PAIR — same-SCC
+       nodes always share the pair, so no SCC ever splits across classes;
+       different pairs provably cannot be in the same SCC. Labels are
+       md5-hashed, so the pair split is a random multi-pivot partition —
+       expected O(log n) outer iterations (the quicksort argument), immune
+       to adversarial key orderings (a descending-key chain, the bounded
+       peel's worst case, resolves in ONE iteration: every (f, b) pair is
+       distinct, so all nodes certify as singleton classes next round).
+
+    Scale: every step is bulk DataFrame algebra over (key, cls, f, b)
+    rows — all classes propagate in ONE plan per round (no per-class
+    jobs), joins shuffle on node keys, per-round persist+localCheckpoint
+    pins lineage and keeps join sides AQE-skew-splittable, label tables
+    are |active|-sized with size-gated broadcasts only.
+
+    ``local_threshold`` is the Multistep serial tail (see the in-loop
+    comment): when the residual active set (nodes + edges) fits the
+    driver, one in-memory Tarjan pass finishes it — the distributed
+    fixpoints do the bulk reduction, the tail does not pay ~log(n) more
+    shuffle cascades. 0 forces pure distribution (the adversarial tests
+    run that way); the default (10^5 rows ≈ a few MB) is far below the
+    broadcast gate the rest of the engine already trusts driver-adjacent
+    memory with.
+    """
+    edges0 = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hint = _gate(edges0, bound_rows)
+    h = lambda c: F.concat(F.md5(F.col(c)), F.col(c))  # noqa: E731
+    nodes = (
+        _node_keys(edges0)
+        .withColumn("cls", F.lit("r"))
+        .localCheckpoint(eager=True)
+    )
+    certified: list[DataFrame] = []
+    rounds_left = max_rounds
+    for _it in range(max_iters):
+        if __import__("os").environ.get("KB_SCC_DEBUG"):
+            print(
+                f"scc iter {_it} active={nodes.count()}"
+                f" classes={nodes.select('cls').distinct().count()}",
+                flush=True,
+            )
+        # class-induced active edge set (src, dst, cls)
+        e = (
+            edges0.join(hint(nodes.withColumnRenamed("key", "src")), "src")
+            .join(
+                hint(
+                    nodes.select(
+                        F.col("key").alias("dst"), F.col("cls").alias("cls_d")
+                    )
+                ),
+                "dst",
+            )
+            .filter(F.col("cls") == F.col("cls_d"))
+            .select("src", "dst", "cls")
+            .localCheckpoint(eager=True)
+        )
+        # Multistep tail (Slota/Rajamanickam/Madduri: parallel FW-BW for
+        # the bulk, SERIAL Tarjan for the residual): once the active
+        # set fits comfortably on the driver (same spirit as the
+        # broadcast size gate), one in-memory Tarjan pass replaces what
+        # would otherwise be ~log(n) more distributed fixpoint
+        # iterations, each a multi-round shuffle cascade over a
+        # shrinking tail. Classes share no edges, so one Tarjan over the
+        # class-tagged residual respects every class boundary for free.
+        # local_threshold=0 forces the pure distributed path (tests).
+        n_active = nodes.count()
+        if n_active + e.count() <= local_threshold:
+            keys = [r.key for r in nodes.select("key").collect()]
+            adj: dict = {}
+            for r in e.select("src", "dst").collect():
+                adj.setdefault(r.src, []).append(r.dst)
+            rows = [
+                (k, min(c))
+                for c in _tarjan_components(keys, adj)
+                for k in c
+            ]
+            spark = edges.sparkSession
+            certified.append(
+                spark.createDataFrame(rows, "key string, comp string")
+            )
+            out = certified[0]
+            for c in certified[1:]:
+                out = out.unionByName(c)
+            return out
+        lab = nodes.select(
+            "key", "cls", h("key").alias("f"), h("key").alias("b")
+        ).localCheckpoint(eager=True)
+        while True:
+            if rounds_left == 0:
+                raise SCCConvergenceError(
+                    f"scc: f/b fixpoint still changing after {max_rounds}"
+                    " total one-hop+jump rounds; refusing to return"
+                    " unconverged labels"
+                )
+            rounds_left -= 1
+            # one fused plan per round — hop (both directions through ONE
+            # unioned contribution stream + one aggregation + one merge
+            # join, the scc_bounded fusion) then the label-suffix JUMP:
+            # f <- min(f, f[node(f)]) where node(f) = the argmin ancestor
+            # embedded in the label (chars 33+), the directed analogue of
+            # the CC kernel's label[label] shortcut. The change flag rides
+            # the same plan, so the round is TWO actions: one aggregate on
+            # the cached result (which also materializes it) and the
+            # checkpoint copy.
+            fwd = e.join(
+                hint(lab.select(F.col("key").alias("src"), F.col("f").alias("fs"))),
+                "src",
+            ).select(
+                F.col("dst").alias("key"),
+                "fs",
+                F.lit(None).cast("string").alias("bs"),
+            )
+            bwd = e.join(
+                hint(lab.select(F.col("key").alias("dst"), F.col("b").alias("bd"))),
+                "dst",
+            ).select(
+                F.col("src").alias("key"),
+                F.lit(None).cast("string").alias("fs"),
+                F.col("bd").alias("bs"),
+            )
+            contrib = (
+                fwd.unionByName(bwd)
+                .groupBy("key")
+                .agg(F.min("fs").alias("nf"), F.min("bs").alias("nb"))
+            )
+            hop = lab.join(hint(contrib), "key", "left").select(
+                "key",
+                "cls",
+                F.col("f").alias("of"),
+                F.col("b").alias("ob"),
+                F.least(F.col("f"), F.coalesce("nf", F.col("f"))).alias("f"),
+                F.least(F.col("b"), F.coalesce("nb", F.col("b"))).alias("b"),
+            )
+            # label-suffix jump: pull the argmin ancestor's own best
+            # ancestor (and the descendant twin). Jump sides read the
+            # PREVIOUS round's checkpointed lab keyed by node id; the
+            # argmin node only ever moves FURTHER away (labels only
+            # decrease), so coverage compounds geometrically — no pointer
+            # column to reset. Left join: node(f) is always an in-class
+            # node present in lab; the left form keeps the plan robust.
+            jf = lab.select(F.col("key").alias("jkf"), F.col("f").alias("fj"))
+            jb = lab.select(F.col("key").alias("jkb"), F.col("b").alias("bj"))
+            pre = (
+                hop.join(
+                    hint(jf), F.expr("substring(f, 33)") == F.col("jkf"), "left"
+                )
+                .join(hint(jb), F.expr("substring(b, 33)") == F.col("jkb"), "left")
+                .select(
+                    "key",
+                    "cls",
+                    F.least(F.col("f"), F.coalesce("fj", F.col("f"))).alias("f"),
+                    F.least(F.col("b"), F.coalesce("bj", F.col("b"))).alias("b"),
+                    "of",
+                    "ob",
+                )
+                .select(
+                    "key",
+                    "cls",
+                    "f",
+                    "b",
+                    ((F.col("f") != F.col("of")) | (F.col("b") != F.col("ob"))).alias(
+                        "chg"
+                    ),
+                )
+            )
+            # materialize through persist() BEFORE the checkpoint:
+            # localCheckpoint preserves the origin plan's STATIC size
+            # estimate, and a join's static estimate is the PRODUCT of its
+            # children's — ~5 label references per round means the stats
+            # BigInteger's digit count compounds 5x per round, and the
+            # non-AQE planning inside .localCheckpoint() then spends
+            # minutes in BigInteger.multiply (measured: 60 s/round by
+            # round 11). An InMemoryRelation recomputes stats from the
+            # MATERIALIZED bytes, so checkpointing from the cache resets
+            # the estimate to reality every round.
+            cached = pre.persist()
+            # zero combined change ⇒ in particular the hop phase lowered
+            # nothing (labels only decrease) ⇒ 1-hop stability ⇒ f = f*,
+            # b = b* exactly — the loop exit IS the convergence certificate
+            changed = cached.agg(
+                F.sum(F.col("chg").cast("int")).alias("n")
+            ).collect()[0]["n"] or 0
+            new_lab = cached.drop("chg").localCheckpoint(eager=True)
+            cached.unpersist()
+            lab = new_lab
+            if __import__("os").environ.get("KB_SCC_DEBUG"):
+                import time as _t
+
+                print(
+                    f"scc round {max_rounds - rounds_left} changed={changed}"
+                    f" t={_t.time():.1f}",
+                    flush=True,
+                )
+            if changed == 0:
+                break
+        done = lab.filter(F.col("f") == F.col("b"))
+        comp_map = done.groupBy("cls", "f").agg(F.min("key").alias("comp"))
+        certified.append(
+            done.join(comp_map, ["cls", "f"])
+            .select("key", "comp")
+            .localCheckpoint(eager=True)
+        )
+        remaining = lab.filter(F.col("f") != F.col("b"))
+        nodes = remaining.select(
+            "key", F.md5(F.concat("cls", "f", "b")).alias("cls")
+        ).localCheckpoint(eager=True)
+        if nodes.limit(1).count() == 0:
+            out = certified[0]
+            for c in certified[1:]:
+                out = out.unionByName(c)
+            return out
+    raise SCCConvergenceError(
+        f"scc: {max_iters} FW-BW split iterations exhausted with nodes"
+        " still uncertified; refusing to return a partial partition"
+    )
+
+
 def _symmetrized(edges: DataFrame) -> DataFrame:
     return edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
         edges.select(F.col("dst"), F.col("src"))

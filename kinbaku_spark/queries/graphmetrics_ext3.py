@@ -425,3 +425,63 @@ LIMIT {MOTIF_TOP}
 
 QUERIES["g_motif_brokers"] = g_motif_brokers
 ORACLES["g_motif_brokers"] = _motif_sql()
+
+
+# -- g_motif_typed_chain: named-edge motifs with attribute predicates ---------
+
+TYPED_CHAIN_TOP = 10
+
+
+def g_motif_typed_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed 2-hop chains through the NAMED-EDGE motif surface (VERDICT
+    r05 next-round #6 — GraphFrames parity: ``(a)-[e1]->(b)`` exposes the
+    edge as a struct column carrying ``type`` and any attrs, and
+    attribute predicates are plain filters on it). Edge table: the part
+    succession graph with type = min(succession count, 3) — a recurrence
+    strength bucket. The motif finds a→b→c chains where BOTH hops recur
+    (type ≥ 2) and ranks the middle node b by chain count.
+
+    Plan shape (the docstring claim, audited): the struct-field
+    predicates e1.type/e2.type each reference ONE motif term, so Catalyst
+    pushes them below the join — the 2-hop self-join runs on the ~1%
+    recurring-edge subset, never the full succession fan-out.
+    """
+    from kinbaku_spark.graph import Graph
+    from kinbaku_spark.sources.tables import part_succession_counts
+
+    edges = part_succession_counts(spark, sf_dir).select(
+        "src", "dst", F.least(F.col("cnt"), F.lit(3)).cast("int").alias("type")
+    )
+    g = Graph.from_edges(edges)
+    chains = g.find("(a)-[e1]->(b); (b)-[e2]->(c)").filter(
+        (F.col("e1.type") >= 2) & (F.col("e2.type") >= 2) & (F.col("a") != F.col("c"))
+    )
+    return (
+        chains.groupBy(F.col("b").alias("hub"))
+        .agg(F.count(F.lit(1)).alias("chains"))
+        .orderBy(F.desc("chains"), "hub")
+        .limit(TYPED_CHAIN_TOP)
+    )
+
+
+def _typed_chain_sql() -> str:
+    from kinbaku_spark.sources.tables import PART_SUCCESSION_COUNTS_SQL
+
+    return f"""
+WITH pc AS ({PART_SUCCESSION_COUNTS_SQL}),
+te AS (SELECT src, dst, LEAST(cnt, 3) AS type FROM pc),
+strong AS (SELECT src, dst FROM te WHERE type >= 2),
+chains AS (
+  SELECT DISTINCT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM strong ab JOIN strong bc ON bc.src = ab.dst
+  WHERE ab.src <> bc.dst
+)
+SELECT b AS hub, CAST(COUNT(*) AS BIGINT) AS chains
+FROM chains GROUP BY b
+ORDER BY chains DESC, hub
+LIMIT {TYPED_CHAIN_TOP}
+"""
+
+
+QUERIES["g_motif_typed_chain"] = g_motif_typed_chain
+ORACLES["g_motif_typed_chain"] = _typed_chain_sql()

@@ -435,6 +435,69 @@ b{p}_{r} AS MATERIALIZED (
     )
 
 
+# -- g_scc: certified TO-CONVERGENCE strongly connected components ------------
+
+# the full succession graph is one giant SCC at every sf (structurally
+# trivial for a partition query); a deterministic md5 edge sparsification
+# (keep edge iff md5_60(src||'|'||dst) % 24 == 0 — content-hash, both
+# engines replay it bit-equal) yields a condensation-rich graph: at sf0.01
+# 1,705 nodes / 1,882 edges with a mix of small cycles and a large DAG
+# part, at sf0.1 a 23-node diameter-21 SCC plus ~16,900 singletons — the
+# certify-and-split machinery is exercised on real multi-class structure.
+SCC_SPARSIFY_MOD = 24
+
+
+def g_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE strongly-connected-component partition (key, comp; comp = min
+    member key) of the md5-sparsified part-succession graph, computed TO
+    CONVERGENCE by operators/components.scc — multi-pivot FW-BW with
+    hashed labels, witness pointer-doubling, and the raise-not-truncate
+    contract (SCCConvergenceError on budget exhaustion; VERDICT r05
+    next-round #3 — the directed twin of the WCC kernel's convergence
+    certificate). Oracle: DuckDB recursive-CTE transitive closure — comp =
+    LEAST(key, MIN over mutually-reachable nodes) — the textbook SCC
+    definition, no algorithm replay; NetworkX differentials + adversarial
+    long-cycle/descending-chain drills live in tests/test_scc_convergent.py."""
+    from kinbaku_spark.functions.hashing import md5_long
+    from kinbaku_spark.operators.components import scc
+    from kinbaku_spark.queries.graph_queries import _n_nodes
+    from kinbaku_spark.sources.tables import part_succession_edges
+
+    edges = part_succession_edges(spark, sf_dir).filter(
+        F.pmod(
+            md5_long(F.concat(F.col("src"), F.lit("|"), F.col("dst"))),
+            F.lit(SCC_SPARSIFY_MOD),
+        )
+        == 0
+    )
+    return scc(edges, bound_rows=_n_nodes(spark, sf_dir)).orderBy("key")
+
+
+def _scc_true_sql() -> str:
+    from kinbaku_spark.functions.hashing import sql_md5_long
+    from kinbaku_spark.sources.tables import PART_SUCCESSION_EDGES_SQL
+
+    return f"""
+WITH RECURSIVE pe AS (
+  SELECT src, dst FROM ({PART_SUCCESSION_EDGES_SQL})
+  WHERE {sql_md5_long("src || '|' || dst")} % {SCC_SPARSIFY_MOD} = 0
+),
+n AS (SELECT src AS key FROM pe UNION SELECT dst FROM pe),
+reach(a, d) AS (
+  SELECT src, dst FROM pe
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN pe e ON e.src = r.d
+),
+mutual AS (
+  SELECT x.a AS v, x.d AS u FROM reach x JOIN reach y ON x.a = y.d AND x.d = y.a
+)
+SELECT n.key, LEAST(n.key, COALESCE(MIN(m.u), n.key)) AS comp
+FROM n LEFT JOIN mutual m ON m.v = n.key
+GROUP BY n.key
+ORDER BY key
+"""
+
+
 # -- g_cc_incremental: streaming CC state equals the closed-form labels -------
 
 
@@ -496,12 +559,14 @@ def _register() -> None:
             "g_densest_subgraph": g_densest_subgraph,
             "g_local_clustering": g_local_clustering,
             "g_scc_bounded": g_scc_bounded,
+            "g_scc": g_scc,
             "g_cc_incremental": g_cc_incremental,
         }
     )
     ORACLES.update(
         {
             "g_cc_incremental": G_CC_INCREMENTAL_SQL,
+            "g_scc": _scc_true_sql(),
             "g_katz_bounded": _katz_sql(),
             "g_eigenvector_bounded": _eigenvector_sql(),
             "g_densest_subgraph": _densest_sql(),

@@ -25,6 +25,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from kinbaku_spark.sources.tables import load_table
 
@@ -320,18 +321,22 @@ _V_FRAME_MS = VIDEO_USEC // 1000
 
 def x_video_decode_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x_video_decode_real through the COMPRESSED path (VERDICT r04
-    next-round #8): the same per-document constant frames are encoded as
+    next-round #8): per-document constant frames are encoded as
     Motion-JPEG AVI (one baseline JPEG per '00dc' chunk — stdlib+numpy
     codec, operators/jpeg.py) and decoded back through the full entropy
     decoder: marker parse, DHT canonical rebuild, Huffman + EXTEND,
     dequant, un-zigzag, float IDCT, YCbCr→RGB. EVEN doc_ids encode 4:4:4;
     ODD doc_ids encode 4:2:0 with a 2-MCU restart interval — the
-    hardware-MJPEG layout — so the subsampled-MCU geometry, chroma
-    replicate-upsample, RSTn resync, and DC-predictor resets all sit
-    under the driver's hash gate (constant frames have identical closed
-    forms in both layouts: chroma is exactly 128 either way). JPEG is
-    lossy, so the oracle states the CLOSED FORM of the decoded constant
-    value —
+    hardware-MJPEG layout. Frames span MULTIPLE MCUs (w up to 40, h up to
+    24 — up to 15 MCUs at 4:4:4, 6 at 4:2:0), so the subsampled-MCU
+    geometry, edge-MCU padding/crop, chroma replicate-upsample, AND —
+    for every odd doc with ≥3 MCUs per frame — actual emitted RSTn
+    markers with DC-predictor resets all sit under the driver's hash gate
+    (ADVICE r05: the previous ≤16×16 frames were a single MCU, so no
+    RSTn was ever emitted here; tests/test_codecs.py asserts this query's
+    geometry emits them). Constant frames have identical closed forms in
+    both layouts: chroma is exactly 128 either way. JPEG is lossy, so the
+    oracle states the CLOSED FORM of the decoded constant value —
     decoded(v) = clip(2*floor((v-128)/2 + 0.5) + 128) with the Annex-K
     luma q[0][0]=16 (derivation in operators/jpeg.py docstring) — and
     pixel_sum is exact over the sampled DECODED frames, so any entropy/
@@ -340,8 +345,16 @@ def x_video_decode_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetically blind to row/channel-order bugs; the unit tests are
     not).
 
+    The headline decodes a deterministic 1-in-10 doc sample (doc_id % 10
+    = 0; VERDICT r05 #4 — the pure-Python per-block Huffman loop made the
+    full-corpus form the single most expensive bench entry at 8.1 s; the
+    sampled multi-MCU form covers MORE codec machinery per stream in
+    ~1/4 the time). Full-corpus video decode stays benched by
+    x_video_decode_real; the codec property suites cover every layout.
+
     Scale notes: identical mapInPandas single-pass shape as the DIB form —
-    frame bytes never leave the executor."""
+    frame bytes never leave the executor; the doc sample is a pushed-down
+    parquet predicate, and throughput scales with executors."""
     from kinbaku_spark.operators.codecs import make_media_codecs
 
     codecs = make_media_codecs()
@@ -355,8 +368,8 @@ def x_video_decode_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, nfs, ws, hs, sfs, sums, durs = [], [], [], [], [], [], []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
-                w = int(n_chars) % 15 + 1
-                h = int(n_chars) % 9 + 1
+                w = int(n_chars) % 40 + 1
+                h = int(n_chars) % 24 + 1
                 nf = int(doc_id) % 5 + 1
                 frames = [
                     _np.full((h, w, 3), (int(doc_id) * 7 + k * 31) % 251, _np.uint8)
@@ -394,7 +407,11 @@ def x_video_decode_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "n_chars")
+    )
     return docs.mapInPandas(roundtrip, VIDEO_DECODE_SCHEMA)
 
 
@@ -411,10 +428,11 @@ _MJPEG_DECODED = (
 X_VIDEO_DECODE_MJPEG_SQL = f"""
 WITH p AS (
   SELECT doc_id,
-         n_chars % 15 + 1 AS w,
-         n_chars % 9 + 1 AS h,
+         n_chars % 40 + 1 AS w,
+         n_chars % 24 + 1 AS h,
          doc_id % 5 + 1 AS nf
   FROM documents
+  WHERE doc_id % 10 = 0
 ),
 s AS (
   SELECT doc_id, w, h, nf,

@@ -251,3 +251,40 @@ def part_succession_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+PART_SUCCESSION_COUNTS_SQL = """
+SELECT 'P' || CAST(l_partkey AS VARCHAR) AS src,
+       'P' || CAST(nxt AS VARCHAR) AS dst,
+       COUNT(*) AS cnt
+FROM (
+  SELECT l_partkey,
+         LEAD(l_partkey) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+         ) AS nxt
+  FROM lineitem
+)
+WHERE nxt IS NOT NULL AND nxt <> l_partkey
+GROUP BY 1, 2
+"""
+
+
+def part_succession_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part_succession_edges with the occurrence COUNT kept per (src, dst)
+    — the recurrence-strength weight the typed-motif query buckets into
+    edge types. Same single-window linear derivation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    return (
+        li.select(
+            F.col("l_partkey").alias("cur"),
+            F.lead("l_partkey").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("cur")))
+        .select(
+            F.concat(F.lit("P"), F.col("cur").cast("string")).alias("src"),
+            F.concat(F.lit("P"), F.col("nxt").cast("string")).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

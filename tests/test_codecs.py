@@ -732,3 +732,43 @@ def test_jpeg_scan_component_order_assigned_by_id():
 
     with pytest.raises(ValueError, match="permutation"):
         c["encode_jpeg"](img, component_order=(0, 0, 1))
+
+
+def test_mjpeg_query_geometry_emits_restart_markers():
+    """ADVICE r05: the registered x_video_decode_mjpeg query claims RSTn
+    resync sits under the driver's hash gate — which requires its odd-doc
+    4:2:0 streams to actually contain RSTn markers (>= 3 MCUs per frame
+    at restart_interval=2). Reproduce the query's exact synthesis for a
+    few (doc_id, n_chars) and assert (a) RST0 bytes present in the AVI,
+    (b) the decoded constant matches the closed form."""
+    import numpy as np
+
+    from kinbaku_spark.operators.codecs import make_media_codecs
+
+    c = make_media_codecs()
+    saw_restart = False
+    for doc_id, n_chars in ((1, 39), (3, 32), (5, 16), (2, 39)):
+        w = n_chars % 40 + 1
+        h = n_chars % 24 + 1
+        nf = doc_id % 5 + 1
+        frames = [
+            np.full((h, w, 3), (doc_id * 7 + k * 31) % 251, np.uint8)
+            for k in range(nf)
+        ]
+        if doc_id % 2 == 0:
+            avi = c["encode_avi_mjpeg"](frames, 40_000)
+        else:
+            avi = c["encode_avi_mjpeg"](
+                frames, 40_000, subsampling="420", restart_interval=2
+            )
+            mcus = -(-w // 16) * -(-h // 16)
+            if mcus >= 3:
+                assert b"\xff\xd0" in avi, (doc_id, n_chars, w, h, mcus)
+                saw_restart = True
+        _du, dw, dh, decoded = c["decode_avi"](avi)
+        assert (dw, dh) == (w, h)
+        for k, fr in enumerate(decoded):
+            v = (doc_id * 7 + k * 31) % 251
+            want = min(255, max(0, 2 * int(np.floor((v - 128) / 2 + 0.5)) + 128))
+            assert (fr == want).all(), (doc_id, k, v, want, np.unique(fr))
+    assert saw_restart  # the geometry must actually exercise RSTn

@@ -342,12 +342,58 @@ def test_motif_bad_patterns(spark):
         "!(x)-[]->(y)",                    # negated first term
         "(x)-[]->(y); (p)-[]->(q)",        # disconnected
         "(x)-[]->(y); !(x)-[]->(z)",       # negation with unbound vertex
+        "(x)-[e]->(y); (y)-[e]->(z)",      # duplicate edge name
+        "(x)-[y]->(y)",                    # edge name clashes with vertex
+        "(x)-[]->(y); !(y)-[e]->(x)",      # negated term naming its edge
+        "(x)-[e]->(x)",                    # self-loop term
     ]:
         try:
             g.find(bad)
         except BadArgument:
             continue
         raise AssertionError(f"pattern {bad!r} should raise BadArgument")
+
+
+def test_motif_named_edges_expose_attrs(spark):
+    """VERDICT r05 #6: (a)-[e]->(b) exposes the edge as a struct column
+    (type + attrs) filterable like any column; anonymous terms unchanged."""
+    from kinbaku_spark.graph import Graph
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 1), ("b", "c", 2), ("a", "c", 1),
+            ("c", "d", 2), ("d", "e", 1), ("e", "c", 2),
+        ],
+        "src string, dst string, type int",
+    )
+    g = Graph.from_edges(edges)
+    got = sorted(
+        (r.x, r.y, r.z, r.e1["type"], r.e2["type"])
+        for r in g.find("(x)-[e1]->(y); (y)-[e2]->(z)").collect()
+    )
+    E = {("a","b",1),("b","c",2),("a","c",1),("c","d",2),("d","e",1),("e","c",2)}
+    want = sorted(
+        (x, y, z, t1, t2)
+        for (x, y, t1) in E
+        for (y2, z, t2) in E
+        if y2 == y
+    )
+    assert got == want
+    typed = sorted(
+        (r.x, r.y, r.z)
+        for r in g.find("(x)-[e1]->(y); (y)-[e2]->(z)")
+        .filter("e1.type = 2 AND e2.type = 2")
+        .collect()
+    )
+    assert typed == sorted(
+        (x, y, z)
+        for (x, y, t1) in E
+        for (y2, z, t2) in E
+        if y2 == y and t1 == 2 and t2 == 2
+    )
+    # mixed anonymous + named: columns = sorted vertices then edge names
+    mixed = g.find("(x)-[]->(y); (y)-[e2]->(z)")
+    assert mixed.columns == ["x", "y", "z", "e2"]
 
 
 def test_ordered_zero_ids_match_global_rownumber(spark):

@@ -1,0 +1,164 @@
+"""Certified to-convergence SCC (operators/components.scc — VERDICT r05
+next-round #3): the output must equal NetworkX's strongly connected
+components (comp = min member key) on random digraphs, adversarial
+long-cycle chains, and descending-key DAG chains; budgets must raise
+SCCConvergenceError rather than return a split or partial partition."""
+
+from __future__ import annotations
+
+import random
+
+import networkx as nx
+import pytest
+from pyspark.sql import functions as F
+
+from kinbaku_spark.operators.components import SCCConvergenceError, scc
+
+
+def _spark_scc(spark, edges, **kw):
+    # local_threshold=0 forces the PURE DISTRIBUTED path — these tests
+    # exist to exercise the FW-BW fixpoint kernel, not the Tarjan tail
+    # (which has its own equivalence test below)
+    kw.setdefault("local_threshold", 0)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return sorted((r.key, r.comp) for r in scc(df, **kw).collect())
+
+
+def _nx_scc(edges):
+    g = nx.DiGraph(edges)
+    return sorted(
+        (node, min(comp))
+        for comp in nx.strongly_connected_components(g)
+        for node in comp
+    )
+
+
+def _random_digraph(seed: int, n: int, m: int):
+    rng = random.Random(seed)
+    es = {
+        (f"n{rng.randrange(n):03d}", f"n{rng.randrange(n):03d}")
+        for _ in range(m)
+    }
+    return sorted((u, v) for u, v in es if u != v)
+
+
+@pytest.mark.parametrize(
+    "seed,n,m",
+    [
+        (1, 40, 50),  # sparse: mostly singleton SCCs + small cycles
+        (2, 40, 90),  # near the giant-SCC phase transition
+        (3, 40, 200),  # dense: one giant SCC
+        (4, 80, 100),
+        (5, 80, 260),
+    ],
+)
+def test_scc_matches_networkx_random_digraphs(spark, seed, n, m):
+    edges = _random_digraph(seed, n, m)
+    assert _spark_scc(spark, edges) == _nx_scc(edges)
+
+
+def test_scc_long_cycle_chain_converges(spark):
+    """The adversarial-diameter drill (the WCC kernel's 10^4-hop class,
+    directed form): a single 2,000-node directed cycle — one SCC with
+    diameter 2,000. One-hop propagation alone would need 2,000 rounds;
+    the witness pointer-doubling must converge in O(log n) rounds within
+    the default budget. Plus a chain of 3 long cycles bridged by one-way
+    edges (cycles stay separate SCCs — the bridge direction matters)."""
+    n = 2000
+    cyc = [(f"c{i:05d}", f"c{(i + 1) % n:05d}") for i in range(n)]
+    got = _spark_scc(spark, cyc)
+    assert got == [(f"c{i:05d}", "c00000") for i in range(n)]
+
+    # three 150-cycles chained by one-way bridges: 3 distinct SCCs
+    edges = []
+    for g in range(3):
+        edges += [
+            (f"g{g}x{i:03d}", f"g{g}x{(i + 1) % 150:03d}") for i in range(150)
+        ]
+    edges += [("g0x007", "g1x003"), ("g1x011", "g2x005")]
+    assert _spark_scc(spark, edges) == _nx_scc(edges)
+
+
+def test_scc_descending_key_chain_one_shot(spark):
+    """The bounded peel's worst case: a pure DAG path whose keys DESCEND
+    along the edges, so min-label peeling certifies one node per peel
+    (O(n) peels). The (f, b)-pair split must resolve every node as a
+    singleton SCC well inside the default iteration budget."""
+    n = 400
+    edges = [(f"d{n - i:04d}", f"d{n - i - 1:04d}") for i in range(n)]
+    got = _spark_scc(spark, edges)
+    assert got == sorted((f"d{i:04d}", f"d{i:04d}") for i in range(0, n + 1))
+
+
+def test_scc_mixed_dag_of_cycles(spark):
+    """Condensation DAG with nontrivial SCCs at both ends and singleton
+    middles — exercises certify + split + recurse together."""
+    edges = [
+        ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),  # 3-cycle
+        ("a3", "m1"), ("m1", "m2"), ("m2", "z1"),  # singleton path
+        ("z1", "z2"), ("z2", "z3"), ("z3", "z4"), ("z4", "z1"),  # 4-cycle
+        ("z2", "m1"),  # back-edge into the middle: m1, m2, z* merge? no —
+        # m1->m2->z1 and z2->m1 close a cycle through m1, m2, z1, z2
+    ]
+    assert _spark_scc(spark, edges) == _nx_scc(edges)
+
+
+def test_scc_budget_exhaustion_raises(spark):
+    """Never silently-bounded: a cycle too deep for a tiny round budget
+    raises SCCConvergenceError; same for an iteration budget of zero."""
+    cyc = [(f"c{i:03d}", f"c{(i + 1) % 64:03d}") for i in range(64)]
+    df_edges = [(u, v) for u, v in cyc]
+    with pytest.raises(SCCConvergenceError, match="round"):
+        _spark_scc(spark, df_edges, max_rounds=2)
+    with pytest.raises(SCCConvergenceError, match="iteration"):
+        _spark_scc(spark, df_edges, max_iters=0)
+
+
+def test_scc_self_loops_and_duplicates(spark):
+    """Self-loops and duplicate edges must not affect the partition."""
+    edges = [("a", "a"), ("a", "b"), ("a", "b"), ("b", "a"), ("b", "c")]
+    assert _spark_scc(spark, edges) == _nx_scc(edges)
+
+
+def test_graph_facade_scc(spark):
+    """Graph.scc() delegates to the convergent operator and covers
+    isolated nodes (comp = own key)."""
+    from kinbaku_spark.graph import Graph
+
+    edges = spark.createDataFrame(
+        [("x", "y", 0), ("y", "x", 0), ("y", "z", 0)],
+        "src string, dst string, type int",
+    )
+    g = Graph.from_edges(edges)
+    g.add_node("lonely", {})
+    got = sorted((r.key, r.comp) for r in g.scc().collect())
+    assert got == [("lonely", "lonely"), ("x", "x"), ("y", "x"), ("z", "z")]
+
+
+def test_scc_tarjan_tail_equals_distributed(spark):
+    """The Multistep serial tail must be observationally identical to the
+    pure distributed path: same graph through local_threshold=0 (all
+    FW-BW) and a huge threshold (all Tarjan), plus a mid threshold that
+    runs one distributed iteration then hands the residual to the tail."""
+    edges = _random_digraph(11, 60, 110)
+    pure = _spark_scc(spark, edges, local_threshold=0)
+    tail = _spark_scc(spark, edges, local_threshold=10**9)
+    hybrid = _spark_scc(spark, edges, local_threshold=40)
+    assert pure == tail == hybrid == _nx_scc(edges)
+
+
+def test_tarjan_kernel_matches_networkx():
+    """Driver-side Tarjan kernel alone vs NetworkX on random digraphs
+    (no Spark involved — the tail's correctness in isolation)."""
+    from kinbaku_spark.operators.components import _tarjan_components
+
+    for seed, n, m in ((7, 50, 60), (8, 50, 120), (9, 120, 300)):
+        edges = _random_digraph(seed, n, m)
+        keys = sorted({u for u, _ in edges} | {v for _, v in edges})
+        adj: dict = {}
+        for u, v in edges:
+            adj.setdefault(u, []).append(v)
+        got = sorted(
+            (k, min(c)) for c in _tarjan_components(keys, adj) for k in c
+        )
+        assert got == _nx_scc(edges), (seed, n, m)
