@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from kinbaku_spark.graph import Graph
 from kinbaku_spark.operators.ids import ordered_zero_ids
-from kinbaku_spark.plans.hints import maybe_broadcast, size_hint
+from kinbaku_spark.plans.hints import broadcast_bound, maybe_broadcast, size_hint
 from kinbaku_spark.sources.tables import (
     CUSTOMER_ORDER_EDGES_SQL,
     SUPPLIER_PART_EDGES_SQL,
@@ -1016,7 +1016,18 @@ def g_kcore(spark, sf_dir):
             .groupBy("key")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
+        # keep-list PINNED before the semi-joins IN THE DEMOTED REGIME
+        # (|V| past the broadcast gate): a shuffle join against a
+        # derived-aggregate side is never skew-split (STRESS_SKEW_HUB.md /
+        # VERDICT r05 #5), so a hub node's edge partition would be stuck
+        # hot; the checkpoint makes keep a plain scan, restoring AQE's
+        # split (lazy form is enough:
+        # tests/test_skew_probe.py::test_iterative_join_sides_skew_split).
+        # While keep still broadcasts there is no skew problem and no pin
+        # — the local plan stays a 3-stage broadcast chain.
         keep = deg.filter(F.col("deg") >= k).select("key")
+        if n_nodes >= broadcast_bound():
+            keep = keep.localCheckpoint(eager=False)
         edges = (
             edges.join(hint(keep), edges.src == keep.key, "left_semi")
             .join(hint(keep), edges.dst == keep.key, "left_semi")

@@ -120,6 +120,7 @@ _GATED_ITERATIVE = [
     "g_densest_subgraph",
     "g_local_clustering",
     "g_scc_bounded",
+    "g_scc",
 ]
 
 

@@ -227,3 +227,78 @@ def test_substring_apply_join_shape_skew_splits(spark):
         " behavior changed; x_substring_dedup_apply's pin-for-skew"
         " rationale can be revisited"
     )
+
+
+import pytest  # noqa: E402
+
+
+def _family_state(name, fact):
+    """Miniature of each iterative operator's per-round JOIN-SIDE state,
+    derived from the skewed fact on the join key exactly the way the
+    operator derives it (file:line in each branch). The canary asserts the
+    operator's actual discipline — state pinned via localCheckpoint before
+    the join — keeps the skewed fact side splittable."""
+    if name == "kcore_keep_list":
+        # queries/graph_queries.py g_kcore: degree filter over the live
+        # edge set, semi-joined back per peel round
+        return (
+            fact.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= 1)
+            .select("k")
+        )
+    if name == "boruvka_label_map":
+        # queries/graphmetrics_ext3.py g_boruvka_mst: per-round component
+        # label map (key -> min label) relabeling the edge endpoints
+        return fact.groupBy("k").agg(F.min("payload").alias("label"))
+    if name == "scc_label_vector":
+        # operators/components.py scc: per-round (f, b) label vector the
+        # hop/jump joins read
+        return fact.groupBy("k").agg(
+            F.min("payload").alias("f"), F.max("payload").alias("b")
+        )
+    if name == "lsh_band_signatures":
+        # operators/dedup.py simhash_near_duplicates banded=True /
+        # operators/similarity.py embedding_near_duplicates_lsh: the
+        # signature table both band-join sides read
+        return fact.groupBy("k").agg(
+            F.min(F.sha2("payload", 256)).alias("sig")
+        )
+    raise AssertionError(name)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "kcore_keep_list",
+        "boruvka_label_map",
+        "scc_label_vector",
+        "lsh_band_signatures",
+    ],
+)
+def test_iterative_join_sides_skew_split(spark, name):
+    """VERDICT r05 next-round #5: every iterative operator's per-round
+    join must keep a splittable (pinned or scan-backed) state side. For
+    each family: the UNPINNED derived state defeats AQE's skew split on a
+    planted hub key (the mechanism test above), and the operator's actual
+    pinned shape restores it — including the LAZY (eager=False)
+    localCheckpoint the cheap rounds use."""
+    with _probe_confs(spark):
+        fact = _hub_fact(spark)
+        width = F.sum(F.length("payload"))
+
+        inline_plan = _exec_plan(fact.join(_family_state(name, fact), "k"), width)
+        pinned_plan = _exec_plan(
+            fact.join(_family_state(name, fact).localCheckpoint(eager=False), "k"),
+            width,
+        )
+    assert "skew=true" in pinned_plan, (
+        f"{name}: pinned state side did not skew-split — either the"
+        " fixture no longer crosses the probe thresholds or lazy"
+        " localCheckpoint stopped producing a scan-backed side\n"
+        + pinned_plan[:2000]
+    )
+    assert "skew=true" not in inline_plan, (
+        f"{name}: skew split fired through the derived state side — Spark"
+        " behavior changed; the pin-for-skew rationale can be revisited"
+    )
