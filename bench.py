@@ -192,6 +192,10 @@ EXTENSION_HEADLINE = [
     "x_dedup_embedding_recall_sampled",
     "x_video_decode_mjpeg",
     "x_image_decode_gif",
+    # round 6
+    "g_scc",
+    "g_motif_typed_chain",
+    "x_dedup_recall_stratified",
 ]
 
 
