@@ -88,14 +88,30 @@ def min_label_fixpoint(
                 F.col("label"), F.coalesce(F.col("l2"), F.col("label"))
             ).alias("label"),
         )
+        # materialize through persist() BEFORE the checkpoint:
+        # localCheckpoint preserves the origin plan's STATIC size
+        # estimate, and a join's static estimate is the PRODUCT of its
+        # children's — the hop+jump plan references the previous round's
+        # labels multiple times, so the stats BigInteger's digit count
+        # DOUBLES per round (measured: 46 digits at round 1, 3,481 by
+        # round 7). The change probe runs fine (AQE uses runtime stats),
+        # but the non-AQE planning inside .localCheckpoint() multiplies
+        # those BigIntegers — at the ~26-30 rounds a 10^8-diameter graph
+        # needs, that is a multi-GB driver allocation. An InMemoryRelation
+        # recomputes stats from the MATERIALIZED bytes, so checkpointing
+        # from the cache resets the estimate to reality every round
+        # (same fix as operators/components.scc; regression-pinned in
+        # tests/test_cc_kernel.py::test_label_stats_stay_bounded).
+        cached = new_labels.persist()
         changed = (
-            new_labels.alias("n")
+            cached.alias("n")
             .join(labels.alias("o"), "u")
             .filter(F.col("n.label") != F.col("o.label"))
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = cached.localCheckpoint(eager=True)
+        cached.unpersist()
         if changed == 0:
             return labels
     raise CCConvergenceError(

@@ -121,3 +121,35 @@ def test_graph_connected_components_deep_diameter(spark):
     got = {r.key: r.component for r in g.connected_components().collect()}
     assert got["zzz_isolated"] == "zzz_isolated"
     assert {v for k, v in got.items() if k != "zzz_isolated"} == {"g00"}
+
+
+def test_label_stats_stay_bounded(spark):
+    """Latent-scale-bug regression (round 6): localCheckpoint preserves
+    the origin plan's static size estimate, and per-round join products
+    DOUBLE the stats BigInteger's digit count — by the ~30 rounds a
+    10^8-diameter graph needs, non-AQE planning allocates a multi-GB
+    BigInteger on the driver. The kernel now re-materializes through
+    persist() each round (InMemoryRelation stats = real bytes); this
+    pins that the label table's static estimate stays bounded."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(f"s{i:03d}", f"s{i + 1:03d}") for i in range(300)],
+        "u string, v string",
+    )
+    und = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = und.select("u").distinct().select(
+        "u", F.col("u").alias("label")
+    )
+    out = min_label_fixpoint(labels, und)  # ~10 rounds on a 300-path
+    digits = len(
+        str(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    assert digits < 40, (
+        f"label-table static size estimate has {digits} digits — the"
+        " per-round stats product is compounding again (the persist-"
+        "before-checkpoint fix regressed)"
+    )
+    assert out.agg(F.count_distinct("label").alias("n")).collect()[0]["n"] == 1
