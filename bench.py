@@ -196,6 +196,9 @@ EXTENSION_HEADLINE = [
     "g_scc",
     "g_motif_typed_chain",
     "x_dedup_recall_stratified",
+    "x_roc_auc",
+    "x_calibration_bins",
+    "x_confusion_f1",
 ]
 
 

@@ -17,6 +17,7 @@ from kinbaku_spark.queries import (  # noqa: F401
     drift_ext,
     drift_ext2,
     eval_ext,
+    eval_ext2,
     graph_queries,
     graphmetrics_ext,
     graphmetrics_ext2,
@@ -73,6 +74,7 @@ for mod in (
     drift_ext,
     drift_ext2,
     eval_ext,
+    eval_ext2,
     graph_queries,
     graphmetrics_ext,
     graphmetrics_ext2,
@@ -130,17 +132,21 @@ except ImportError:  # extensions land incrementally
 # x_dedup_embedding_recall_sampled (adaptive modulus + support columns),
 # x_video_decode_mjpeg (multi-MCU frames + doc sample), g_cc_incremental
 # (versioned-state GC/retention rework), g_kcore (gated keep-list pin),
-# g_motif_brokers (rides the rewritten Graph.find) — then (b) the FINAL
-# 36 never-driver-checked entries: the 17 local-replica-tail names plus
-# the 19 the r03/r04 judges oracle-spot-checked (every registry entry has
-# an independent oracle stamp; this window converts the last 36 into
-# driver stamps — 283/283 driver-green when CORRECTNESS_r06 lands green).
-# Positions 46-50 pad with stamped entries sharing this round's changed
-# files (graph.py, extensions.py, codecs/jpeg adjacency).
+# g_motif_brokers (rides the rewritten Graph.find), and the new
+# classifier-eval family (x_roc_auc, x_calibration_bins, x_confusion_f1)
+# — then (b) the FINAL 36 never-driver-checked entries: the 17
+# local-replica-tail names plus the 19 the r03/r04 judges
+# oracle-spot-checked (every registry entry has an independent oracle
+# stamp; this window converts the last 36 into driver stamps — 286/286
+# driver-green when CORRECTNESS_r06 lands green). The last two slots pad
+# with stamped graph.py-adjacent entries.
 _PRIORITY = [
     "g_scc",
     "x_dedup_recall_stratified",
     "g_motif_typed_chain",
+    "x_roc_auc",
+    "x_calibration_bins",
+    "x_confusion_f1",
     "x_dedup_recall_sampled",
     "x_dedup_embedding_recall_sampled",
     "x_video_decode_mjpeg",
@@ -185,9 +191,6 @@ _PRIORITY = [
     "x_repetition_ratio",
     "g_subgraph_coo",
     "g_adjacency_coo",
-    "x_dedup_simhash_banded_recall",
-    "x_dedup_embedding_lsh_wide",
-    "x_image_decode_gif",
 ]
 
 _missing = [k for k in _PRIORITY if k not in QUERIES]
