@@ -1430,13 +1430,29 @@ EMB_RECALL_TARGET_STRATUM = 1000  # vectors per evaluation stratum
 DEDUP_RECALL_MIN_SUPPORT = 30  # truth pairs below which low_support fires
 
 
-def _stratum_mod(df, target: int) -> int:
+_CORPUS_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _corpus_count(df, cache_key: tuple[str, str] | None = None) -> int:
+    """df.count() memoized per (sf_dir, table): the parquet inputs are
+    immutable, so every monitor invocation after the first reads the
+    count from the dict instead of paying a job (the x_ann _QUERY_VEC_CACHE
+    pattern)."""
+    if cache_key is None:
+        return df.count()
+    if cache_key not in _CORPUS_COUNT_CACHE:
+        _CORPUS_COUNT_CACHE[cache_key] = df.count()
+    return _CORPUS_COUNT_CACHE[cache_key]
+
+
+def _stratum_mod(df, target: int, cache_key: tuple[str, str] | None = None) -> int:
     """max(1, count // target) — the corpus-count-derived stratum modulus
     (VERDICT r05 #1). One driver-side count (parquet metadata-backed, a
-    rounding error next to the readout); the DuckDB oracle inlines the
-    SAME integer expression (GREATEST(1, COUNT(*) // target)) so both
-    engines derive the identical modulus at any corpus size."""
-    return max(1, df.count() // target)
+    rounding error next to the readout, memoized per immutable sf_dir);
+    the DuckDB oracle inlines the SAME integer expression
+    (GREATEST(1, COUNT(*) // target)) so both engines derive the
+    identical modulus at any corpus size."""
+    return max(1, _corpus_count(df, cache_key) // target)
 
 
 def _sql_stratum_mod(table: str, target: int) -> str:
@@ -1481,7 +1497,9 @@ def x_dedup_recall_sampled(spark, sf_dir):
     from kinbaku_spark.operators.dedup import shingle_hashes
 
     docs_all = load_table(spark, sf_dir, "documents")
-    mod = _stratum_mod(docs_all, DEDUP_RECALL_TARGET_STRATUM)
+    mod = _stratum_mod(
+        docs_all, DEDUP_RECALL_TARGET_STRATUM, (sf_dir, "documents")
+    )
     docs = docs_all.filter(
         F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(mod)) == 0
     )
@@ -1546,7 +1564,7 @@ def x_dedup_recall_stratified(spark, sf_dir):
     from kinbaku_spark.queries.dedup_state import shingle_state
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs = _corpus_count(docs, (sf_dir, "documents"))
     mod = max(1, n_docs // DEDUP_RECALL_TARGET_STRATUM)
     sh, _ = shingle_state(spark, sf_dir)
 
@@ -1668,7 +1686,9 @@ def x_dedup_embedding_recall_sampled(spark, sf_dir):
     )
 
     emb_all = load_table(spark, sf_dir, "embeddings")
-    mod = _stratum_mod(emb_all, EMB_RECALL_TARGET_STRATUM)
+    mod = _stratum_mod(
+        emb_all, EMB_RECALL_TARGET_STRATUM, (sf_dir, "embeddings")
+    )
     emb = emb_all.filter(
         F.pmod(md5_long(F.col("vec_id").cast("string")), F.lit(mod)) == 0
     ).localCheckpoint(eager=True)
