@@ -45,6 +45,70 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
     return out
 
 
+def _walk_logical(node):
+    yield node
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _walk_logical(it.next())
+
+
+def unpartitioned_windows(df: DataFrame) -> list[dict]:
+    """Every Window node in the OPTIMIZED logical plan whose partition
+    spec is EMPTY — the single-task global-sort shape Spark itself warns
+    about ("No Partition Defined for Window operation"). Returns one dict
+    per hit with boundedness evidence so tests can assert each sits on a
+    bounded input (tests/test_window_canary.py):
+
+    - ``exprs``: the window expressions (simpleString)
+    - ``child``: the child plan's treeString (what the window sorts)
+    - ``bounded_offsets``: child is the P-row per-range-partition totals
+      table of operators/rank.py / operators/ids.py (grouping on the
+      synthetic ``__pid`` partition id — at most one row per partition)
+    - ``bounded_limit``: a Limit sits between the window and any scan, so
+      the window input is at most that constant number of rows
+
+    An empty return means no empty-partition-spec window anywhere in the
+    plan. Runs on the optimized logical plan (pre-AQE, no execution).
+    """
+    jplan = df._jdf.queryExecution().optimizedPlan()
+    hits: list[dict] = []
+    for node in _walk_logical(jplan):
+        if node.getClass().getSimpleName() != "Window":
+            continue
+        if not node.partitionSpec().isEmpty():
+            continue
+        child = node.child()
+        child_tree = child.treeString()
+        # the rank.py offsets shape: Aggregate grouped on __pid directly
+        # under the window (possibly through a Project) — P rows, one per
+        # range partition, bounded by spark.default.parallelism
+        bounded_offsets = False
+        probe = child
+        for _ in range(3):
+            name = probe.getClass().getSimpleName()
+            if name == "Aggregate":
+                bounded_offsets = "__pid" in probe.groupingExpressions().toString()
+                break
+            ch = probe.children()
+            if ch.size() != 1:
+                break
+            probe = ch.iterator().next()
+        bounded_limit = any(
+            n.getClass().getSimpleName()
+            in ("GlobalLimit", "LocalLimit", "Limit")
+            for n in _walk_logical(child)
+        )
+        hits.append(
+            {
+                "exprs": node.windowExpressions().toString(),
+                "child": child_tree,
+                "bounded_offsets": bounded_offsets,
+                "bounded_limit": bounded_limit,
+            }
+        )
+    return hits
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df)
 

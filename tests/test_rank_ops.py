@@ -1,0 +1,136 @@
+"""operators/rank.py — exact distributed rank / ntile / prefix sums.
+
+Differential vs the single-partition windows they replace (identical
+values is the whole contract: oracle hashes must not move), plus the
+plan property that makes them worth having: the ONLY empty-partition
+window left runs over the P-row partition-totals table.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from kinbaku_spark.operators.rank import prefix_sums, ranked, with_ntile
+from kinbaku_spark.plans.inspect import unpartitioned_windows
+
+
+def _data(spark, n=997, seed=7):
+    import random
+
+    random.seed(seed)
+    rows = [(i, random.randint(0, 50)) for i in range(n)]
+    return spark.createDataFrame(rows, "id long, v long").repartition(7)
+
+
+def test_ranked_matches_row_number(spark):
+    df = _data(spark)
+    naive = {
+        r.id: r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    mine = {
+        r.id: r.rn for r in ranked(df, [F.col("v"), F.col("id")], "rn").collect()
+    }
+    assert naive == mine
+
+
+def test_ranked_descending_and_total(spark):
+    df = _data(spark, n=311)
+    naive = {
+        r.id: r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("v"), "id"))
+        ).collect()
+    }
+    out = ranked(df, [F.desc("v"), F.col("id")], "rn", with_total=True)
+    rows = out.collect()
+    assert {r.id: r.rn for r in rows} == naive
+    assert all(r["__total_rn"] == 311 for r in rows)
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 4, 5, 7, 10, 311, 500])
+def test_ntile_matches_builtin(spark, k):
+    df = _data(spark, n=311)
+    naive = {
+        r.id: r.b
+        for r in df.withColumn(
+            "b", F.ntile(k).over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    mine = {
+        r.id: r.b
+        for r in with_ntile(df, k, [F.col("v"), F.col("id")], "b").collect()
+    }
+    assert naive == mine
+
+
+def test_prefix_sums_matches_window(spark):
+    hist = (
+        _data(spark)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("id").alias("s"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    naive = {
+        r.v: (r.c1, r.c2)
+        for r in hist.select(
+            "v",
+            F.sum("cnt").over(w).alias("c1"),
+            F.sum("s").over(w).alias("c2"),
+        ).collect()
+    }
+    mine = {
+        r.v: (r.c1, r.c2)
+        for r in prefix_sums(
+            hist, [F.col("v")], {"c1": "cnt", "c2": "s"}
+        ).collect()
+    }
+    assert naive == mine
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "id long, v long")
+    assert ranked(df, [F.col("v"), F.col("id")], "rn").count() == 0
+    assert with_ntile(df, 3, [F.col("v")], "b").count() == 0
+
+
+def test_plan_only_bounded_offsets_window(spark):
+    """The primitive's own plan must not contain the shape it exists to
+    eliminate: every empty-partition window sits on the __pid totals."""
+    df = _data(spark)
+    for out in (
+        ranked(df, [F.col("v"), F.col("id")], "rn"),
+        with_ntile(df, 4, [F.col("v"), F.col("id")], "b"),
+        prefix_sums(
+            df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt")),
+            [F.col("v")],
+            {"cum": "cnt"},
+        ),
+    ):
+        hits = unpartitioned_windows(out)
+        assert hits, "offsets window expected in the plan"
+        assert all(h["bounded_offsets"] for h in hits)
+
+
+def test_canary_flags_naive_global_window(spark):
+    """Negative control: the detector must FAIL a deliberately naive
+    global-rank plan (neither limit- nor offsets-bounded)."""
+    df = _data(spark)
+    naive = df.withColumn("rn", F.row_number().over(Window.orderBy("v", "id")))
+    hits = unpartitioned_windows(naive)
+    assert len(hits) == 1
+    assert not hits[0]["bounded_offsets"] and not hits[0]["bounded_limit"]
+
+
+def test_canary_limit_bounded(spark):
+    df = _data(spark)
+    lim = (
+        df.orderBy("v", "id")
+        .limit(200)
+        .withColumn("rn", F.row_number().over(Window.orderBy("v", "id")))
+    )
+    hits = unpartitioned_windows(lim)
+    assert len(hits) == 1 and hits[0]["bounded_limit"]
