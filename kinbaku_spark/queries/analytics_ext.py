@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from kinbaku_spark.operators.rank import with_ntile
 from kinbaku_spark.sources.tables import load_table
 
 DEC = "decimal(18,6)"
@@ -542,9 +543,10 @@ def x_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ntile with unique-key tiebreak), combined into the classic
     'RFM' cell label. Returns the per-cell census.
 
-    One shuffle on custkey for the per-customer rollup; the three ntile
-    windows run over the customer-dimension aggregate (never raw orders),
-    then one tiny groupBy cells.
+    One shuffle on custkey for the per-customer rollup; the three exact
+    ntile passes run over the customer-dimension aggregate (never raw
+    orders) as distributed range-parallel ranks, then one tiny groupBy
+    cells.
     """
     orders = load_table(spark, sf_dir, "orders")
     bounds = orders.agg(
@@ -566,15 +568,18 @@ def x_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # quartile scores: recency ascending (1 = most recent), freq/monetary
-    # descending (1 = best); o_custkey breaks every tie deterministically
-    wr = Window.orderBy("recency_days", "o_custkey")
-    wf = Window.orderBy(F.desc("freq"), "o_custkey")
-    wm = Window.orderBy(F.desc("monetary"), "o_custkey")
-    scored = per_cust.select(
-        F.ntile(4).over(wr).alias("r"),
-        F.ntile(4).over(wf).alias("f"),
-        F.ntile(4).over(wm).alias("m"),
+    # descending (1 = best); o_custkey breaks every tie deterministically.
+    # Each dimension is one exact distributed-ntile pass (operators/
+    # rank.py) — three range-parallel rank passes over the customer
+    # aggregate, zero single-partition windows.
+    scored = with_ntile(
+        per_cust, 4, [F.col("recency_days"), F.col("o_custkey")], "r"
     )
+    scored = with_ntile(scored, 4, [F.desc("freq"), F.col("o_custkey")], "f")
+    scored = with_ntile(
+        scored, 4, [F.desc("monetary"), F.col("o_custkey")], "m"
+    )
+    scored = scored.select("r", "f", "m")
     return (
         scored.groupBy("r", "f", "m")
         .agg(F.count(F.lit(1)).alias("customers"))

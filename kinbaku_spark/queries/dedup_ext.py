@@ -25,9 +25,10 @@ ratios of exact integers, IEEE-identical in both engines, rounded 6dp.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from kinbaku_spark.operators.dedup import prefix_filter_candidates
+from kinbaku_spark.operators.rank import prefix_sums
 from kinbaku_spark.sources.tables import load_table
 
 QUERIES: dict = {}
@@ -164,24 +165,35 @@ ORDER BY source
 # -- x_percentile_ranks: percent_rank / cume_dist over degrees ---------------
 
 def x_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Supplier out-degree rank distribution via the built-in
-    percent_rank and cume_dist window functions (ratios of exact
-    integers — IEEE-identical across engines, rounded 6dp); completes
-    the analytic-window family next to row_number/ntile/lag/lead.
+    """Supplier out-degree rank distribution: percent_rank and
+    cume_dist (ratios of exact integers — IEEE-identical across engines,
+    rounded 6dp), derived from prefix sums over the DEGREE HISTOGRAM
+    (operators/rank.py) instead of a window over the node table:
+    percent_rank(d) = (rank(d)-1)/(n-1) where rank(d) is the cumulative
+    count below d plus one, cume_dist(d) = cumulative count through d
+    over n. The only shuffled-and-summed table is the distinct-degree
+    histogram; nodes just join their degree's two numbers back.
     """
     from kinbaku_spark.queries.graph_queries import _graph
 
     e = _graph(spark, sf_dir).edges_df
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    w = Window.orderBy("d")
-    return (
-        deg.select(
-            "src",
-            "d",
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
-        )
-        .orderBy("d", "src")
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("__cnt"))
+    cum = prefix_sums(hist, [F.col("d")], {"__cum": "__cnt"})
+    total = hist.agg(F.sum("__cnt").cast("long").alias("__n"))
+    per_d = cum.crossJoin(F.broadcast(total)).select(
+        "d",
+        F.round(
+            F.when(
+                F.col("__n") > 1,
+                (F.col("__cum") - F.col("__cnt")) / (F.col("__n") - 1),
+            ).otherwise(F.lit(0.0)),  # PERCENT_RANK defines 0 for n = 1
+            6,
+        ).alias("pct_rank"),
+        F.round(F.col("__cum") / F.col("__n"), 6).alias("cume"),
+    )
+    return deg.join(per_d, "d").select("src", "d", "pct_rank", "cume").orderBy(
+        "d", "src"
     )
 
 

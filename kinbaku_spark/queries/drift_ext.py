@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from kinbaku_spark.operators.rank import prefix_sums
 from kinbaku_spark.sources.tables import load_table
 
 QUERIES: dict = {}
@@ -127,9 +128,11 @@ def x_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("da"),
         F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("db"),
     )
-    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = hist.select(
-        F.sum("da").over(w).alias("ca"), F.sum("db").over(w).alias("cb")
+    # exact running CDFs via range-parallel prefix sums (operators/
+    # rank.py) over the distinct-value histogram — unconditional at any
+    # value-domain size, no single-partition window
+    cum = prefix_sums(hist, [F.col("c")], {"ca": "da", "cb": "db"}).select(
+        "ca", "cb"
     )
     totals = cents.groupBy().agg(
         F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("na"),

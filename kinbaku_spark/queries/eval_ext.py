@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from kinbaku_spark.operators.similarity import cosine, kmeans_assign
+from kinbaku_spark.operators.rank import prefix_sums
 from kinbaku_spark.sources.tables import load_table
 
 QUERIES: dict = {}
@@ -177,8 +178,9 @@ def x_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") * 100).cast("long").alias("c")
     )
     hist = cents.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
-    wc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = hist.withColumn("cum", F.sum("cnt").over(wc))
+    # exact running counts via range-parallel prefix sums (operators/
+    # rank.py) — unconditional at any value-domain size
+    cum = prefix_sums(hist, [F.col("c")], {"cum": "cnt"})
     totals = cents.agg(
         F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
     )

@@ -281,11 +281,19 @@ SELECT (SELECT COUNT(*) FROM g_nodes) AS n_nodes,
 # -- R17/R18: pagination (second page, size 100) ---------------------------------
 
 def g_batch_nodes_page2(spark, sf_dir):
+    # limit-first: orderBy().limit(page_end) compiles to
+    # TakeOrderedAndProject (per-partition K-heaps, driver merge of
+    # page_end rows); the offset window then ranks only the <= 200
+    # surviving rows. Page k costs O(page_end), never a full-table rank.
+    # Deep pages use keyset pagination instead (Graph.batch_get_nodes:
+    # WHERE key > cursor ORDER BY key LIMIT n — the 100-TB cursor).
     g = _graph(spark, sf_dir)
     w = Window.orderBy("key")
     return (
-        g.nodes_df.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 100) & (F.col("rn") <= 200))
+        g.nodes_df.orderBy("key")
+        .limit(200)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 100)
         .drop("rn")
     )
 
@@ -294,12 +302,15 @@ G_BATCH_NODES_SQL = GRAPH_CTE + "SELECT * FROM g_nodes ORDER BY key LIMIT 100 OF
 
 
 def g_batch_edges_page2(spark, sf_dir):
+    # same limit-first shape as g_batch_nodes_page2 (see above)
     g = _graph(spark, sf_dir)
     w = Window.orderBy("src", "dst", "type")
     return (
         g.edges_df.select("src", "dst", "type")
+        .orderBy("src", "dst", "type")
+        .limit(200)
         .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 100) & (F.col("rn") <= 200))
+        .filter(F.col("rn") > 100)
         .drop("rn")
     )
 

@@ -26,8 +26,9 @@ DECIMAL(38,0)/HUGEINT; ratios are integer ppm.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from kinbaku_spark.operators.rank import ranked as dist_ranked
 from kinbaku_spark.sources.tables import load_table
 
 QUERIES: dict = {}
@@ -156,8 +157,8 @@ def g_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _graph(spark, sf_dir)
     deg = g.edges_df.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    w = Window.orderBy("d", "src")
-    ranked = deg.withColumn("rank", F.row_number().over(w))
+    # exact global rank without a single-partition window (rank.py)
+    ranked = dist_ranked(deg, [F.col("d"), F.col("src")], "rank")
     d38 = "decimal(38,0)"
     mom = ranked.agg(
         F.count(F.lit(1)).alias("n_nodes"),

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from kinbaku_spark.functions.hashing import md5_long, sql_md5_long
+from kinbaku_spark.operators.rank import with_ntile
 from kinbaku_spark.sources.tables import load_table
 
 QUERIES: dict = {}
@@ -167,6 +168,10 @@ def x_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Score (ppm, all integer arithmetic):
       (alpha_ratio*5 + min(tokens/100, 1)*3 + (1 - digit_ratio)*2) / 10.
+
+    Terciles come from the exact distributed ntile (operators/rank.py:
+    range-parallel rank + broadcast total), not a single-partition
+    ORDER BY window — the corpus never funnels through one task.
     """
     docs = load_table(spark, sf_dir, "documents")
     feats = docs.select(
@@ -186,9 +191,8 @@ def x_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") div 10"
         ).alias("score_ppm"),
     )
-    bucketed = scored.withColumn(
-        "bucket",
-        F.ntile(3).over(Window.orderBy(F.desc("score_ppm"), F.col("doc_id"))),
+    bucketed = with_ntile(
+        scored, 3, [F.desc("score_ppm"), F.col("doc_id")], "bucket"
     ).withColumn(
         "kept",
         F.when(F.col("bucket") == 1, F.lit(1))

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from kinbaku_spark.functions.hashing import md5_long, sql_md5_long
+from kinbaku_spark.operators.rank import prefix_sums
 from kinbaku_spark.sources.tables import load_table
 
 # -- HyperLogLog: 256 registers over the 60-bit md5 hash ----------------------
@@ -435,8 +436,10 @@ def x_hist_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dv = cents.groupBy("c").agg(F.count(F.lit(1)).alias("vn"))
-    wv = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
-    dcum = dv.select("c", F.sum("vn").over(wv).alias("cum"))
+    # exact-quantile side: range-parallel prefix sums over the distinct-
+    # value histogram (operators/rank.py) — the bucket-side window above
+    # stays a plain window because its input is <= HQ_BUCKETS rows
+    dcum = prefix_sums(dv, [F.col("c")], {"cum": "vn"}).select("c", "cum")
     exact = (
         qs.crossJoin(dcum)
         .crossJoin(F.broadcast(stats.select("n")))

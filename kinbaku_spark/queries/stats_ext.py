@@ -125,10 +125,11 @@ def x_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     df_counts = inc.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    wv = Window.orderBy(F.desc("df"), "tok")
+    # distributed top-k (TakeOrderedAndProject: per-partition K-heaps),
+    # never a row_number window ranking the full vocabulary
     vocab = (
-        df_counts.withColumn("rn", F.row_number().over(wv))
-        .where(F.col("rn") <= COLLOC_VOCAB)
+        df_counts.orderBy(F.desc("df"), "tok")
+        .limit(COLLOC_VOCAB)
         .select("tok", "df")
     )
     kept = inc.join(F.broadcast(vocab), "tok")

@@ -24,8 +24,9 @@ ties on customer id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from kinbaku_spark.operators.rank import ranked as dist_ranked
 from kinbaku_spark.sources.tables import load_table
 
 QUERIES: dict = {}
@@ -44,8 +45,8 @@ def x_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    w = Window.orderBy("cents", "o_custkey")
-    ranked = per_cust.withColumn("rank", F.row_number().over(w))
+    # exact global rank without a single-partition window (rank.py)
+    ranked = dist_ranked(per_cust, [F.col("cents"), F.col("o_custkey")], "rank")
     d38 = "decimal(38,0)"
     mom = ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),

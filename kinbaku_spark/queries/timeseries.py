@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from kinbaku_spark.operators.rank import with_ntile
 from kinbaku_spark.sources.tables import load_table
 
 DEC = "decimal(18,6)"
@@ -239,20 +240,24 @@ FROM win ORDER BY day
 # -- equi-depth histogram via ntile -------------------------------------------
 
 def x_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10-bucket equi-depth histogram of order totals: ntile over the
-    global (o_totalprice, o_orderkey) sort, then per-bucket count and
+    """10-bucket equi-depth histogram of order totals: exact NTILE over
+    the global (o_totalprice, o_orderkey) sort, then per-bucket count and
     bounds. ntile's floor-division sizing is engine-identical; the unique
     key tiebreak makes bucket assignment fully deterministic.
 
-    At 100 TB the exact global sort becomes approx_percentile bounds +
-    one pass of range classification; the exact form is kept because the
-    oracle is exact.
+    The bucket assignment is the exact distributed ntile
+    (operators/rank.py: range-parallel rank + broadcast total) — the
+    exact global semantics WITHOUT a single-partition window, so the
+    same plan holds at 100 TB.
     """
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        orders.select("o_totalprice", "o_orderkey")
-        .withColumn("bucket", F.ntile(10).over(w))
+        with_ntile(
+            orders.select("o_totalprice", "o_orderkey"),
+            10,
+            [F.col("o_totalprice"), F.col("o_orderkey")],
+            "bucket",
+        )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("cnt"),

@@ -90,12 +90,9 @@ def g_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _graph(spark, sf_dir).edges_df
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    wtop = Window.orderBy(F.desc("d"), "src")
-    top = (
-        deg.withColumn("rn", F.row_number().over(wtop))
-        .where(F.col("rn") <= RICH_K)
-        .select("src")
-    )
+    # distributed top-k (TakeOrderedAndProject: per-partition K-heaps),
+    # never a row_number window ranking every node's degree
+    top = deg.orderBy(F.desc("d"), "src").limit(RICH_K).select("src")
     inc = e.join(F.broadcast(top), "src").select("src", "dst").distinct()
     pairs = (
         inc.select(F.col("src").alias("a"), F.col("dst").alias("p"))
