@@ -173,6 +173,45 @@ def with_ntile(
     )
 
 
+def running_max_exclusive(
+    df: DataFrame,
+    sort_exprs: list[Column],
+    src: str | Column,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """All of ``df``'s columns plus the exact running maximum of ``src``
+    over all STRICTLY EARLIER rows in global ``sort_exprs`` order — the
+    equivalent of ``MAX(src) OVER (ORDER BY sort_exprs ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` (null on the globally first
+    row), range-parallel: per-partition exclusive prefix max combined
+    (``greatest``, null-skipping) with the max over all earlier
+    partitions. This is the sort-scan skyline/frontier primitive.
+    ``sort_exprs`` must be a total order (ROWS frame semantics)."""
+    col = F.col(src) if isinstance(src, str) else src
+    parts = _pinned_range_parts(df, sort_exprs, num_partitions)
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*sort_exprs)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parts.withColumn("__loc", F.max(col).over(w_local))
+    totals = parts.groupBy("__pid").agg(F.max(col).alias("__t"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__pid", F.max("__t").over(w_off).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        # greatest skips nulls: first row of first partition stays null,
+        # first row of partition p sees exactly the earlier-partition max
+        .withColumn(out_col, F.greatest("__loc", "__off"))
+        .drop("__pid", "__loc", "__off")
+    )
+
+
 def prefix_sums(
     df: DataFrame,
     sort_exprs: list[Column],

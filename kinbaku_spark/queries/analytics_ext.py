@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from kinbaku_spark.operators.rank import with_ntile
+from kinbaku_spark.operators.rank import running_max_exclusive, with_ntile
 from kinbaku_spark.sources.tables import load_table
 
 DEC = "decimal(18,6)"
@@ -685,26 +685,29 @@ def x_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     more-recent-or-equal (with one strict). Computed with the sort-scan
     trick, not the naive O(n²) dominance self-join: sort by price (ties:
     date desc), keep rows whose date strictly exceeds the running max
-    date seen so far — one global sort + one window pass.
+    date seen so far — one range-partitioned sort + parallel prefix max.
 
-    At 100 TB the global sort is a range-partitioned exchange; the window
-    max is computed per partition + a tiny boundary merge. The naive
-    formulation (the SQL oracle deliberately uses it — NOT EXISTS
-    dominance — as algorithm-independent evidence) is a quadratic
-    inequality join: ~15 s at the sf0.01 gate, minutes at sf0.1. The gap
-    IS the point: same semantics, linearithmic vs quadratic plan.
+    The running max is operators/rank.py running_max_exclusive: a
+    range-partitioned exchange, per-partition exclusive prefix max, and
+    a P-row boundary merge — genuinely parallel, never a single-partition
+    window. The naive formulation (the SQL oracle deliberately uses it —
+    NOT EXISTS dominance — as algorithm-independent evidence) is a
+    quadratic inequality join: ~15 s at the sf0.01 gate, minutes at
+    sf0.1. The gap IS the point: same semantics, linearithmic vs
+    quadratic plan.
     """
     orders = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.orderBy(
-            F.col("o_totalprice"), F.desc("o_orderdate"), F.col("o_orderkey")
-        )
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prev_max = F.max("o_orderdate").over(w)
     return (
-        orders.select("o_orderkey", "o_totalprice", "o_orderdate")
-        .withColumn("prev_max", prev_max)
+        running_max_exclusive(
+            orders.select("o_orderkey", "o_totalprice", "o_orderdate"),
+            [
+                F.col("o_totalprice"),
+                F.desc("o_orderdate"),
+                F.col("o_orderkey"),
+            ],
+            "o_orderdate",
+            "prev_max",
+        )
         .filter(
             F.col("prev_max").isNull()
             | (F.col("o_orderdate") > F.col("prev_max"))

@@ -134,3 +134,25 @@ def test_canary_limit_bounded(spark):
     )
     hits = unpartitioned_windows(lim)
     assert len(hits) == 1 and hits[0]["bounded_limit"]
+
+
+def test_running_max_exclusive_matches_window(spark):
+    from kinbaku_spark.operators.rank import running_max_exclusive
+
+    df = _data(spark)
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = {
+        r.id: r.pm
+        for r in df.withColumn("pm", F.max("id").over(w)).collect()
+    }
+    mine = {
+        r.id: r.pm
+        for r in running_max_exclusive(
+            df, [F.col("v"), F.col("id")], "id", "pm"
+        ).collect()
+    }
+    assert naive == mine
+    hits = unpartitioned_windows(
+        running_max_exclusive(df, [F.col("v"), F.col("id")], "id", "pm")
+    )
+    assert hits and all(h["bounded_offsets"] for h in hits)
