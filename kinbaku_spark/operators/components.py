@@ -258,6 +258,18 @@ def scc(
         .localCheckpoint(eager=True)
     )
     certified: list[DataFrame] = []
+    # nodes whose ONLY incident edges are self-loops vanish from edges0;
+    # the contract is (key, comp) for EVERY endpoint of the input, and a
+    # self-loop node is its own singleton SCC (ADVICE r06 #2) — certify
+    # them up front from the pre-filter endpoint set
+    selfloop_only = (
+        _node_keys(edges.select("src", "dst"))
+        .join(nodes.select("key"), "key", "left_anti")
+        .select("key", F.col("key").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    if selfloop_only.limit(1).count() > 0:
+        certified.append(selfloop_only)
     rounds_left = max_rounds
     for _it in range(max_iters):
         if __import__("os").environ.get("KB_SCC_DEBUG"):

@@ -96,18 +96,26 @@ def x_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = r.agg(
         F.sum(
-            F.col("cp") * (2 * F.col("cum_before") + F.col("c") + 1)
-        ).alias("r2"),
+            F.col("cp").cast("decimal(38,0)")
+            * (2 * F.col("cum_before") + F.col("c") + 1)
+        ).cast("decimal(38,0)")
+        .alias("r2"),
         F.sum("cp").alias("n_pos"),
         F.sum(F.col("c") - F.col("cp")).alias("n_neg"),
     )
+    # numerator in DECIMAL(38,0): r2 ~ 2*P*n, so the ppm-scaled numerator
+    # wraps int64 near 5M docs — wide decimals keep the integer-exact
+    # contract at any corpus size (both engines; ADVICE r06)
     return agg.select(
         "n_pos",
         "n_neg",
         F.expr(
-            "(r2 - n_pos * (n_pos + 1)) * 1000000"
-            " div greatest(2 * n_pos * n_neg, 1)"
-        ).alias("auc_ppm"),
+            "((r2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))"
+            " * 1000000)"
+            " div (CAST(greatest(2 * n_pos * n_neg, 1) AS DECIMAL(38,0)))"
+        )
+        .cast("long")
+        .alias("auc_ppm"),
     )
 
 
@@ -122,13 +130,13 @@ r AS (
   FROM g
 ),
 a AS (
-  SELECT SUM(cp * (2 * cum_before + c + 1)) AS r2,
+  SELECT SUM(CAST(cp AS HUGEINT) * (2 * cum_before + c + 1)) AS r2,
          SUM(cp) AS n_pos, SUM(c - cp) AS n_neg
   FROM r
 )
 SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
-       CAST((r2 - n_pos * (n_pos + 1)) * 1000000
-         // greatest(2 * n_pos * n_neg, 1) AS BIGINT) AS auc_ppm
+       CAST((r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+         // CAST(greatest(2 * n_pos * n_neg, 1) AS HUGEINT) AS BIGINT) AS auc_ppm
 FROM a
 """
 

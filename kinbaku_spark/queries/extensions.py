@@ -1430,19 +1430,49 @@ EMB_RECALL_TARGET_STRATUM = 1000  # vectors per evaluation stratum
 DEDUP_RECALL_MIN_SUPPORT = 30  # truth pairs below which low_support fires
 
 
-_CORPUS_COUNT_CACHE: dict[tuple[str, str], int] = {}
+_CORPUS_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def _table_fingerprint(sf_dir: str, table: str) -> tuple:
+    """(sf_dir, table, latest parquet mtime_ns): regenerating parquet at
+    the same path invalidates the cache entry, so a rebuilt-fixture
+    session can never pair a stale Spark-side modulus with the DuckDB
+    oracle's live COUNT(*) (ADVICE r06 #3). Listing one directory entry
+    is driver-side metadata, orders cheaper than the count it saves."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            mt = max(
+                (e.stat().st_mtime_ns for e in os.scandir(path)),
+                default=0,
+            )
+        else:
+            mt = os.stat(path).st_mtime_ns
+    except OSError:
+        mt = -1
+    return (sf_dir, table, mt)
 
 
 def _corpus_count(df, cache_key: tuple[str, str] | None = None) -> int:
-    """df.count() memoized per (sf_dir, table): the parquet inputs are
-    immutable, so every monitor invocation after the first reads the
-    count from the dict instead of paying a job (the x_ann _QUERY_VEC_CACHE
-    pattern)."""
+    """df.count() memoized per (sf_dir, table, parquet mtime): parquet
+    inputs are immutable for a given mtime, so every monitor invocation
+    after the first reads the count from the dict instead of paying a
+    job (the x_ann _QUERY_VEC_CACHE pattern). The mtime in the key IS
+    the invalidation rule — a new sf_dir or a rewritten file both mint a
+    new key; clear_corpus_count_cache() is the explicit hook."""
     if cache_key is None:
         return df.count()
-    if cache_key not in _CORPUS_COUNT_CACHE:
-        _CORPUS_COUNT_CACHE[cache_key] = df.count()
-    return _CORPUS_COUNT_CACHE[cache_key]
+    fkey = _table_fingerprint(*cache_key)
+    if fkey not in _CORPUS_COUNT_CACHE:
+        _CORPUS_COUNT_CACHE[fkey] = df.count()
+    return _CORPUS_COUNT_CACHE[fkey]
+
+
+def clear_corpus_count_cache() -> None:
+    """Documented cache-clear hook for in-session fixture rebuilds."""
+    _CORPUS_COUNT_CACHE.clear()
 
 
 def _stratum_mod(df, target: int, cache_key: tuple[str, str] | None = None) -> int:

@@ -137,10 +137,20 @@ def _commit_state(
     # keep the new version plus the retain_versions highest-numbered
     # versions BELOW it; anything above it is a crashed batch's orphan
     # partial output (never pointed at) and is GC'd too
+    # compare NUMERIC versions, matching how ver is derived: name-string
+    # order breaks past 6 digits ('state_v1000000' < 'state_v0999999'
+    # lexicographically), which would GC the real grace-window version as
+    # a crashed-batch orphan (ADVICE r06 #4)
+    def _vnum(name: str) -> int:
+        return int(name.rsplit("_v", 1)[1])
+
     below = sorted(
-        e
-        for e in os.listdir(labels_dir)
-        if e.startswith("state_v") and e < new_name
+        (
+            e
+            for e in os.listdir(labels_dir)
+            if e.startswith("state_v") and _vnum(e) < ver
+        ),
+        key=_vnum,
     )
     keep = {new_name}
     if retain_versions:

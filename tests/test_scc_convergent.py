@@ -162,3 +162,19 @@ def test_tarjan_kernel_matches_networkx():
             (k, min(c)) for c in _tarjan_components(keys, adj) for k in c
         )
         assert got == _nx_scc(edges), (seed, n, m)
+
+
+def test_scc_self_loop_only_node_is_singleton(spark):
+    """A node whose ONLY incident edge is a self-loop must appear in the
+    operator's own output as a singleton SCC (ADVICE r06: edges0 filters
+    src != dst before deriving the node set, so the pre-filter endpoint
+    set must certify these up front) — standalone, without the Graph
+    facade's isolated-node union masking the drop."""
+    edges = [("solo", "solo"), ("a", "b"), ("b", "a")]
+    assert _spark_scc(spark, edges) == _nx_scc(edges)
+    # all-self-loop graph: empty residual, every node a singleton
+    edges = [("p", "p"), ("q", "q")]
+    assert _spark_scc(spark, edges) == _nx_scc(edges)
+    # Tarjan-tail path too
+    edges = [("solo", "solo"), ("a", "b"), ("b", "a")]
+    assert _spark_scc(spark, edges, local_threshold=10**9) == _nx_scc(edges)

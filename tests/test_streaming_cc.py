@@ -329,3 +329,35 @@ def test_retention_knob_two_commit_lag(spark):
         assert len(vers) == 3  # current + two grace versions
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_gc_grace_window_survives_six_digit_rollover(spark):
+    """Version 999999 -> 1000000 crosses the 6-digit zero-pad width:
+    lexicographic name order would classify the REAL grace-window version
+    ('state_v999999' > 'state_v1000000' as strings) as a crashed-batch
+    orphan and GC it (ADVICE r06 #4); the GC must compare numeric
+    versions, matching how ver is derived."""
+    from kinbaku_spark.streaming.graph_cc import _commit_state, cc_read_state
+
+    d = tempfile.mkdtemp(prefix="cc_rollover_")
+    try:
+        state = spark.createDataFrame(
+            [("a", "a")], "key string, label string"
+        )
+        state.write.parquet(os.path.join(d, "state_v999999"))
+        with open(os.path.join(d, "_CURRENT"), "w") as f:
+            f.write("state_v999999")
+        merged = spark.createDataFrame(
+            [("a", "a"), ("b", "a")], "key string, label string"
+        )
+        _commit_state(merged, d, retain_versions=1)
+        with open(os.path.join(d, "_CURRENT")) as f:
+            assert f.read().strip() == "state_v1000000"
+        assert os.path.isdir(os.path.join(d, "state_v999999")), (
+            "grace-window version GC'd on the 6->7 digit rollover"
+        )
+        assert sorted(
+            (r.key, r.label) for r in cc_read_state(spark, d).collect()
+        ) == [("a", "a"), ("b", "a")]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
