@@ -121,76 +121,75 @@ except ImportError:  # extensions land incrementally
     pass
 
 # Registry order is the driver's correctness-sample order (it checks the
-# first N entries in insertion order). Round-6 rotation (VERDICT r05
-# next-round #2): 244/280 unique entries are driver-green over rounds 1-5
+# first N entries in insertion order). Round-7 rotation (VERDICT r06
+# next-round #5): all 286 unique entries are driver-green over rounds 1-6
 # with 0 failures; those stay green via the local replica gate
-# (tests/test_oracle_parity.py). This round's 50-entry window front-loads
-# (a) the nine entries that are new or whose engine path changed this
-# round — g_scc (new certified to-convergence SCC),
-# x_dedup_recall_stratified (new constant-support monitor),
-# g_motif_typed_chain (new named-edge motif), x_dedup_recall_sampled /
-# x_dedup_embedding_recall_sampled (adaptive modulus + support columns),
-# x_video_decode_mjpeg (multi-MCU frames + doc sample), g_cc_incremental
-# (versioned-state GC/retention rework), g_kcore (gated keep-list pin),
-# g_motif_brokers (rides the rewritten Graph.find), and the new
-# classifier-eval family (x_roc_auc, x_calibration_bins, x_confusion_f1)
-# — then (b) the FINAL 36 never-driver-checked entries: the 17
-# local-replica-tail names plus the 19 the r03/r04 judges
-# oracle-spot-checked (every registry entry has an independent oracle
-# stamp; this window converts the last 36 into driver stamps — 286/286
-# driver-green when CORRECTNESS_r06 lands green). The last two slots pad
-# with stamped graph.py-adjacent entries.
+# (tests/test_oracle_parity.py). With the never-checked backlog closed,
+# rotation now re-greens by STAMP AGE. This round's 50-entry window
+# front-loads (a) the 20 entries whose engine path changed this round —
+# the exact distributed rank/ntile/prefix-sum sweep (g_degree_gini,
+# x_hist_quantile_accuracy, x_histogram_equidepth, x_ks_statistic,
+# x_percentile_ranks, x_quality_resample, x_revenue_concentration,
+# x_rfm_segmentation, x_winsorized_stats), the x_skyline_orders
+# running-max fix, the limit-first top-k rewrites (x_collocations,
+# g_rich_club), the TakeOrderedAndProject pagination pair
+# (g_batch_nodes_page2, g_batch_edges_page2), and the four ADVICE-item
+# paths (x_roc_auc DECIMAL numerator, g_scc self-loop singletons,
+# g_cc_incremental numeric GC ordering, the three recall monitors'
+# mtime-keyed count cache) — then (b) the 30 OLDEST-stamped entries
+# (all r01: the TPC-H q10-q22 family, events windowing, set ops) so
+# every stamp stays <= ~3 rounds old on a rolling basis.
 _PRIORITY = [
-    "g_scc",
-    "x_dedup_recall_stratified",
-    "g_motif_typed_chain",
-    "x_roc_auc",
-    "x_calibration_bins",
-    "x_confusion_f1",
-    "x_dedup_recall_sampled",
-    "x_dedup_embedding_recall_sampled",
-    "x_video_decode_mjpeg",
-    "g_cc_incremental",
-    "g_kcore",
-    "g_motif_brokers",
-    "x_shard_skew_audit",
-    "x_packing_waste",
-    "x_gap_fill_ffill",
-    "x_value_histogram",
-    "x_multiset_ops",
+    "g_degree_gini",
     "x_hist_quantile_accuracy",
-    "x_group_quantiles",
-    "x_collocations",
-    "x_order_seasonality",
-    "x_qty_price_corr",
-    "x_revenue_concentration",
-    "x_dau_wau_stickiness",
-    "x_vocab_size_sweep",
-    "x_label_noise_detect",
-    "q_sql_top_nations",
-    "x_range_frame_revenue",
-    "x_embed_covariance",
-    "g_closeness",
-    "g_ppr_seeded",
-    "x_dedup_probe",
-    "x_ks_statistic",
-    "x_stationary_markov",
-    "x_doc_lm_score",
-    "x_rrf_fusion",
-    "x_temporal_split",
-    "x_safety_blocklist",
-    "x_keyword_extract",
-    "x_sample_stratified",
-    "x_zorder_layout",
-    "x_ab_test_lift",
-    "x_cross_source_overlap",
-    "x_hard_negatives",
-    "q_unpivot_balances",
     "x_histogram_equidepth",
-    "x_embed_quantize",
-    "x_repetition_ratio",
-    "g_subgraph_coo",
-    "g_adjacency_coo",
+    "x_ks_statistic",
+    "x_percentile_ranks",
+    "x_quality_resample",
+    "x_revenue_concentration",
+    "x_rfm_segmentation",
+    "x_skyline_orders",
+    "x_winsorized_stats",
+    "x_collocations",
+    "g_rich_club",
+    "g_batch_nodes_page2",
+    "g_batch_edges_page2",
+    "x_roc_auc",
+    "g_scc",
+    "g_cc_incremental",
+    "x_dedup_recall_sampled",
+    "x_dedup_recall_stratified",
+    "x_dedup_embedding_recall_sampled",
+    "q10_returned_items",
+    "q11_part_value",
+    "q12_ship_delay_buckets",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_or_predicates",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q4_priority_late_orders",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q_anti_join",
+    "q_cube_orders",
+    "q_date_funcs",
+    "q_events_json",
+    "q_events_sessions",
+    "q_events_sliding",
+    "q_events_tumbling",
+    "q_except_customers",
+    "q_intersect_customers",
+    "q_order_gaps",
+    "q_percentiles",
 ]
 
 _missing = [k for k in _PRIORITY if k not in QUERIES]
