@@ -126,19 +126,23 @@ except ImportError:  # extensions land incrementally
 # with 0 failures; those stay green via the local replica gate
 # (tests/test_oracle_parity.py). With the never-checked backlog closed,
 # rotation now re-greens by STAMP AGE. This round's 50-entry window
-# front-loads (a) the 20 entries whose engine path changed this round —
+# front-loads (a) the 23 entries whose engine path changed this round —
 # the exact distributed rank/ntile/prefix-sum sweep (g_degree_gini,
 # x_hist_quantile_accuracy, x_histogram_equidepth, x_ks_statistic,
 # x_percentile_ranks, x_quality_resample, x_revenue_concentration,
 # x_rfm_segmentation, x_winsorized_stats), the x_skyline_orders
 # running-max fix, the limit-first top-k rewrites (x_collocations,
 # g_rich_club), the TakeOrderedAndProject pagination pair
-# (g_batch_nodes_page2, g_batch_edges_page2), and the four ADVICE-item
+# (g_batch_nodes_page2, g_batch_edges_page2), the four ADVICE-item
 # paths (x_roc_auc DECIMAL numerator, g_scc self-loop singletons,
 # g_cc_incremental numeric GC ordering, the three recall monitors'
-# mtime-keyed count cache) — then (b) the 30 OLDEST-stamped entries
-# (all r01: the TPC-H q10-q22 family, events windowing, set ops) so
-# every stamp stays <= ~3 rounds old on a rolling basis.
+# mtime-keyed count cache), and the ppm-overflow audit's DECIMAL
+# numerators (x_quality_threshold_sweep, x_dup_cluster_sizes,
+# x_source_lang_impurity — found when the 100x rank drill tripped
+# x_revenue_concentration's int64 share numerator) — then (b) the 27
+# OLDEST-stamped entries (all r01: the TPC-H q10-q22 family, events
+# windowing, set ops) so every stamp stays <= ~3 rounds old on a
+# rolling basis.
 _PRIORITY = [
     "g_degree_gini",
     "x_hist_quantile_accuracy",
@@ -160,6 +164,9 @@ _PRIORITY = [
     "x_dedup_recall_sampled",
     "x_dedup_recall_stratified",
     "x_dedup_embedding_recall_sampled",
+    "x_quality_threshold_sweep",
+    "x_dup_cluster_sizes",
+    "x_source_lang_impurity",
     "q10_returned_items",
     "q11_part_value",
     "q12_ship_delay_buckets",
@@ -187,9 +194,6 @@ _PRIORITY = [
     "q_events_sliding",
     "q_events_tumbling",
     "q_except_customers",
-    "q_intersect_customers",
-    "q_order_gaps",
-    "q_percentiles",
 ]
 
 _missing = [k for k in _PRIORITY if k not in QUERIES]

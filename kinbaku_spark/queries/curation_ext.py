@@ -66,10 +66,18 @@ def x_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "thr_pct",
             "docs_kept",
             "tokens_kept",
-            F.expr("docs_kept * 1000000 div n_docs").alias("docs_share_ppm"),
+            # DECIMAL numerators: token mass scales with the corpus and
+            # tokens_kept * 10^6 wraps int64 near 9.2e12 tokens (~35 TB
+            # of text — inside the 100 TB brief); docs get the same cast
+            # so the ppm contract is unconditional
             F.expr(
-                "CASE WHEN n_tokens_total = 0 THEN 0"
-                " ELSE tokens_kept * 1000000 div n_tokens_total END"
+                "CAST(CAST(docs_kept AS DECIMAL(38,0)) * 1000000"
+                " div n_docs AS BIGINT)"
+            ).alias("docs_share_ppm"),
+            F.expr(
+                "CASE WHEN n_tokens_total = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(CAST(tokens_kept AS DECIMAL(38,0)) * 1000000"
+                " div n_tokens_total AS BIGINT) END"
             ).alias("tokens_share_ppm"),
         )
         .orderBy("thr_pct")
@@ -95,10 +103,11 @@ agg AS (
   GROUP BY thr_pct
 )
 SELECT CAST(thr_pct AS INTEGER) AS thr_pct, docs_kept, tokens_kept,
-       CAST(docs_kept * 1000000 // n_docs AS BIGINT) AS docs_share_ppm,
+       CAST(CAST(docs_kept AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+         AS docs_share_ppm,
        CAST(CASE WHEN n_tokens_total = 0 THEN 0
-                 ELSE tokens_kept * 1000000 // n_tokens_total END
-            AS BIGINT) AS tokens_share_ppm
+                 ELSE CAST(tokens_kept AS HUGEINT) * 1000000 // n_tokens_total
+            END AS BIGINT) AS tokens_share_ppm
 FROM agg
 ORDER BY thr_pct
 """
@@ -127,8 +136,11 @@ def x_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
             "n_clusters",
             (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            # DECIMAL numerator: cluster_size * n_clusters is up to the
+            # corpus doc count, and * 10^6 wraps int64 near 9.2e12 docs
             F.expr(
-                "cluster_size * n_clusters * 1000000 div n_total"
+                "CAST(CAST(cluster_size AS DECIMAL(38,0)) * n_clusters"
+                " * 1000000 div n_total AS BIGINT)"
             ).alias("docs_share_ppm"),
         )
         .orderBy("cluster_size")
@@ -148,7 +160,8 @@ total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM labels)
 SELECT cluster_size,
        CAST(COUNT(*) AS BIGINT) AS n_clusters,
        CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
-       CAST(cluster_size * COUNT(*) * 1000000 // (SELECT n FROM total)
+       CAST(CAST(cluster_size AS HUGEINT) * COUNT(*) * 1000000
+              // (SELECT n FROM total)
             AS BIGINT) AS docs_share_ppm
 FROM sizes
 GROUP BY cluster_size

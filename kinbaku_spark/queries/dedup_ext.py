@@ -128,16 +128,25 @@ def x_source_lang_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
         per.groupBy("source")
         .agg(
             F.sum("nl").alias("n_docs"),
-            F.sum(F.col("nl") * F.col("nl")).alias("ssq"),
+            # DECIMAL sum-of-squares: nl^2 wraps int64 at ~3e9 docs in one
+            # (source, lang) cell, and n_docs^2 * 10^6 wraps at just ~3e6
+            # docs per source — the tightest overflow bound the ppm audit
+            # found; DECIMAL(38,0)/HUGEINT keeps the Gini-Simpson impurity
+            # integer-exact at any corpus size on both engines
+            F.sum(F.col("nl").cast("decimal(38,0)") * F.col("nl")).alias(
+                "ssq"
+            ),
             F.count(F.lit(1)).cast("long").alias("n_langs"),
         )
         .select(
             "source",
             "n_docs",
             "n_langs",
-            F.expr("(n_docs * n_docs - ssq) * 1000000 div (n_docs * n_docs)").alias(
-                "impurity_ppm"
-            ),
+            F.expr(
+                "CAST((CAST(n_docs AS DECIMAL(38,0)) * n_docs - ssq)"
+                " * 1000000"
+                " div (CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)"
+            ).alias("impurity_ppm"),
         )
         .orderBy("source")
     )
@@ -150,12 +159,13 @@ WITH per AS (
 ),
 agg AS (
   SELECT source, CAST(SUM(nl) AS BIGINT) AS n_docs,
-         CAST(SUM(nl * nl) AS BIGINT) AS ssq,
+         SUM(CAST(nl AS HUGEINT) * nl) AS ssq,
          CAST(COUNT(*) AS BIGINT) AS n_langs
   FROM per GROUP BY source
 )
 SELECT source, n_docs, n_langs,
-       CAST((n_docs * n_docs - ssq) * 1000000 // (n_docs * n_docs) AS BIGINT)
+       CAST((CAST(n_docs AS HUGEINT) * n_docs - ssq) * 1000000
+              // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT)
          AS impurity_ppm
 FROM agg
 ORDER BY source

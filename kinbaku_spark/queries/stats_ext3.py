@@ -74,9 +74,13 @@ def x_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
             "total_cents",
             gini_ppm.alias("gini_ppm"),
-            F.expr("top_cents * 1000000 div total_cents").alias(
-                "top_decile_share_ppm"
-            ),
+            # DECIMAL numerator: cents totals scale with the corpus, and
+            # top_cents * 10^6 wraps int64 near 9.2e12 total cents (~$92B
+            # — well inside a 100 TB ledger; the 100x drill trips it)
+            F.expr(
+                "CAST(CAST(top_cents AS DECIMAL(38,0)) * 1000000"
+                " div total_cents AS BIGINT)"
+            ).alias("top_decile_share_ppm"),
         )
     )
 
@@ -107,7 +111,7 @@ SELECT m.n_customers, m.total_cents,
               // (CAST(m.n_customers AS HUGEINT) * m.total_cents)
             - CAST(m.n_customers + 1 AS HUGEINT) * 1000000 // m.n_customers
          AS BIGINT) AS gini_ppm,
-       CAST((t.top_cents * 1000000) // m.total_cents AS BIGINT)
+       CAST((CAST(t.top_cents AS HUGEINT) * 1000000) // m.total_cents AS BIGINT)
          AS top_decile_share_ppm
 FROM mom m CROSS JOIN top t
 """
