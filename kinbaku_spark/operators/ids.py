@@ -34,33 +34,39 @@ def ordered_zero_ids(
     single-task window sort. Keys must be distinct."""
     spark = keys_df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
-    # MATERIALIZE the range partitioning before fanning out: both the
-    # local-rank branch and the counts branch read `parts`, and range
-    # boundaries come from sampling — two independent recomputations can
-    # place boundaries differently, pairing one partitioning's offsets
-    # with the other's ranks (observed at sf0.1: ids off by a few slots).
-    # One eager checkpoint pins a single partitioning for both consumers.
+    # PIN the range partitioning before fanning out: both the local-rank
+    # branch and the counts branch read `parts`, and range boundaries
+    # come from sampling — two independently planned exchanges can place
+    # boundaries differently, pairing one partitioning's offsets with the
+    # other's ranks (observed at sf0.1: ids off by a few slots). A lazy
+    # persist pins a single partitioning for both consumers — they scan
+    # ONE InMemoryRelation over one exchange, and cache-miss recompute
+    # re-reads the written shuffle files rather than re-sampling — at the
+    # cost of cache residency, not the eager checkpoint's extra job
+    # (operators/rank.py module docstring has the full argument).
     parts = (
         keys_df.repartitionByRange(p, F.col(key_col))
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .persist()
     )
     local = parts.withColumn(
         "__rn",
         F.row_number().over(Window.partitionBy("__pid").orderBy(key_col)) - 1,
     )
     counts = parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
-    # P rows: the only ordered window runs over partition COUNTS, not keys
-    offsets = counts.select(
-        "__pid",
-        F.coalesce(
-            F.sum("__c").over(
-                Window.orderBy("__pid").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ).alias("__off"),
+    # P-row triangular self-join: offset of partition p = counts of all
+    # earlier partitions. Window-free by design, so Spark's
+    # unpartitioned-window warning stays a true-positive signal
+    # (operators/rank.py module docstring).
+    earlier = counts.select(
+        F.col("__pid").alias("__qid"), F.col("__c").alias("__e")
+    )
+    offsets = (
+        counts.join(
+            F.broadcast(earlier), F.col("__qid") < F.col("__pid"), "left"
+        )
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__e"), F.lit(0)).alias("__off"))
     )
     return local.join(F.broadcast(offsets), "__pid").select(
         key_col, (F.col("__rn") + F.col("__off")).cast("long").alias(id_col)

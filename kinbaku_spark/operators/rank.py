@@ -20,11 +20,25 @@ The results are bit-identical to the single-partition window (exact
 semantics, same tie rules), so DuckDB oracles and driver hashes are
 unchanged — only the physical plan moves from one task to P tasks.
 
-The range partitioning is pinned with one eager ``localCheckpoint``
+The range partitioning is pinned by persisting the partitioned rows
 before fanning out, for the reason documented in ids.py: range
 boundaries come from sampling, and the local-cumsum branch and the
 offsets branch must observe the SAME placement or offsets pair with the
-wrong local ranks.
+wrong local ranks. A lazy ``persist`` pins it just as the original
+eager ``localCheckpoint`` did — both branches resolve to ONE
+InMemoryRelation, so there is a single range exchange whose sampled
+boundaries both consumers share (and cache-miss recompute re-reads the
+already-written shuffle files, never re-samples) — but without the
+separate materialization job the checkpoint ran per call, and without
+writing the corpus to executor-local storage at scale.
+
+The P-row offsets are computed with a triangular self-join over the
+per-partition totals (offset of partition p = totals of all q < p; at
+most P(P-1)/2 broadcast-joined pairs, P = the partition count — never
+data-sized), NOT an ordered window: the plan contains no unpartitioned
+window at all, so Spark's "No Partition Defined for Window operation"
+warning is a TRUE POSITIVE wherever it still appears in a log, and the
+plans/inspect canary has nothing to whitelist here.
 
 Determinism contract: ``sort_exprs`` must be a total order (include a
 unique tiebreak column) for ``ranked``/``with_ntile`` — the same
@@ -47,7 +61,7 @@ def _pinned_range_parts(
     return (
         df.repartitionByRange(p, *sort_exprs)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .persist()
     )
 
 
@@ -75,19 +89,25 @@ def _cumulative(
     totals = parts.groupBy("__pid").agg(
         *[F.sum(src).alias(f"__t_{out}") for out, src in sums.items()]
     )
-    # P rows: the only EMPTY-partition window runs over per-partition
-    # totals (bounded by the partition count), never over data rows.
-    w_off = Window.orderBy("__pid").rowsBetween(
-        Window.unboundedPreceding, -1
+    # P-row triangular self-join: offset of partition p = totals of all
+    # earlier partitions (module docstring — window-free by design)
+    earlier = totals.select(
+        F.col("__pid").alias("__qid"),
+        *[F.col(f"__t_{out}").alias(f"__e_{out}") for out in sums],
     )
-    offsets = totals.select(
-        "__pid",
-        *[
-            F.coalesce(F.sum(f"__t_{out}").over(w_off), F.lit(0)).alias(
-                f"__off_{out}"
-            )
-            for out in sums
-        ],
+    offsets = (
+        totals.join(
+            F.broadcast(earlier), F.col("__qid") < F.col("__pid"), "left"
+        )
+        .groupBy("__pid")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"__e_{out}"), F.lit(0)).alias(
+                    f"__off_{out}"
+                )
+                for out in sums
+            ]
+        )
     )
     res = local.join(F.broadcast(offsets), "__pid")
     for out in sums:
@@ -197,11 +217,18 @@ def running_max_exclusive(
     )
     local = parts.withColumn("__loc", F.max(col).over(w_local))
     totals = parts.groupBy("__pid").agg(F.max(col).alias("__t"))
-    w_off = Window.orderBy("__pid").rowsBetween(
-        Window.unboundedPreceding, -1
+    # P-row triangular self-join: the max over all earlier partitions
+    # (module docstring — window-free by design; left join keeps the
+    # first partition with a null offset, preserving its null prefix max)
+    earlier = totals.select(
+        F.col("__pid").alias("__qid"), F.col("__t").alias("__e")
     )
-    offsets = totals.select(
-        "__pid", F.max("__t").over(w_off).alias("__off")
+    offsets = (
+        totals.join(
+            F.broadcast(earlier), F.col("__qid") < F.col("__pid"), "left"
+        )
+        .groupBy("__pid")
+        .agg(F.max("__e").alias("__off"))
     )
     return (
         local.join(F.broadcast(offsets), "__pid")

@@ -55,9 +55,14 @@ def _walk_logical(node):
 def unpartitioned_windows(df: DataFrame) -> list[dict]:
     """Every Window node in the OPTIMIZED logical plan whose partition
     spec is EMPTY — the single-task global-sort shape Spark itself warns
-    about ("No Partition Defined for Window operation"). Returns one dict
-    per hit with boundedness evidence so tests can assert each sits on a
-    bounded input (tests/test_window_canary.py):
+    about ("No Partition Defined for Window operation") — or consists
+    ONLY of literal expressions (a constant key is the same single-task
+    global window; operators/rank.py uses one to declare its P-row
+    offsets windows bounded without tripping Spark's warning, and this
+    detector deliberately still reports it so a constant key can never
+    hide a real global sort from the canary). Returns one dict per hit
+    with boundedness evidence so tests can assert each sits on a bounded
+    input (tests/test_window_canary.py):
 
     - ``exprs``: the window expressions (simpleString)
     - ``child``: the child plan's treeString (what the window sorts)
@@ -75,8 +80,16 @@ def unpartitioned_windows(df: DataFrame) -> list[dict]:
     for node in _walk_logical(jplan):
         if node.getClass().getSimpleName() != "Window":
             continue
-        if not node.partitionSpec().isEmpty():
-            continue
+        spec = node.partitionSpec()
+        if not spec.isEmpty():
+            all_literal = True
+            it = spec.iterator()
+            while it.hasNext():
+                if it.next().getClass().getSimpleName() != "Literal":
+                    all_literal = False
+                    break
+            if not all_literal:
+                continue
         child = node.child()
         child_tree = child.treeString()
         # the rank.py offsets shape: Aggregate grouped on __pid directly

@@ -97,9 +97,12 @@ def test_empty_input(spark):
     assert with_ntile(df, 3, [F.col("v")], "b").count() == 0
 
 
-def test_plan_only_bounded_offsets_window(spark):
+def test_plan_has_no_unpartitioned_window(spark):
     """The primitive's own plan must not contain the shape it exists to
-    eliminate: every empty-partition window sits on the __pid totals."""
+    eliminate. Since the P-row offsets moved from an ordered window to a
+    triangular self-join, the plan has NO unpartitioned window at all —
+    Spark's "No Partition Defined" warning is a true positive wherever
+    it appears."""
     df = _data(spark)
     for out in (
         ranked(df, [F.col("v"), F.col("id")], "rn"),
@@ -110,9 +113,19 @@ def test_plan_only_bounded_offsets_window(spark):
             {"cum": "cnt"},
         ),
     ):
-        hits = unpartitioned_windows(out)
-        assert hits, "offsets window expected in the plan"
-        assert all(h["bounded_offsets"] for h in hits)
+        assert unpartitioned_windows(out) == []
+
+
+def test_detector_flags_literal_partition_key(spark):
+    """Anti-evasion: a constant partition key is the same single-task
+    global window, and the detector must still report it."""
+    df = _data(spark)
+    evasive = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("v", "id"))
+    )
+    hits = unpartitioned_windows(evasive)
+    assert len(hits) == 1
+    assert not hits[0]["bounded_offsets"] and not hits[0]["bounded_limit"]
 
 
 def test_canary_flags_naive_global_window(spark):
@@ -152,7 +165,9 @@ def test_running_max_exclusive_matches_window(spark):
         ).collect()
     }
     assert naive == mine
-    hits = unpartitioned_windows(
-        running_max_exclusive(df, [F.col("v"), F.col("id")], "id", "pm")
+    assert (
+        unpartitioned_windows(
+            running_max_exclusive(df, [F.col("v"), F.col("id")], "id", "pm")
+        )
+        == []
     )
-    assert hits and all(h["bounded_offsets"] for h in hits)
