@@ -24,8 +24,14 @@ def get_spark(
     app_name: str = "kinbaku_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    ui_enabled: bool = False,
 ) -> SparkSession:
-    """Build (or reuse) a SparkSession tuned for this engine."""
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``ui_enabled`` turns the Spark UI (and its REST status API) on for
+    measurement harnesses (scripts/workprof.py); the engine default stays
+    off — the UI server is pure overhead for headless runs.
+    """
     cpus = int(DEFAULT_CPUS)
     builder = (
         SparkSession.builder.appName(app_name)
@@ -37,7 +43,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true" if ui_enabled else "false")
+        .config("spark.ui.retainedJobs", "5000")
+        .config("spark.ui.retainedStages", "5000")
         .config("spark.sql.session.timeZone", "UTC")
         # the driver's events.parquet carries TIMESTAMP(NANOS) which Spark
         # refuses by default; read as long and convert in the loader
