@@ -95,7 +95,11 @@ def minhash_signatures(
 
 
 def _jaccard_verify(
-    candidates: DataFrame, shingles: DataFrame, id_col: str, threshold: float
+    candidates: DataFrame,
+    shingles: DataFrame,
+    id_col: str,
+    threshold: float,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs only (the LSH contract: banding
     prunes, verification decides)."""
@@ -104,7 +108,11 @@ def _jaccard_verify(
     # array_intersect — instead of re-exploding postings per candidate
     # (2 wide joins + a pair-keyed groupBy). At 100 TB arrays are bounded
     # by document length, and the candidate table shuffles once per side.
-    sets = shingles.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
+    # ``sets``: a MATERIALIZED (id, hs) per-doc set table built from the
+    # SAME shingle index (queries/dedup_state.shingle_sets — the 100 TB
+    # shape); when absent, the aggregation runs inline per call.
+    if sets is None:
+        sets = shingles.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
     va = sets.select(F.col(id_col).alias(f"{id_col}_a"), F.col("hs").alias("hs_a"))
     vb = sets.select(F.col(id_col).alias(f"{id_col}_b"), F.col("hs").alias("hs_b"))
     return (
@@ -137,6 +145,7 @@ def minhash_near_duplicates(
     seed: int | None = None,
     sh: DataFrame | None = None,
     sig: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH + exact-Jaccard verification.
 
@@ -185,8 +194,13 @@ def minhash_near_duplicates(
                 f"injected sig has {got} minhash columns, caller asked for"
                 f" {n_hashes}"
             )
+    if sets is not None and sh is None:
+        raise ValueError(
+            "sets is the per-doc array form of an injected shingle index —"
+            " inject sh alongside it (dedup_state builds both)"
+        )
     candidates = minhash_band_candidates(sig, id_col, n_hashes, bands)
-    return _jaccard_verify(candidates, sh, id_col, threshold)
+    return _jaccard_verify(candidates, sh, id_col, threshold, sets=sets)
 
 
 def minhash_band_candidates(
@@ -287,6 +301,7 @@ def jaccard_near_duplicates(
     threshold: float = 0.8,
     shingle_n: int = 3,
     sh: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs >= threshold via prefix-filtered
     candidates (see prefix_filter_candidates) + exact verify.
@@ -308,8 +323,13 @@ def jaccard_near_duplicates(
     frac = 2.0 * threshold / (1.0 + threshold)
     keep = F.col("r") <= F.col("n") - F.floor(F.lit(frac) * F.col("n")) + 1
     size_cond = F.col("n_f") * F.lit(threshold) <= F.col("n_p") + F.lit(0.5)
+    if sets is not None and sh is None:
+        raise ValueError(
+            "sets is the per-doc array form of an injected shingle index —"
+            " inject sh alongside it (dedup_state builds both)"
+        )
     candidates = prefix_filter_candidates(sh, id_col, keep, size_cond)
-    return _jaccard_verify(candidates, sh, id_col, threshold)
+    return _jaccard_verify(candidates, sh, id_col, threshold, sets=sets)
 
 
 def simhash_signatures_df(
@@ -344,6 +364,7 @@ def simhash_near_duplicates(
     banded: bool = False,
     bands: int = 4,
     sh: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming.
 
@@ -351,13 +372,19 @@ def simhash_near_duplicates(
     band) — exact for max_hamming < bands, and the only viable plan at
     100 TB. banded=False: all-pairs compare, used when the threshold exceeds
     band reach (still one signature row per doc, so n^2 over docs, not rows).
+
+    sig: an already-materialized (id, sig) SimHash table (the minhash
+    sig= pattern — queries/dedup_state.simhash_sigs for the corpus, or a
+    caller-pinned stratum table); when absent it is built from sh/docs
+    and eagerly checkpointed here.
     """
-    if sh is None:
-        sh = shingle_hashes(docs, id_col, text_col, shingle_n)
-    # both compare sides (2 consumers; 2·bands when banded) read the
-    # signature table — checkpoint it or the shingle scan + 60-sum
-    # aggregate re-run per consumer
-    sig = simhash_signatures_df(sh, id_col).localCheckpoint(eager=True)
+    if sig is None:
+        if sh is None:
+            sh = shingle_hashes(docs, id_col, text_col, shingle_n)
+        # both compare sides (2 consumers; 2·bands when banded) read the
+        # signature table — checkpoint it or the shingle scan + 60-sum
+        # aggregate re-run per consumer
+        sig = simhash_signatures_df(sh, id_col).localCheckpoint(eager=True)
     a = sig.select(F.col(id_col).alias(f"{id_col}_a"), F.col("sig").alias("sig_a"))
     b = sig.select(F.col(id_col).alias(f"{id_col}_b"), F.col("sig").alias("sig_b"))
     if banded:

@@ -30,6 +30,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     sh: DataFrame | None = None,
     sig: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Returns the curated corpus: quality-filtered, near-dup-collapsed
     (cluster representative = min doc id), with the quality score attached.
@@ -38,6 +39,9 @@ def curate_corpus(
     (queries/dedup_state.py) — both are per-doc, so semi-joining them to
     the quality-filtered ids equals re-deriving them on the filtered
     corpus, and the tokenize+hash+min-agg pass is skipped entirely.
+    sets: the matching per-doc set table (dedup_state.shingle_sets);
+    needs no filtering — verification joins it BY candidate id, and a
+    doc's array is the same either side of the quality filter.
     """
     quality = text_quality(docs).select(id_col, "quality_score")
     filtered = docs.join(
@@ -51,7 +55,7 @@ def curate_corpus(
         sig = sig.join(ids, id_col, "left_semi")
     pairs = minhash_near_duplicates(
         filtered, threshold=dup_threshold, n_hashes=n_hashes, bands=bands,
-        sh=sh, sig=sig,
+        sh=sh, sig=sig, sets=sets if sh is not None else None,
     )
     clusters = duplicate_clusters(filtered, pairs, id_col)
     representatives = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(

@@ -337,14 +337,17 @@ def embedding_near_duplicates_lsh(
     width = len(planes) // bands
     mask = (1 << width) - 1
     # the signature scan feeds 2*bands join sides — pin it or the
-    # len(planes)x dim-dot projection re-runs per consumer
+    # len(planes)x dim-dot projection re-runs per consumer; lazy: every
+    # side resolves inside the caller's one action, so the projection
+    # still runs once without a construction-time job
     sigged = pin(
         corpus.select(
             F.col(id_col),
             F.col(vec_col),
             norm_double(F.col(vec_col)).alias("nrm"),
             lsh_signature(vec_col, planes).alias("sig"),
-        )
+        ),
+        eager=False,
     )
     keys_a = sigged.select(F.col(id_col).alias(f"{id_col}_a"), F.col("sig").alias("sig_a"))
     keys_b = sigged.select(F.col(id_col).alias(f"{id_col}_b"), F.col("sig").alias("sig_b"))

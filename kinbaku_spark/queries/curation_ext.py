@@ -236,16 +236,21 @@ def x_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         _jaccard_verify,
         minhash_band_candidates,
     )
-    from kinbaku_spark.queries.dedup_state import shingle_state
+    from kinbaku_spark.queries.dedup_state import shingle_sets, shingle_state
 
     sh, sig = shingle_state(spark, sf_dir)
+    sets = shingle_sets(spark, sf_dir)
     per_config = []
     for b in SWEEP_BANDS:
+        # lazy checkpoint: both consumers (count, verify) resolve inside
+        # the ONE final action, so the candidates still materialize once —
+        # without the three serial per-config jobs the eager form ran at
+        # query-construction time (r07 work profile: 28 jobs -> fewer)
         cand = minhash_band_candidates(sig, "doc_id", 32, b).localCheckpoint(
-            eager=True
+            eager=False
         )
         n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-        n_conf = _jaccard_verify(cand, sh, "doc_id", SWEEP_JACCARD).agg(
+        n_conf = _jaccard_verify(cand, sh, "doc_id", SWEEP_JACCARD, sets=sets).agg(
             F.count(F.lit(1)).alias("n_confirmed")
         )
         per_config.append(

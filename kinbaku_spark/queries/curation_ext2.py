@@ -99,7 +99,7 @@ def x_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     one band self-join; a production point-probe skips it (the caller
     has the id) and touches only the probe's own band buckets.
     """
-    from kinbaku_spark.queries.dedup_state import shingle_state
+    from kinbaku_spark.queries.dedup_state import shingle_sets, shingle_state
 
     sh, sig = shingle_state(spark, sf_dir)
     banded = _banded(sig)
@@ -124,7 +124,9 @@ def x_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sets = sh.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+    # the MATERIALIZED per-doc set index (dedup_state.shingle_sets) —
+    # previously re-aggregated from the postings per probe
+    sets = shingle_sets(spark, sf_dir)
     pset = sets.join(
         F.broadcast(probe), sets.doc_id == F.col("probe_id")
     ).select(F.col("hs").alias("hs_p"))
@@ -346,57 +348,75 @@ def x_linkage_agreement_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d38 = "decimal(38,0)"
     pairs2 = lambda c: (F.col(c).cast(d38) * (F.col(c) - 1))  # noqa: E731
 
-    total = cust.agg(F.count(F.lit(1)).alias("n"))
+    # ONE customer pass for all fields: explode each row into its three
+    # (field, value) pairs and aggregate by (field, nation, value) — the
+    # r07 work profile showed the per-field form scanning customer 8
+    # times through 31 serial single-task jobs (guide §1.2, §2.3: the
+    # exploded rows carry only nation + two short strings, and every
+    # per-field / per-block / per-nation aggregate below is an exact
+    # integer rollup of this table)
+    f0 = _LINK_FIELDS[0][0]
+    base = cust.select(
+        "c_nationkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(fname).alias("field"),
+                        spark_exprs[fname].alias("v"),
+                    )
+                    for fname, _sql in _LINK_FIELDS
+                ]
+            )
+        ).alias("fv"),
+    ).select("c_nationkey", F.col("fv.field").alias("field"), F.col("fv.v").alias("v"))
+    # (field, nation, value) counts: every downstream statistic is an
+    # exact rollup; lazily pinned — four consumers inside one action
+    g = (
+        base.groupBy("field", "c_nationkey", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    gb = g.groupBy("field").agg(F.sum(pairs2("c")).alias("agree_block2"))
+    cv = g.groupBy("field", "v").agg(F.sum("c").alias("c"))
+    ga = cv.groupBy("field").agg(F.sum(pairs2("c")).alias("agree_all2"))
+    # n = corpus rows = Σc over any one field's groups; nb = per-nation
+    # rows likewise (exact identities — each field maps every row once)
+    total = cv.filter(F.col("field") == f0).agg(
+        F.sum("c").cast("long").alias("n")
+    )
     block_tot = (
-        cust.groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).alias("nb"))
+        g.filter(F.col("field") == f0)
+        .groupBy("c_nationkey")
+        .agg(F.sum("c").cast("long").alias("nb"))
         .agg(F.sum(F.expr("CAST(nb AS DECIMAL(38,0)) * (nb - 1)")).alias("bp2"))
     )
-
-    out = []
-    for fname, _sql in _LINK_FIELDS:
-        val = spark_exprs[fname].alias("v")
-        by_val = (
-            cust.select(val)
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .agg(F.sum(pairs2("c")).alias("agree_all2"))
+    return (
+        gb.join(ga, "field")
+        .crossJoin(F.broadcast(block_tot))
+        .crossJoin(F.broadcast(total))
+        .filter(
+            (F.col("bp2") > 0)
+            & (F.col("n") >= 2)
+            & (F.col("agree_all2") > 0)
         )
-        by_block_val = (
-            cust.select("c_nationkey", val)
-            .groupBy("c_nationkey", "v")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .agg(F.sum(pairs2("c")).alias("agree_block2"))
+        .select(
+            "field",
+            F.expr(
+                "CAST(agree_block2 * 1000000 div bp2 AS BIGINT)"
+            ).alias("block_agree_ppm"),
+            F.expr(
+                "CAST(agree_all2 * 1000000 div"
+                " (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"
+            ).alias("overall_agree_ppm"),
+            F.expr(
+                "CAST((agree_block2 * 1000000 div bp2) * 1000000 div"
+                " (agree_all2 * 1000000 div"
+                "  (CAST(n AS DECIMAL(38,0)) * (n - 1))) AS BIGINT)"
+            ).alias("lift_ppm"),
         )
-        out.append(
-            by_block_val.crossJoin(by_val)
-            .crossJoin(F.broadcast(block_tot))
-            .crossJoin(F.broadcast(total))
-            .filter(
-                (F.col("bp2") > 0)
-                & (F.col("n") >= 2)
-                & (F.col("agree_all2") > 0)
-            )
-            .select(
-                F.lit(fname).alias("field"),
-                F.expr(
-                    "CAST(agree_block2 * 1000000 div bp2 AS BIGINT)"
-                ).alias("block_agree_ppm"),
-                F.expr(
-                    "CAST(agree_all2 * 1000000 div"
-                    " (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"
-                ).alias("overall_agree_ppm"),
-                F.expr(
-                    "CAST((agree_block2 * 1000000 div bp2) * 1000000 div"
-                    " (agree_all2 * 1000000 div"
-                    "  (CAST(n AS DECIMAL(38,0)) * (n - 1))) AS BIGINT)"
-                ).alias("lift_ppm"),
-            )
-        )
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionAll(df)
-    return res.orderBy("field")
+        .orderBy("field")
+    )
 
 
 def _linkage_sql() -> str:

@@ -46,7 +46,7 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotation duplication that symmetric Jaccard misses (a 10x-longer
     superset document caps Jaccard at ~0.1 but containment at 1.0).
     """
-    from kinbaku_spark.queries.dedup_state import shingle_state
+    from kinbaku_spark.queries.dedup_state import shingle_sets, shingle_state
 
     # three consumers (df counts, ranked postings, verify sets) share the
     # session-persisted shingle index (dedup_state.py) — the materialized
@@ -63,8 +63,10 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh, "doc_id", F.col("r") <= F.expr("n - ((4 * n + 4) div 5) + 1")
     )
     # array-set verification (same shape as operators/dedup._jaccard_verify):
-    # two doc-keyed joins + codegen array_intersect over candidates only
-    sets = sh.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+    # two doc-keyed joins + codegen array_intersect over candidates only,
+    # reading the MATERIALIZED per-doc set index (dedup_state.shingle_sets)
+    # instead of re-aggregating the postings per call
+    sets = shingle_sets(spark, sf_dir)
     return (
         cand.join(
             sets.select(F.col("doc_id").alias("doc_id_a"), F.col("hs").alias("hs_a")),

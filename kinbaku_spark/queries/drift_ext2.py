@@ -49,24 +49,35 @@ def x_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
     )
-    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE tokenize pass: aggregate straight to (source, word) counts
+    # (map-side partial aggregation — guide §2.3) and derive BOTH the
+    # corpus-wide top-vocab and the per-source profiles from that table;
+    # the previous form re-ran the corpus explode for the bucketing pass
+    # (r07 work profile: 19 jobs). Lazily pinned — two consumers.
+    sw = (
+        words.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    counts = sw.groupBy("word").agg(F.sum("c").cast("long").alias("cnt"))
     top = (
         counts.orderBy(F.desc("cnt"), "word")
         .limit(DRIFT_VOCAB)
         .select("word")
     )
-    bucketed = words.join(
+    bucketed = sw.join(
         F.broadcast(top.select(F.col("word").alias("w"), F.lit(1).alias("hit"))),
-        words.word == F.col("w"),
+        sw.word == F.col("w"),
         "left",
     ).select(
         "source",
         F.when(F.col("hit").isNotNull(), F.col("word"))
         .otherwise(F.lit("\x00OTHER"))
         .alias("word"),
+        "c",
     )
     prof = bucketed.groupBy("source", "word").agg(
-        F.count(F.lit(1)).alias("c")
+        F.sum("c").cast("long").alias("c")
     )
     tot = prof.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
     shares = prof.join(F.broadcast(tot), "source").select(

@@ -178,11 +178,23 @@ def x_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") * 100).cast("long").alias("c")
     )
     hist = cents.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    # the histogram feeds the prefix sums, the totals AND the final
+    # aggregate — EAGER pin: the totals broadcast and the prefix-sums
+    # offset broadcasts are independent stages that race a lazy pin's
+    # materialization, each re-running the groupBy shuffle (r07
+    # re-measure: 3.4 MB shuffled unpinned -> 10.6 lazy -> once eager)
+    hist = hist.localCheckpoint(eager=True)
     # exact running counts via range-parallel prefix sums (operators/
     # rank.py) — unconditional at any value-domain size
     cum = prefix_sums(hist, [F.col("c")], {"cum": "cnt"})
-    totals = cents.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    # totals FROM the histogram (n = Σcnt, s = Σ c·cnt — exact integer
+    # identities), not a second corpus pass; and the final aggregate runs
+    # over the weighted histogram, not a third corpus pass (guide §1.2):
+    # every output is a sum of a function of c, so Σ_rows f(c) = Σ_hist
+    # f(c)·cnt bit-for-bit
+    totals = hist.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("c") * F.col("cnt")).alias("s"),
     )
     bounds = (
         cum.crossJoin(F.broadcast(totals))
@@ -194,9 +206,10 @@ def x_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        cents.crossJoin(F.broadcast(bounds))
+        hist.crossJoin(F.broadcast(bounds))
         .select(
             "c",
+            "cnt",
             "lo_cents",
             "hi_cents",
             F.greatest(F.least(F.col("c"), F.col("hi_cents")), F.col("lo_cents"))
@@ -204,15 +217,15 @@ def x_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("lo_cents", "hi_cents")
         .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.when(F.col("c") < F.col("lo_cents"), 1).otherwise(0))
+            F.sum("cnt").cast("long").alias("n_items"),
+            F.sum(F.when(F.col("c") < F.col("lo_cents"), F.col("cnt")).otherwise(0))
             .cast("long")
             .alias("n_clip_lo"),
-            F.sum(F.when(F.col("c") > F.col("hi_cents"), 1).otherwise(0))
+            F.sum(F.when(F.col("c") > F.col("hi_cents"), F.col("cnt")).otherwise(0))
             .cast("long")
             .alias("n_clip_hi"),
-            F.expr("sum(c) div count(1)").alias("mean_cents"),
-            F.expr("sum(w) div count(1)").alias("winsorized_mean_cents"),
+            F.expr("sum(c * cnt) div sum(cnt)").alias("mean_cents"),
+            F.expr("sum(w * cnt) div sum(cnt)").alias("winsorized_mean_cents"),
         )
         .select(
             "n_items",

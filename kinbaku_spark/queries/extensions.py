@@ -144,7 +144,7 @@ JOIN (SELECT MIN(doc_id) AS doc_id FROM documents
 # ---------------------------------------------------------------------------
 
 def x_dedup_minhash(spark, sf_dir):
-    from kinbaku_spark.queries.dedup_state import shingle_state
+    from kinbaku_spark.queries.dedup_state import shingle_sets, shingle_state
 
     docs = load_table(spark, sf_dir, "documents")
     sh, sig = shingle_state(spark, sf_dir)
@@ -155,6 +155,7 @@ def x_dedup_minhash(spark, sf_dir):
         bands=N_BANDS,
         sh=sh,
         sig=sig,
+        sets=shingle_sets(spark, sf_dir),
     )
 
 
@@ -190,11 +191,16 @@ cand AS (
 # ---------------------------------------------------------------------------
 
 def x_dedup_ngram_jaccard(spark, sf_dir):
-    from kinbaku_spark.queries.dedup_state import shingle_state
+    from kinbaku_spark.queries.dedup_state import shingle_sets, shingle_state
 
     docs = load_table(spark, sf_dir, "documents")
     sh, _ = shingle_state(spark, sf_dir)
-    return jaccard_near_duplicates(docs, threshold=JACCARD_THRESHOLD, sh=sh)
+    return jaccard_near_duplicates(
+        docs,
+        threshold=JACCARD_THRESHOLD,
+        sh=sh,
+        sets=shingle_sets(spark, sf_dir),
+    )
 
 
 X_JACCARD_SQL = f"""
@@ -213,11 +219,12 @@ cand AS (
 # ---------------------------------------------------------------------------
 
 def x_dedup_simhash(spark, sf_dir):
-    from kinbaku_spark.queries.dedup_state import shingle_state
+    from kinbaku_spark.queries.dedup_state import simhash_sigs
 
     docs = load_table(spark, sf_dir, "documents")
-    sh, _ = shingle_state(spark, sf_dir)
-    return simhash_near_duplicates(docs, max_hamming=SIMHASH_MAX_HAMMING, sh=sh)
+    return simhash_near_duplicates(
+        docs, max_hamming=SIMHASH_MAX_HAMMING, sig=simhash_sigs(spark, sf_dir)
+    )
 
 
 def _simhash_sql(
@@ -535,7 +542,7 @@ def dup_cluster_labels(spark, sf_dir):
     if sf_dir not in _CLUSTER_CACHE:
         from kinbaku_spark.operators.dedup import duplicate_clusters
 
-        from kinbaku_spark.queries.dedup_state import shingle_state
+        from kinbaku_spark.queries.dedup_state import shingle_sets, shingle_state
 
         docs = load_table(spark, sf_dir, "documents")
         sh, sig = shingle_state(spark, sf_dir)
@@ -546,6 +553,7 @@ def dup_cluster_labels(spark, sf_dir):
             bands=N_BANDS,
             sh=sh,
             sig=sig,
+            sets=shingle_sets(spark, sf_dir),
         )
         labels = duplicate_clusters(docs, pairs).persist()
         labels.count()
@@ -687,7 +695,7 @@ MIN_QUALITY = 0.72
 
 def x_curate_corpus(spark, sf_dir):
     from kinbaku_spark.operators.pipeline import curate_corpus
-    from kinbaku_spark.queries.dedup_state import shingle_state
+    from kinbaku_spark.queries.dedup_state import shingle_sets, shingle_state
 
     sh, sig = shingle_state(spark, sf_dir)
     return curate_corpus(
@@ -698,6 +706,7 @@ def x_curate_corpus(spark, sf_dir):
         bands=N_BANDS,
         sh=sh,
         sig=sig,
+        sets=shingle_sets(spark, sf_dir),
     )
 
 
@@ -1193,16 +1202,15 @@ SIMHASH_BANDED_HAMMING = SIMHASH_BANDS - 1  # pigeonhole-exact reach
 
 
 def x_dedup_simhash_banded(spark, sf_dir):
-    from kinbaku_spark.queries.dedup_state import shingle_state
+    from kinbaku_spark.queries.dedup_state import simhash_sigs
 
     docs = load_table(spark, sf_dir, "documents")
-    sh, _ = shingle_state(spark, sf_dir)
     return simhash_near_duplicates(
         docs,
         max_hamming=SIMHASH_BANDED_HAMMING,
         banded=True,
         bands=SIMHASH_BANDS,
-        sh=sh,
+        sig=simhash_sigs(spark, sf_dir),
     )
 
 
@@ -1502,6 +1510,21 @@ def _with_support(readout, mod: int, stratum_n: int, truth_name: str):
     )
 
 
+def _with_support_counted(readout, mod: int, stratum_df, truth_name: str):
+    """:func:`_with_support` with the stratum count computed INSIDE the
+    plan (one broadcast 1-row aggregate of the stratum table) instead of
+    a driver-side .count() job at query-construction time — same columns,
+    same values (n = COUNT(*) either way)."""
+    counted = stratum_df.agg(F.count(F.lit(1)).cast("long").alias("stratum_n"))
+    cols = readout.columns
+    return readout.crossJoin(F.broadcast(counted)).select(
+        *cols,
+        F.lit(mod).cast("long").alias("sample_mod"),
+        "stratum_n",
+        (F.col(truth_name) < DEDUP_RECALL_MIN_SUPPORT).alias("low_support"),
+    )
+
+
 def _with_support_sql(
     inner: str, mod_sql: str, stratum_n_sql: str, truth_name: str
 ) -> str:
@@ -1533,25 +1556,32 @@ def x_dedup_recall_sampled(spark, sf_dir):
     docs = docs_all.filter(
         F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(mod)) == 0
     )
-    stratum_n = docs.count()
-    # one shingle/signature pipeline feeds BOTH legs (the x_dedup_simhash
-    # sh= pattern): without it the stratum filter + shingle explode + the
-    # 60-bit signature aggregation would run twice per readout
-    sh = pin(shingle_hashes(docs, "doc_id", "text", 3))
+    # ONE shingle + ONE signature pipeline feeds BOTH legs (the
+    # x_dedup_simhash sig= pattern): previously each leg re-ran the
+    # 60-sum signature aggregation as its own eager checkpoint job, and
+    # the stratum count was a third construction-time corpus scan (now a
+    # broadcast aggregate inside the plan — _with_support_counted)
+    from kinbaku_spark.operators.dedup import simhash_signatures_df
+
+    # lazy pins: both legs resolve inside the ONE final action, so the
+    # stratum explode and the 60-sum aggregation still materialize exactly
+    # once — without the two serial construction-time jobs
+    sh = pin(shingle_hashes(docs, "doc_id", "text", 3), eager=False)
+    sig = pin(simhash_signatures_df(sh, "doc_id"), eager=False)
     base = simhash_near_duplicates(
-        docs, max_hamming=SIMHASH_MAX_HAMMING, sh=sh
+        docs, max_hamming=SIMHASH_MAX_HAMMING, sig=sig
     ).select("doc_id_a", "doc_id_b")
     banded = simhash_near_duplicates(
         docs,
         max_hamming=SIMHASH_BANDED_HAMMING,
         banded=True,
         bands=SIMHASH_BANDS,
-        sh=sh,
+        sig=sig,
     ).select("doc_id_a", "doc_id_b")
     readout = _pair_recall(
         base, banded, ["doc_id_a", "doc_id_b"], "n_baseline", "n_banded"
     )
-    return _with_support(readout, mod, stratum_n, "n_baseline")
+    return _with_support_counted(readout, mod, docs, "n_baseline")
 
 
 QUERIES["x_dedup_recall_sampled"] = x_dedup_recall_sampled
@@ -1590,24 +1620,20 @@ ORACLES["x_dedup_recall_sampled"] = _with_support_sql(
 
 
 def x_dedup_recall_stratified(spark, sf_dir):
-    from kinbaku_spark.operators.dedup import simhash_signatures_df
-    from kinbaku_spark.queries.dedup_state import shingle_state
+    from kinbaku_spark.queries.dedup_state import simhash_sigs
 
     docs = load_table(spark, sf_dir, "documents")
     n_docs = _corpus_count(docs, (sf_dir, "documents"))
     mod = max(1, n_docs // DEDUP_RECALL_TARGET_STRATUM)
-    sh, _ = shingle_state(spark, sf_dir)
 
     def strat_of(col):
         return F.pmod(md5_long(F.col(col).cast("string")), F.lit(mod))
 
-    # signatures over the FULL corpus (shared production state), each row
-    # tagged with its md5-residue stratum; pinned — two legs consume it
-    sig = pin(
-        simhash_signatures_df(sh, "doc_id").withColumn(
-            "strat", strat_of("doc_id")
-        )
-    )
+    # signatures over the FULL corpus: the SAME session-pinned table the
+    # banded production dedup reads (dedup_state.simhash_sigs — the query
+    # used to pin its own copy, re-running the 60-sum aggregation), each
+    # row tagged with its md5-residue stratum (a projection over the pin)
+    sig = simhash_sigs(spark, sf_dir).withColumn("strat", strat_of("doc_id"))
     a = sig.select(
         F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a"), "strat"
     )
@@ -1629,7 +1655,7 @@ def x_dedup_recall_stratified(spark, sf_dir):
             max_hamming=SIMHASH_BANDED_HAMMING,
             banded=True,
             bands=SIMHASH_BANDS,
-            sh=sh,
+            sig=simhash_sigs(spark, sf_dir),
         )
         .filter(strat_of("doc_id_a") == strat_of("doc_id_b"))
         .select("doc_id_a", "doc_id_b")
@@ -1719,10 +1745,10 @@ def x_dedup_embedding_recall_sampled(spark, sf_dir):
     mod = _stratum_mod(
         emb_all, EMB_RECALL_TARGET_STRATUM, (sf_dir, "embeddings")
     )
+    # lazy: both legs + the support count resolve in one action
     emb = emb_all.filter(
         F.pmod(md5_long(F.col("vec_id").cast("string")), F.lit(mod)) == 0
-    ).localCheckpoint(eager=True)
-    stratum_n = emb.count()
+    ).localCheckpoint(eager=False)
     truth = embedding_near_duplicates(emb, threshold=EMB_NEAR_DUP_THRESHOLD).select(
         "vec_id_a", "vec_id_b"
     )
@@ -1735,7 +1761,9 @@ def x_dedup_embedding_recall_sampled(spark, sf_dir):
     readout = _pair_recall(
         truth, lsh, ["vec_id_a", "vec_id_b"], "n_truth", "n_lsh"
     )
-    return _with_support(readout, mod, stratum_n, "n_truth")
+    # stratum count folded into the plan (a 1-row aggregate over the
+    # already-checkpointed stratum) — no construction-time .count() job
+    return _with_support_counted(readout, mod, emb, "n_truth")
 
 
 QUERIES["x_dedup_embedding_recall_sampled"] = x_dedup_embedding_recall_sampled
@@ -1784,14 +1812,17 @@ def x_substring_dedup(spark, sf_dir):
     # the removal query); the distinct (doc_id, h) form this query needs
     # is one projection+distinct over the warm index, pinned because the
     # df profile and the capped self-join both consume it
-    sh = pin(span_state(spark, sf_dir).select("doc_id", "h").distinct())
+    # lazy pins: every consumer resolves inside the one final action
+    sh = pin(
+        span_state(spark, sf_dir).select("doc_id", "h").distinct(), eager=False
+    )
     keep = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter((F.col("c") >= 2) & (F.col("c") <= SUBSTRING_DF_CAP))
         .select("h")
     )
-    post = pin(sh.join(keep, "h", "left_semi"))
+    post = pin(sh.join(keep, "h", "left_semi"), eager=False)
     b = post.select(F.col("doc_id").alias("doc_id_b"), "h")
     return (
         post.join(b, "h")
@@ -1860,24 +1891,28 @@ def x_substring_dedup_apply(spark, sf_dir):
     # with x_substring_dedup); the token explode has two consumers (kept
     # tokens + token counts), pinned once
     spans = span_state(spark, sf_dir)
+    # lazy pin: both consumers resolve inside the one final action
     toks = pin(
         docs.select(
             "doc_id",
             F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
                 "pos", "tok"
             ),
-        )
+        ),
+        eager=False,
     )
 
     # pinned: a derived-aggregate join side defeats AQE skew-split on the
-    # hot span hash (see the Scale note above)
+    # hot span hash (see the Scale note above) — lazy keeps the leaf
+    # shape (LogicalRDD) while skipping the construction-time job
     dup = pin(
         spans.select("doc_id", "h")
         .distinct()
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("nd"), F.min("doc_id").alias("owner"))
         .filter(F.col("nd") >= 2)
-        .select("h", "owner")
+        .select("h", "owner"),
+        eager=False,
     )
     occ = (
         spans.join(dup, "h")

@@ -924,10 +924,12 @@ def g_bfs_depths(spark, sf_dir):
             .select(F.col("v").alias("key"))
             .distinct()
         )
+        # lazy checkpoint + full count: ONE job both materializes the
+        # round's frontier and answers the early-exit probe
         new = neighbors.join(depths.select("key"), "key", "left_anti").select(
             "key", F.lit(d).cast("int").alias("depth")
-        ).localCheckpoint(eager=True)
-        if new.limit(1).count() == 0:
+        ).localCheckpoint(eager=False)
+        if new.count() == 0:
             break
         depths = depths.unionByName(new)
         frontier = new

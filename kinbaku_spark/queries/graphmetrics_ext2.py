@@ -73,12 +73,33 @@ def _truss_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def truss_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`_truss_proj`, materialized ONCE per sf_dir as session state
+    (graph_queries extras — the co_shared/wed_canon pattern): both
+    g_truss_bounded's peel rounds and g_motif_brokers' motif join consume
+    the identical backbone, and each used to re-run the threshold
+    aggregation + an eager per-call checkpoint (r07 work profile)."""
+    from kinbaku_spark.queries.graph_queries import _cached
+
+    extra = _cached(spark, sf_dir)[2]
+    if "truss_backbone" not in extra:
+        # eager localCheckpoint (the ids.py state pattern), NOT persist:
+        # g_motif_brokers references the backbone ~12 times inside one
+        # motif join chain, and a persisted table embeds its full origin
+        # lineage at every reference (plan size grows ×refs), while a
+        # checkpoint is a leaf RDD scan
+        extra["truss_backbone"] = _truss_proj(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+    return extra["truss_backbone"]
+
+
 def g_truss_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edges of the tight co-supplier backbone surviving 3 rounds of
     4-truss peeling (support ≥ k−2 = 2 recomputed over survivors each
     round), with their final-round support.
     """
-    edges = _truss_proj(spark, sf_dir).localCheckpoint(eager=True)
+    edges = truss_backbone(spark, sf_dir)
     last = None
     for _ in range(TRUSS_ROUNDS):
         und = edges.select(F.col("s1").alias("u"), F.col("s2").alias("v")).union(
@@ -95,7 +116,10 @@ def g_truss_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("s1", "s2")
             .agg(F.count(F.lit(1)).alias("sup"))
         )
-        last = sup.filter(F.col("sup") >= TRUSS_K - 2).localCheckpoint(eager=True)
+        # lazy: each round's survivors are only consumed by the next
+        # round's lineage and the final projection — the whole peel now
+        # resolves in ONE action (was one serial checkpoint job per round)
+        last = sup.filter(F.col("sup") >= TRUSS_K - 2).localCheckpoint(eager=False)
         edges = last.select("s1", "s2")
     return last.select("s1", "s2", "sup").orderBy("s1", "s2")
 
@@ -181,14 +205,17 @@ def g_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lm", F.col("v").alias("key"))
             .distinct()
         )
+        # lazy checkpoint + full count: ONE job both materializes the
+        # round's frontier and answers the early-exit probe (the eager
+        # form paid a checkpoint job AND a limit-probe job per round)
         new = (
             neighbors.join(
                 hint(depths.select("lm", "key")), ["lm", "key"], "left_anti"
             )
             .select("lm", "key", F.lit(d).cast("int").alias("depth"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if new.limit(1).count() == 0:
+        if new.count() == 0:
             break
         depths = depths.unionByName(new)
         frontier = new

@@ -372,9 +372,9 @@ def g_motif_brokers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top `MOTIF_TOP` by open-triad count.
     """
     from kinbaku_spark.graph import Graph
-    from kinbaku_spark.queries.graphmetrics_ext2 import _truss_proj
+    from kinbaku_spark.queries.graphmetrics_ext2 import truss_backbone
 
-    proj = _truss_proj(spark, sf_dir).localCheckpoint(eager=True)
+    proj = truss_backbone(spark, sf_dir)
     edges = proj.select(
         F.col("s1").alias("src"), F.col("s2").alias("dst")
     ).unionAll(proj.select(F.col("s2"), F.col("s1")))

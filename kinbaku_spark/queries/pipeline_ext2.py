@@ -1033,11 +1033,13 @@ def x_repeated_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # two consumers (the gram->doc-count aggregate and the position join):
     # checkpoint the exploded gram table or the split+hash scan runs twice
+    # lazy: both consumers resolve inside the one final action, so the
+    # explode still materializes once without a construction-time job
     pos = (
         docs.select("doc_id", words.alias("words"))
         .select("doc_id", F.explode(grams).alias("gram"))
         .select("doc_id", md5_long(F.col("gram")).alias("h"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # a gram position is "repeated" when its gram occurs in >= 2 DISTINCT docs
     gram_docs = pos.distinct().groupBy("h").agg(

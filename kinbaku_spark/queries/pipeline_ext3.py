@@ -316,11 +316,13 @@ def x_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     already candidate-pruned by banding.
     """
     from kinbaku_spark.operators.dedup import minhash_near_duplicates
-    from kinbaku_spark.queries.dedup_state import shingle_state
+    from kinbaku_spark.queries.dedup_state import shingle_sets, shingle_state
 
     docs = load_table(spark, sf_dir, "documents")
     sh, sig = shingle_state(spark, sf_dir)
-    pairs = minhash_near_duplicates(docs, sh=sh, sig=sig)  # a < b, verified
+    pairs = minhash_near_duplicates(
+        docs, sh=sh, sig=sig, sets=shingle_sets(spark, sf_dir)
+    )  # a < b, verified
     src = docs.select("doc_id", "source")
     a = src.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("source", "sa")
     b = src.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("source", "sb")

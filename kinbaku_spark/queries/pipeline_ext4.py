@@ -66,8 +66,11 @@ def x_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     window can never create a quadratic candidate bucket.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # two consumers (df profile, postings): checkpoint the explode once
-    sh = shingle_hashes(docs, "doc_id", "text", WINDOW_W).localCheckpoint(eager=True)
+    # two consumers (df profile, postings): checkpoint the explode once.
+    # Lazy: every consumer resolves inside the one final action, so the
+    # blocks still materialize exactly once — without the serial
+    # construction-time jobs the eager form ran (r07 work profile)
+    sh = shingle_hashes(docs, "doc_id", "text", WINDOW_W).localCheckpoint(eager=False)
     keep = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -75,7 +78,7 @@ def x_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
     )
     # self-joined twice: pin the capped postings so the filter-join runs once
-    post = sh.join(keep, "h", "left_semi").localCheckpoint(eager=True)
+    post = sh.join(keep, "h", "left_semi").localCheckpoint(eager=False)
     a = post.select(F.col("doc_id").alias("doc_id_a"), "h")
     b = post.select(F.col("doc_id").alias("doc_id_b"), "h")
     return (
@@ -129,10 +132,11 @@ def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     # two consumers (bucket profile, per-doc masses): pin the explode once
+    # lazy: both consumers resolve inside the one final action
     b = (
         _words_exploded(docs)
         .select("doc_id", "lang", (md5_long(F.col("t")) % DSIR_BUCKETS).alias("bkt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prof = b.groupBy("bkt").agg(
         F.count(F.lit(1)).alias("raw_n"),

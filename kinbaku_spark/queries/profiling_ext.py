@@ -193,12 +193,14 @@ def geo_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy(F.col("v").alias("key"))
                 .agg(F.sum("sigma").alias("sigma"))
             )
+            # lazy checkpoint + full count: ONE job both materializes the
+            # round's frontier and answers the early-exit probe
             new = (
                 reached.join(settled.select("key"), "key", "left_anti")
                 .select("key", F.lit(d).cast("int").alias("depth"), "sigma")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            if new.limit(1).count() == 0:
+            if new.count() == 0:
                 break
             settled = settled.unionByName(new)
             frontier = new

@@ -402,18 +402,31 @@ def x_hist_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = o.select(
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("c")
     )
-    stats = cents.agg(
+    # ONE corpus pass: the distinct-value histogram (value-domain sized);
+    # min/max/count and the 64-bucket histogram are exact rollups of it
+    # (n = Σvn, bn = Σvn over the bucket's values — guide §1.2; the r07
+    # work profile showed three separate orders scans). EAGER pin: three
+    # independent broadcast stages consume it — left lazy they race the
+    # materialization and each recomputes the corpus groupBy (re-measured
+    # 20->26 jobs); eager = one serial build, every consumer reads cache.
+    dv = (
+        cents.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("vn"))
+        .localCheckpoint(eager=True)
+    )
+    stats = dv.agg(
         F.min("c").alias("mn"),
         F.max("c").alias("mx"),
-        F.count(F.lit(1)).alias("n"),
+        F.sum("vn").cast("long").alias("n"),
     )
     hist = (
-        cents.crossJoin(F.broadcast(stats))
+        dv.crossJoin(F.broadcast(stats))
         .select(
-            F.expr(f"(c - mn) * {HQ_BUCKETS} div (mx - mn + 1)").alias("bucket")
+            F.expr(f"(c - mn) * {HQ_BUCKETS} div (mx - mn + 1)").alias("bucket"),
+            "vn",
         )
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("bn"))
+        .agg(F.sum("vn").cast("long").alias("bn"))
     )
     wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select("bucket", F.sum("bn").over(wcum).alias("cum"))
@@ -435,7 +448,6 @@ def x_hist_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_cents"),
         )
     )
-    dv = cents.groupBy("c").agg(F.count(F.lit(1)).alias("vn"))
     # exact-quantile side: range-parallel prefix sums over the distinct-
     # value histogram (operators/rank.py) — the bucket-side window above
     # stays a plain window because its input is <= HQ_BUCKETS rows

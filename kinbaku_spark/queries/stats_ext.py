@@ -45,14 +45,23 @@ def x_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.floor(F.col("l_extendedprice") * 100).cast("long").alias("c"),
     )
-    hist = cents.groupBy("l_returnflag", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    # lazily pinned: the cumulative window and the totals both consume
+    # the histogram — unpinned, its groupBy shuffle re-ran per consumer
+    hist = (
+        cents.groupBy("l_returnflag", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     wc = (
         Window.partitionBy("l_returnflag")
         .orderBy("c")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = hist.withColumn("cum", F.sum("cnt").over(wc))
-    totals = cents.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    # per-group totals FROM the histogram (sum of bucket counts == row
+    # count, exactly): the direct count re-scanned lineitem a second time
+    # — one full corpus pass deleted (guide §1.2 "don't compute twice")
+    totals = hist.groupBy("l_returnflag").agg(F.sum("cnt").alias("n"))
     j = cum.join(F.broadcast(totals), "l_returnflag")
     pick = lambda k: F.min(F.when(F.col("cum") >= F.expr(k), F.col("c")))  # noqa: E731
     return (

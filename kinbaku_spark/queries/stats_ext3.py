@@ -45,8 +45,13 @@ def x_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    # exact global rank without a single-partition window (rank.py)
-    ranked = dist_ranked(per_cust, [F.col("cents"), F.col("o_custkey")], "rank")
+    # exact global rank without a single-partition window (rank.py);
+    # lazily pinned — TWO consumers (the moment aggregate and the
+    # top-decile filter) would otherwise each re-run the rank fan-out
+    # (r07 work profile: 21 jobs for this query, half of them duplicates)
+    ranked = dist_ranked(
+        per_cust, [F.col("cents"), F.col("o_custkey")], "rank"
+    ).localCheckpoint(eager=False)
     d38 = "decimal(38,0)"
     mom = ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),

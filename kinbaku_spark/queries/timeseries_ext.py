@@ -191,7 +191,11 @@ def x_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic, then count days with |c − median| > 5·MAD — the
     outlier gate that, unlike z-scores, a single spike cannot poison.
     """
-    daily = _daily(spark, sf_dir)
+    # the corpus aggregation is consumed by BOTH median passes and the
+    # final deviation count — lazily pinned so the orders scan runs once
+    # (it materializes inside the first broadcast job; the r07 work
+    # profile showed 4 full re-executions, 30 jobs)
+    daily = _daily(spark, sf_dir).localCheckpoint(eager=False)
 
     def hist_median(df: DataFrame, col: str) -> DataFrame:
         hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
@@ -200,7 +204,9 @@ def x_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         cum = hist.withColumn("cum", F.sum("cnt").over(wc))
-        tot = df.agg(F.count(F.lit(1)).alias("n"))
+        # row count FROM the histogram (n = Σcnt exactly), not a second
+        # pass over the input (guide §1.2)
+        tot = hist.agg(F.sum("cnt").cast("long").alias("n"))
         return (
             cum.crossJoin(F.broadcast(tot))
             .agg(
@@ -211,8 +217,13 @@ def x_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     med = hist_median(daily, "c")
-    dev = daily.crossJoin(F.broadcast(med)).select(
-        F.abs(F.col("c") - F.col("m")).alias("ad"), "c", "m"
+    # lazily pinned: dev feeds the MAD median's histogram, its total AND
+    # the final deviation count — unpinned, the c-median window chain was
+    # re-planned (and re-executed) once per reference
+    dev = (
+        daily.crossJoin(F.broadcast(med))
+        .select(F.abs(F.col("c") - F.col("m")).alias("ad"), "c", "m")
+        .localCheckpoint(eager=False)
     )
     mad = hist_median(dev.select("ad"), "ad").withColumnRenamed("m", "mad")
     return (

@@ -41,7 +41,11 @@ WHITELIST: dict[str, tuple[int, str]] = {
     "x_cusum_changepoint": (1, "daily revenue series — calendar-day bounded"),
     "x_distribution_drift": (1, "10 fixed drift buckets"),
     "x_hist_quantile_accuracy": (1, "HQ_BUCKETS fixed histogram buckets"),
-    "x_mad_outliers": (3, "daily series + its distinct-value histograms"),
+    "x_mad_outliers": (
+        1,
+        "ad distinct-value histogram (calendar-day bounded); the c-median"
+        " window (same bounded class) sits above the r07 dev pin",
+    ),
     "x_mixture_weights": (1, "per-source dimension table"),
     "x_moving_agg": (1, "daily revenue series — calendar-day bounded"),
     "x_order_seasonality": (1, "month x weekday cells (<= 84)"),
