@@ -393,12 +393,13 @@ def embedding_near_duplicates_lsh(
 
 def semantic_dedup(
     corpus: DataFrame,
-    k: int = 8,
-    rounds: int = 2,
+    k: int | None = None,
+    rounds: int | None = None,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_size: int | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embedding corpus with k-means, then compare pairs ONLY within each
@@ -428,8 +429,27 @@ def semantic_dedup(
 
     The reference has no vector surface at all (SURVEY.md §2.4); this is
     part of the training-data extension surface.
+
+    ``assigned=`` injects a pre-built assignment table
+    (queries/kmeans_state.py — built once per session, shared by every
+    k-means consumer). ``k``/``rounds`` were baked in when that table was
+    built and cannot be re-verified from it, so passing either explicitly
+    alongside ``assigned`` raises (the dedup_state injection-guard idiom);
+    defaults are k=8, rounds=2 when computing locally.
     """
-    assigned = kmeans_assign(corpus, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col)
+    if assigned is not None:
+        if k is not None:
+            raise ValueError("k is ignored when assigned= is injected")
+        if rounds is not None:
+            raise ValueError("rounds is ignored when assigned= is injected")
+    else:
+        assigned = kmeans_assign(
+            corpus,
+            k=8 if k is None else k,
+            rounds=2 if rounds is None else rounds,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     pair_key = ["cluster"]
     if max_cluster_size is not None:
         from kinbaku_spark.functions.hashing import md5_long
@@ -627,10 +647,11 @@ def embedding_gram(
 
 def kmeans_clusters(
     corpus: DataFrame,
-    k: int = 8,
-    rounds: int = 2,
+    k: int | None = None,
+    rounds: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding corpus (cosine assignment,
     deterministic seeding: the first ``k`` ids are the initial centroids).
@@ -651,8 +672,25 @@ def kmeans_clusters(
     cluster id via struct max over (sim, -cluster)); centroid means use
     exact DECIMAL(28,12) sums (label_centroids); mean_sim uses exact
     DECIMAL(18,6) sums of the rounded sims.
+
+    ``assigned=`` injects a pre-built assignment (same guard contract as
+    :func:`semantic_dedup`): ``k``/``rounds`` are baked into the injected
+    table, so passing either explicitly alongside it raises; defaults are
+    k=8, rounds=2 when computing locally.
     """
-    assigned = kmeans_assign(corpus, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col)
+    if assigned is not None:
+        if k is not None:
+            raise ValueError("k is ignored when assigned= is injected")
+        if rounds is not None:
+            raise ValueError("rounds is ignored when assigned= is injected")
+    else:
+        assigned = kmeans_assign(
+            corpus,
+            k=8 if k is None else k,
+            rounds=2 if rounds is None else rounds,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.round(

@@ -162,12 +162,10 @@ def x_topic_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     to DIFFERENT topics — 0 = single-topic source, high = broad mix.
     Joins the shared k-means assignment to documents on vec_id = doc_id.
     """
-    from kinbaku_spark.operators.similarity import kmeans_assign
-    from kinbaku_spark.queries.pipeline_ext2 import KMEANS_K, KMEANS_ROUNDS
+    from kinbaku_spark.queries import kmeans_state
 
     docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_assign(emb, k=KMEANS_K, rounds=KMEANS_ROUNDS).select(
+    assigned = kmeans_state.assignment(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id"), "cluster"
     )
     cells = (

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from kinbaku_spark.operators.similarity import cosine, kmeans_assign
+from kinbaku_spark.operators.similarity import cosine
 from kinbaku_spark.operators.rank import prefix_sums
 from kinbaku_spark.sources.tables import load_table
 
@@ -45,12 +45,10 @@ def x_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the labeled `label` column: majority label, its share in exact ppm —
     the standard external clustering-quality check (purity / homogeneity).
     """
-    from kinbaku_spark.queries.pipeline_ext2 import KMEANS_K, KMEANS_ROUNDS
+    from kinbaku_spark.queries import kmeans_state
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = kmeans_assign(emb, k=KMEANS_K, rounds=KMEANS_ROUNDS).select(
-        "vec_id", "cluster"
-    )
+    assign = kmeans_state.assignment(spark, sf_dir).select("vec_id", "cluster")
     per = (
         assign.join(emb.select("vec_id", "label"), "vec_id")
         .groupBy("cluster", "label")

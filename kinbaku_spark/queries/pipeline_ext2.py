@@ -199,9 +199,10 @@ KMEANS_ROUNDS = 2
 
 def x_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinbaku_spark.operators.similarity import kmeans_clusters
+    from kinbaku_spark.queries import kmeans_state
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_clusters(emb, k=KMEANS_K, rounds=KMEANS_ROUNDS)
+    return kmeans_clusters(emb, assigned=kmeans_state.assignment(spark, sf_dir))
 
 
 def kmeans_assign_cte() -> str:

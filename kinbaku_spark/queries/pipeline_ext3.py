@@ -112,15 +112,14 @@ SEMDEDUP_MAX_CELL = 50
 
 def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinbaku_spark.operators.similarity import semantic_dedup
-    from kinbaku_spark.queries.pipeline_ext2 import KMEANS_K, KMEANS_ROUNDS
+    from kinbaku_spark.queries import kmeans_state
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(
         emb,
-        k=KMEANS_K,
-        rounds=KMEANS_ROUNDS,
         threshold=SEMDEDUP_THRESHOLD,
         max_cluster_size=SEMDEDUP_MAX_CELL,
+        assigned=kmeans_state.assignment(spark, sf_dir),
     )
 
 

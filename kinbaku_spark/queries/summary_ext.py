@@ -105,13 +105,10 @@ def x_label_noise_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     through. Reuses the deterministic cluster assignment and the
     majority-label rule of x_cluster_purity.
     """
-    from kinbaku_spark.operators.similarity import kmeans_assign
-    from kinbaku_spark.queries.pipeline_ext2 import KMEANS_K, KMEANS_ROUNDS
+    from kinbaku_spark.queries import kmeans_state
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = kmeans_assign(emb, k=KMEANS_K, rounds=KMEANS_ROUNDS).select(
-        "vec_id", "cluster"
-    )
+    assign = kmeans_state.assignment(spark, sf_dir).select("vec_id", "cluster")
     labeled = assign.join(emb.select("vec_id", "label"), "vec_id")
     per = labeled.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n"))
     wmaj = Window.partitionBy("cluster").orderBy(F.desc("n"), "label")

@@ -25,7 +25,13 @@ from kinbaku_spark.queries import QUERIES
 def _reset_engine_state():
     """Drop all session-persisted derived state so plans rebuild under the
     CURRENT gate setting (the caches were built under the previous one)."""
-    from kinbaku_spark.queries import dedup_state, extensions, graph_queries, mlprep_ext2
+    from kinbaku_spark.queries import (
+        dedup_state,
+        extensions,
+        graph_queries,
+        kmeans_state,
+        mlprep_ext2,
+    )
 
     for nodes, edges, extra in graph_queries._CACHE.values():
         for df in [nodes, edges, *[v for v in extra.values() if hasattr(v, "unpersist")]]:
@@ -41,6 +47,7 @@ def _reset_engine_state():
             pass
     extensions._CLUSTER_CACHE.clear()
     dedup_state.reset()
+    kmeans_state.reset()
     for df in mlprep_ext2._PQ_CACHE.values():
         try:
             df.unpersist()

@@ -65,9 +65,10 @@ def _drop_resettable_state():
     stored graph, so the alternate run truly recomputes it under the new
     partitioning (otherwise the cache masks the very aggregation paths
     these picks exist to stress)."""
-    from kinbaku_spark.queries import dedup_state, extensions, mlprep_ext2
+    from kinbaku_spark.queries import dedup_state, extensions, kmeans_state, mlprep_ext2
 
     dedup_state.reset()
+    kmeans_state.reset()
     for df in extensions._CLUSTER_CACHE.values():
         try:
             df.unpersist()

@@ -56,9 +56,10 @@ def test_plan_signatures_match_lock(spark, sf_dir):
             pass
     extensions._CLUSTER_CACHE.clear()
     # same again for the shingle/signature dedup index state
-    from kinbaku_spark.queries import dedup_state
+    from kinbaku_spark.queries import dedup_state, kmeans_state
 
     dedup_state.reset()
+    kmeans_state.reset()
     # same again for the PQ-scored corpus cache
     from kinbaku_spark.queries import mlprep_ext2
 
