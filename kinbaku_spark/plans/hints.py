@@ -49,3 +49,26 @@ def size_hint(n_rows: int, default_bound: int = DEFAULT_BROADCAST_BOUND):
     if n_rows < broadcast_bound(default_bound):
         return F.broadcast
     return lambda df: df
+
+
+def spread_rows(df: DataFrame) -> DataFrame:
+    """Widen a row-expensive map stage's input to the cluster's core count
+    when the upstream layout gives fewer partitions (guide §2.2, §4.5).
+
+    Bytes-derived partitioning (``files.maxPartitionBytes``, a cached
+    single-file scan) assumes work proportional to bytes. Codec decode,
+    heavy regex, and signature map stages cost ~µs-ms per ROW on tiny
+    input rows, so a single-file scan or a coalesced cache serializes
+    minutes of CPU behind one task while the rest of the cluster idles —
+    and the query's core-count scaling goes flat. The target derives from
+    ``sparkContext.defaultParallelism`` (the cluster's core count at ANY
+    deployment size — never a local constant); an input that already has
+    at least that many partitions is returned unchanged, so a wide
+    100 TB scan keeps its natural layout. The round-robin exchange only
+    ever widens a too-narrow stage, and callers place it AFTER projection
+    and pushed-down filters so it shuffles only the columns the map
+    function needs (16 bytes/row for the codec queries)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)

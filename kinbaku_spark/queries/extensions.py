@@ -332,12 +332,16 @@ LIMIT {ANN_K}
 # ---------------------------------------------------------------------------
 
 def x_ann_lsh_topk(spark, sf_dir):
+    from kinbaku_spark.plans.hints import spread_rows
+
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
     if qv is None:
         return _empty_topk(emb)
+    # the 24-plane signature is an expensive per-row expression over the
+    # whole corpus: widen a too-narrow scan to the cluster's cores
     return lsh_topk(
-        emb,
+        spread_rows(emb.select("vec_id", "embedding")),
         qv,
         k=ANN_K,
         planes=LSH_PLANES,
@@ -398,7 +402,13 @@ FROM b
 # ---------------------------------------------------------------------------
 
 def x_text_quality(spark, sf_dir):
-    return text_quality(load_table(spark, sf_dir, "documents"))
+    # regex-heavy per-row projection: widen a too-narrow scan to the
+    # cluster's cores (plans/hints.spread_rows), shuffling only the two
+    # consumed columns
+    from kinbaku_spark.plans.hints import spread_rows
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_quality(spread_rows(docs))
 
 
 X_TEXT_QUALITY_SQL = f"""

@@ -27,6 +27,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import functions as F
 
+from kinbaku_spark.plans.hints import spread_rows
 from kinbaku_spark.sources.tables import load_table
 
 IMAGE_DECODE_SCHEMA = (
@@ -83,7 +84,7 @@ def x_image_decode_real(spark, sf_dir):
             )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    return docs.mapInPandas(roundtrip, IMAGE_DECODE_SCHEMA)
+    return spread_rows(docs).mapInPandas(roundtrip, IMAGE_DECODE_SCHEMA)
 
 
 X_IMAGE_DECODE_REAL_SQL = """
@@ -137,7 +138,7 @@ def x_audio_decode_real(spark, sf_dir):
             )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    return docs.mapInPandas(roundtrip, AUDIO_DECODE_SCHEMA)
+    return spread_rows(docs).mapInPandas(roundtrip, AUDIO_DECODE_SCHEMA)
 
 
 X_AUDIO_DECODE_REAL_SQL = """
@@ -215,7 +216,7 @@ def x_image_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    return docs.mapInPandas(pipeline, IMAGE_RESIZE_SCHEMA)
+    return spread_rows(docs).mapInPandas(pipeline, IMAGE_RESIZE_SCHEMA)
 
 
 X_IMAGE_RESIZE_REAL_SQL = f"""
@@ -313,7 +314,7 @@ def x_video_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    return docs.mapInPandas(roundtrip, VIDEO_DECODE_SCHEMA)
+    return spread_rows(docs).mapInPandas(roundtrip, VIDEO_DECODE_SCHEMA)
 
 
 _V_FRAME_MS = VIDEO_USEC // 1000
@@ -412,7 +413,7 @@ def x_video_decode_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 10 == 0)
         .select("doc_id", "n_chars")
     )
-    return docs.mapInPandas(roundtrip, VIDEO_DECODE_SCHEMA)
+    return spread_rows(docs).mapInPandas(roundtrip, VIDEO_DECODE_SCHEMA)
 
 
 # decoded constant value: DC-only block, Annex-K luma q00=16 —
@@ -533,7 +534,7 @@ def x_image_decode_gif(spark, sf_dir):
             )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    return docs.mapInPandas(
+    return spread_rows(docs).mapInPandas(
         roundtrip, "doc_id bigint, width int, height int, pixel_sum bigint"
     )
 
