@@ -25,6 +25,14 @@ PLAN_OPS = [
     "SortMergeJoin",
     "ShuffledHashJoin",
     "BroadcastNestedLoopJoin",
+    # a statless-side cross join silently planning as CartesianProduct
+    # re-reads the big side's shuffle once per left partition — caught in
+    # x_hist_quantile_accuracy (r07); locked so the class cannot return.
+    # The ONE legitimate instance is the triangle block-GEMM's all-pairs
+    # block pairing (operators/triangles.py — every block pair is needed,
+    # exactly a matmul's data movement): pinned at count 1 in the
+    # triangle-family lock entries.
+    "CartesianProduct",
     "HashAggregate",
     "ObjectHashAggregate",
     "SortAggregate",

@@ -312,6 +312,11 @@ def g_betweenness_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vk")
             .agg(F.sum(term).cast("long").alias("delta"))
         )
+        # LAZY pin: each layer is referenced twice (next layer's join +
+        # the final union) so the checkpoint stops plan doubling, but the
+        # whole backward pass resolves inside the ONE final action — no
+        # per-layer driver probe exists to need an eager build (the
+        # g_truss_bounded peel-round conversion, guide §1.2)
         deltas[d] = (
             v_layer.select("vk")
             .join(dsum, "vk", "left")
@@ -319,7 +324,7 @@ def g_betweenness_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("vk").alias("key"),
                 F.coalesce(F.col("delta"), F.lit(0)).cast("long").alias("delta"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     all_delta = None
     for d in range(1, GEO_MAX_DEPTH + 1):

@@ -452,15 +452,22 @@ def x_hist_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value histogram (operators/rank.py) — the bucket-side window above
     # stays a plain window because its input is <= HQ_BUCKETS rows
     dcum = prefix_sums(dv, [F.col("c")], {"cum": "vn"}).select("c", "cum")
+    # qs is a 3-row literal with NO stats (python createDataFrame -> RDD
+    # scan), so an unhinted cross join against the value-domain-sized dcum
+    # planned as CartesianProduct — re-reading dcum's shuffle once per
+    # left partition (28 MB amplification, r07 per-job profile). Broadcast
+    # the literal side: one streamed pass over dcum.
     exact = (
-        qs.crossJoin(dcum)
+        dcum.crossJoin(F.broadcast(qs))
         .crossJoin(F.broadcast(stats.select("n")))
         .filter(F.expr("cum >= (q_pct * n + 99) div 100"))
         .groupBy("q_pct")
         .agg(F.min("c").alias("exact_cents"))
     )
     return (
-        est.join(exact, "q_pct")
+        # both sides are |HQ_QS| rows: broadcast beats the SMJ's two
+        # exchanges + sorts the unhinted join planned
+        est.join(F.broadcast(exact), "q_pct")
         .select(
             "q_pct",
             "est_cents",
