@@ -17,8 +17,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Resident-engine mode: base tables live in executor memory, fact tables
-# repartitioned across all cores (sources/tables.py). The reference is
+# Resident-engine mode: base tables live in executor memory as Spark's
+# columnar cache (sources/tables.py — persist-only; a repartitioned cache
+# measured slower on every headline query). The reference is
 # benchmarked with its mmap page cache warm (BENCH_COMPARISON.md); this is
 # the same steady-state, and the one-time load happens in the warm-up
 # below, outside every timed region.
