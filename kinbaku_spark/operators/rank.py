@@ -244,15 +244,29 @@ def prefix_sums(
     sort_exprs: list[Column],
     sums: dict[str, str | Column],
     num_partitions: int | None = None,
+    with_totals: bool = False,
 ) -> DataFrame:
     """All of ``df``'s columns plus inclusive running sums ``{out_col:
     source_col}`` in global ``sort_exprs`` order — the exact equivalent
     of ``SUM(src) OVER (ORDER BY sort_exprs ROWS BETWEEN UNBOUNDED
     PRECEDING AND CURRENT ROW)`` without the single-partition window.
     The sort key must be unique per row (run it over distinct-value
-    histograms), making the ROWS frame well-defined."""
+    histograms), making the ROWS frame well-defined.
+
+    ``with_totals`` additionally attaches one broadcast ``__total_<out>``
+    grand-total column per sum — the totals come from the SAME pinned
+    per-partition aggregates the offsets already use, so callers that
+    need "cumulative AND total" (CDFs, percent ranks) don't pay a second
+    pass over the input (or worse, over the corpus that produced it) to
+    learn n."""
     norm = {
         out: (F.col(src) if isinstance(src, str) else src)
         for out, src in sums.items()
     }
-    return _cumulative(df, sort_exprs, norm, num_partitions=num_partitions)
+    return _cumulative(
+        df,
+        sort_exprs,
+        norm,
+        num_partitions=num_partitions,
+        with_totals=with_totals,
+    )

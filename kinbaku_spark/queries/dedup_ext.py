@@ -191,18 +191,29 @@ def x_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _graph(spark, sf_dir).edges_df
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("__cnt"))
-    cum = prefix_sums(hist, [F.col("d")], {"__cum": "__cnt"})
-    total = hist.agg(F.sum("__cnt").cast("long").alias("__n"))
-    per_d = cum.crossJoin(F.broadcast(total)).select(
+    # with_totals: n comes from the operator's own per-partition
+    # aggregates (n = Σcnt) instead of the separate hist.agg() broadcast
+    # this query used to run — that independent subtree re-computed
+    # hist→deg→edges per call (r07 profile: input 23.0→11.6 MB, the edges
+    # scan halved). deg's two remaining in-plan references (histogram +
+    # final per-node join) dedupe via ReusedExchange inside the one
+    # action; an explicit lazy pin measured strictly WORSE (20 jobs /
+    # 299 tasks vs 13/168 — the checkpoint's raw-RDD materialization
+    # stages cost more than they save)
+    cum = prefix_sums(
+        hist, [F.col("d")], {"__cum": "__cnt"}, with_totals=True
+    )
+    n = F.col("__total___cum")
+    per_d = cum.select(
         "d",
         F.round(
             F.when(
-                F.col("__n") > 1,
-                (F.col("__cum") - F.col("__cnt")) / (F.col("__n") - 1),
+                n > 1,
+                (F.col("__cum") - F.col("__cnt")) / (n - 1),
             ).otherwise(F.lit(0.0)),  # PERCENT_RANK defines 0 for n = 1
             6,
         ).alias("pct_rank"),
-        F.round(F.col("__cum") / F.col("__n"), 6).alias("cume"),
+        F.round(F.col("__cum") / n, 6).alias("cume"),
     )
     return deg.join(per_d, "d").select("src", "d", "pct_rank", "cume").orderBy(
         "d", "src"

@@ -130,16 +130,20 @@ def x_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact running CDFs via range-parallel prefix sums (operators/
     # rank.py) over the distinct-value histogram — unconditional at any
-    # value-domain size, no single-partition window
-    cum = prefix_sums(hist, [F.col("c")], {"ca": "da", "cb": "db"}).select(
-        "ca", "cb"
-    )
-    totals = cents.groupBy().agg(
-        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("na"),
-        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("nb"),
+    # value-domain size, no single-partition window. with_totals attaches
+    # na/nb from the operator's own per-partition aggregates (na = Σda,
+    # nb = Σdb — exact integer identities over the histogram), instead of
+    # the second full-corpus cents pass this query used to run for them
+    cum = prefix_sums(
+        hist, [F.col("c")], {"ca": "da", "cb": "db"}, with_totals=True
+    ).select(
+        "ca",
+        "cb",
+        F.col("__total_ca").alias("na"),
+        F.col("__total_cb").alias("nb"),
     )
     return (
-        cum.crossJoin(F.broadcast(totals))
+        cum
         .select(
             F.expr(
                 "abs(CAST(ca AS DECIMAL(38,0)) * nb - CAST(cb AS DECIMAL(38,0)) * na)"

@@ -265,8 +265,20 @@ def x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(BLOOM_K)
         ]
 
-    members = cust.filter(F.col("c_mktsegment") == BLOOM_SEGMENT).select(
-        F.col("c_custkey")
+    # members is read by the filter build AND the actual-membership
+    # broadcast; words by THREE broadcast builds (one per hash). Unpinned,
+    # each of those re-scanned customer from parquet — four full customer
+    # scans per call at 100 TB for one 512-byte filter. Pin members lazily
+    # (materialized as a side effect of the words build, then the actual-
+    # flag broadcast reads the blocks) and words EAGERLY: its three
+    # consumers are independent broadcast jobs that would race a lazy
+    # pin's materialization and each recompute the aggregation (the
+    # x_hist_quantile_accuracy measured precedent); eager = one 128-row
+    # build job, every probe join reads cache.
+    members = (
+        cust.filter(F.col("c_mktsegment") == BLOOM_SEGMENT)
+        .select(F.col("c_custkey"))
+        .localCheckpoint(eager=False)
     )
     words = (
         members.select(
@@ -278,6 +290,7 @@ def x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("word")
         .agg(F.expr("bit_or(mask)").alias("bits"))
+        .localCheckpoint(eager=True)
     )
 
     probes = orders.select("o_orderkey", "o_custkey")

@@ -91,6 +91,28 @@ def test_prefix_sums_matches_window(spark):
     assert naive == mine
 
 
+def test_prefix_sums_with_totals(spark):
+    """with_totals attaches the exact grand total per summed column —
+    derived from the operator's own per-partition aggregates, so callers
+    (x_ks_statistic, x_percentile_ranks) don't re-scan the input (or the
+    corpus behind it) to learn n."""
+    hist = (
+        _data(spark)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("id").alias("s"))
+    )
+    want = hist.agg(F.sum("cnt"), F.sum("s")).collect()[0]
+    rows = prefix_sums(
+        hist, [F.col("v")], {"c1": "cnt", "c2": "s"}, with_totals=True
+    ).collect()
+    assert all(r["__total_c1"] == want[0] for r in rows)
+    assert all(r["__total_c2"] == want[1] for r in rows)
+    # the running sums are unchanged by the flag, and the last row's
+    # cumulative equals the total (inclusive-frame invariant)
+    top = max(rows, key=lambda r: r.v)
+    assert (top.c1, top.c2) == (want[0], want[1])
+
+
 def test_empty_input(spark):
     df = spark.createDataFrame([], "id long, v long")
     assert ranked(df, [F.col("v"), F.col("id")], "rn").count() == 0
