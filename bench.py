@@ -203,6 +203,44 @@ EXTENSION_HEADLINE = [
 ]
 
 
+# Stable reported subset (round 8, VERDICT r07 next-round #1): the driver
+# parses the final JSON line out of a 2000-char stdout TAIL (BENCH_r01..r07
+# all store exactly 2000 chars; round 1's 6 KB line overflowed it ->
+# parsed:null), so the full 158-query map (~4.2 KB compact at 10 ms
+# rounding) CANNOT ride the stdout line. The next-best contract the tail
+# admits: a FIXED named subset — the 68 slowest queries of the committed
+# r07 receipt (~79% of suite seconds, superset of every name any round's
+# stdout line ever carried) — plus the run's dynamic slowest-8, emitted at
+# 10 ms rounding. Worst-case line stays under ~1.9 KB; names are only ever
+# ADDED round over round (the driver's add-only queries contract). The
+# full map still lands in BENCH_DETAIL.json.
+REPORTED = [
+    "x_dedup_containment", "g_boruvka_mst", "g_scc_bounded",
+    "x_dedup_minhash", "g_greedy_matching", "x_bootstrap_ci",
+    "x_dedup_probe", "x_coreset_kcenter", "x_curate_corpus", "x_itemsets3",
+    "x_dedup_embedding_lsh_recall", "x_dedup_embedding_recall_sampled",
+    "g_kcore", "g_node2vec_walks", "g_motif_brokers", "x_knn_hubness",
+    "g_eccentricity", "x_window_dedup", "x_dedup_embedding_lsh",
+    "q21_waiting_suppliers", "g_scc", "x_dedup_recall_sampled",
+    "g_betweenness_bounded", "x_winsorized_stats", "g_rich_club",
+    "x_market_basket", "x_minhash_band_sweep", "x_group_quantiles",
+    "g_negative_samples", "x_hist_quantile_accuracy", "g_pagerank",
+    "q1_pricing_summary", "q5_local_supplier_volume",
+    "x_substring_dedup_apply", "g_densest_subgraph", "g_butterflies",
+    "x_vocab_size_sweep", "g_eigenvector_bounded",
+    "x_quality_threshold_sweep", "g_motif_typed_chain", "g_sssp_bounded",
+    "x_dedup_embedding_lsh_wide", "q8_market_share", "x_confusion_f1",
+    "x_dedup_simhash_banded", "g_degree_gini", "x_repeated_ngram_rate",
+    "g_katz_bounded", "q10_returned_items", "q_sql_top_nations",
+    "x_quality_dup_matrix", "x_collocations", "x_linkage_agreement_lift",
+    "g_truss_bounded", "x_hll_distinct", "x_profile_lineitem",
+    "g_modularity", "x_inverted_index", "g_adjacency_coo", "x_bloom_prune",
+    "x_ks_statistic", "q_events_json", "x_ndcg_eval", "x_doc_lm_score",
+    "x_pca_top_component", "x_vocab_drift", "x_dedup_exact",
+    "x_qty_price_corr",
+]
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -252,22 +290,44 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
 
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:8]
-    )
-    print(
-        json.dumps(
+    # stdout map: the stable REPORTED subset plus the run's slowest-8,
+    # 10 ms rounding, compact separators — must fit the driver's 2000-char
+    # stdout tail (see REPORTED above). The guard trims fastest-first from
+    # the reported tail if values ever grow the line past 1950 bytes; the
+    # dynamic slowest-8 are never trimmed.
+    slowest8 = [
+        k for k, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:8]
+    ]
+    names_out = [n for n in REPORTED if n in timings] + [
+        n for n in slowest8 if n not in REPORTED
+    ]
+
+    def _line(sel: list[str]) -> str:
+        return json.dumps(
             {
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": slowest,
+                "queries": {n: round(timings[n], 2) for n in sel},
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "detail": "BENCH_DETAIL.json",
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+
+    out = _line(names_out)
+    while len(out) > 1950 and len(names_out) > 8:
+        drop = min(
+            (n for n in names_out if n not in slowest8),
+            key=lambda n: timings[n],
+            default=None,
+        )
+        if drop is None:
+            break
+        names_out.remove(drop)
+        out = _line(names_out)
+    print(out)
 
 
 if __name__ == "__main__":

@@ -87,15 +87,58 @@ def profile(spark, name: str) -> dict:
     }
 
 
+def profile_jobs(spark, name: str) -> list[dict]:
+    """Per-JOB breakdown of one steady-state run — which driver actions /
+    broadcast builds an iterative query actually schedules (diagnosis aid
+    for the r08 job-floor work; same second-run methodology as profile)."""
+    sc = spark.sparkContext
+    _force(QUERIES[name](spark, SF_DIR))  # warm run (state + codegen)
+    group = f"wpj_{name}"
+    sc.setJobGroup(group, name)
+    _force(QUERIES[name](spark, SF_DIR))
+    sc.setJobGroup(None, None)
+    jobs = [
+        j
+        for j in _rest(spark, "/jobs")
+        if j.get("jobGroup") == group and j["status"] != "FAILED"
+    ]
+    stages = {s["stageId"]: s for s in _rest(spark, "/stages")}
+    mm = 1024 * 1024
+    out = []
+    for j in sorted(jobs, key=lambda j: j["jobId"]):
+        ss = [stages[i] for i in j["stageIds"] if i in stages]
+        out.append(
+            {
+                "job": j["jobId"],
+                "desc": (j.get("description") or j.get("name") or "")[:110],
+                "stages": len(j["stageIds"]),
+                "tasks": sum(s["numCompleteTasks"] for s in ss),
+                "shuf_mb": round(
+                    sum(s["shuffleReadBytes"] for s in ss) / mm, 2
+                ),
+                "input_mb": round(sum(s["inputBytes"] for s in ss) / mm, 2),
+            }
+        )
+    return out
+
+
 def main() -> None:
     names = sys.argv[1:]
+    per_job = False
+    if names and names[0] == "--jobs":
+        per_job = True
+        names = names[1:]
     spark = get_spark(app_name="kb_workprof", ui_enabled=True)
     load_tables(spark, SF_DIR)
     _force(QUERIES["q1_pricing_summary"](spark, SF_DIR))
     _force(QUERIES["g_counts"](spark, SF_DIR))
     for name in names:
         try:
-            print("WORK " + json.dumps(profile(spark, name)), flush=True)
+            if per_job:
+                for row in profile_jobs(spark, name):
+                    print("JOB " + json.dumps(row), flush=True)
+            else:
+                print("WORK " + json.dumps(profile(spark, name)), flush=True)
         except Exception as exc:  # noqa: BLE001
             print(f"WORK {{\"query\": \"{name}\", \"error\": \"{exc!r}\"}}", flush=True)
 
