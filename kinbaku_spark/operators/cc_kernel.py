@@ -65,28 +65,51 @@ def min_label_fixpoint(
     the change probe still reports movement (see module docstring).
     """
     labels = labels.localCheckpoint(eager=True)
+    label_t = dict(labels.dtypes)["label"]
     for _ in range(max_rounds):
-        neighbor_min = (
-            und.join(labels.withColumnRenamed("u", "v2"), und.v == F.col("v2"))
-            .groupBy("u")
-            .agg(F.min("label").alias("nmin"))
+        # hop as ONE join + ONE aggregation (r08, guide §1.2/§2.4):
+        # least(label, coalesce(min neighbor, label)) ≡ min over the union
+        # of the self row and the neighbor contributions — the separate
+        # left merge join of the r07 shape disappears. The old label rides
+        # the self row only (NULL on contributions; MIN skips nulls), so
+        # the change flag below still compares against it exactly.
+        contrib = und.join(
+            labels.withColumnRenamed("u", "v2"), und.v == F.col("v2")
+        ).select(
+            und["u"],
+            "label",
+            F.lit(None).cast(label_t).alias("old_label"),
         )
-        hop = labels.join(neighbor_min, "u", "left").select(
-            "u",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-            ).alias("label"),
+        hop = (
+            labels.select("u", "label", F.col("label").alias("old_label"))
+            .unionByName(contrib)
+            .groupBy("u")
+            .agg(
+                F.min("label").alias("label"),
+                F.min("old_label").alias("old_label"),
+            )
         )
         # pointer-doubling shortcut: label <- min(label, label[label]).
         # Left join + coalesce: every label IS a node id present in the
         # label table (see module invariant), the left form just keeps the
         # plan robust if a caller's `labels` under-covers `und`.
+        # The change flag rides the SAME plan (r08, the components.scc
+        # fusion): labels only ever decrease, so chg = (label != old) on
+        # the new row is exactly what the old separate probe join
+        # computed — one aggregate on the cached result replaces a whole
+        # join-and-limit job per round.
         jump = hop.select(F.col("u").alias("lk"), F.col("label").alias("l2"))
         new_labels = hop.join(jump, hop.label == F.col("lk"), "left").select(
             "u",
             F.least(
                 F.col("label"), F.coalesce(F.col("l2"), F.col("label"))
             ).alias("label"),
+            (
+                F.least(
+                    F.col("label"), F.coalesce(F.col("l2"), F.col("label"))
+                )
+                != F.col("old_label")
+            ).alias("chg"),
         )
         # materialize through persist() BEFORE the checkpoint:
         # localCheckpoint preserves the origin plan's STATIC size
@@ -104,13 +127,12 @@ def min_label_fixpoint(
         # tests/test_cc_kernel.py::test_label_stats_stay_bounded).
         cached = new_labels.persist()
         changed = (
-            cached.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            cached.agg(F.sum(F.col("chg").cast("int")).alias("n")).collect()[0][
+                "n"
+            ]
+            or 0
         )
-        labels = cached.localCheckpoint(eager=True)
+        labels = cached.select("u", "label").localCheckpoint(eager=True)
         cached.unpersist()
         if changed == 0:
             return labels

@@ -60,40 +60,51 @@ def scc_bounded(
     e_act = edges
     certified = []
     for peel in range(1, peels + 1):
-        # one (key, f, b) state vector — both directions propagate per
-        # round through one unioned contribution stream: ONE aggregation,
-        # one merge join, one checkpoint (the plan fusion; the f/b
-        # recurrences are the textbook ones the SQL oracles replay)
+        # direction-tagged edge stream, built ONCE per peel (loop-invariant):
+        # a forward contribution flows dst→src (node learns f from its
+        # out-neighbor), a backward one src→dst. Tagging the direction into
+        # the edge table lets every prop round join it against ONE
+        # (key, f, b) label projection — r07's shape built two separately
+        # aliased label broadcasts per round (fwd + bwd) plus a contrib
+        # broadcast; this is 1 exchange per round for the identical
+        # recurrence (r08, guide §1.2/§2.4).
+        e2 = (
+            e_act.select(
+                F.col("src").alias("node"),
+                F.col("dst").alias("other"),
+                F.lit(True).alias("is_f"),
+            )
+            .unionByName(
+                e_act.select(
+                    F.col("dst").alias("node"),
+                    F.col("src").alias("other"),
+                    F.lit(False).alias("is_f"),
+                )
+            )
+            .localCheckpoint(eager=False)
+        )
         lab = active.select("key", F.col("key").alias("f"), F.col("key").alias("b"))
         for _ in range(prop_rounds):
-            fwd = e_act.join(
-                hint(lab.select(F.col("key").alias("w"), F.col("f").alias("fw"))),
-                e_act.dst == F.col("w"),
-            ).select(
-                F.col("src").alias("node"),
-                "fw",
-                F.lit(None).cast("string").alias("bw"),
-            )
-            bwd = e_act.join(
-                hint(lab.select(F.col("key").alias("u"), F.col("b").alias("bu"))),
-                e_act.src == F.col("u"),
-            ).select(
-                F.col("dst").alias("node"),
-                F.lit(None).cast("string").alias("fw"),
-                F.col("bu").alias("bw"),
-            )
             contrib = (
-                fwd.unionByName(bwd)
-                .groupBy("node")
-                .agg(F.min("fw").alias("nf"), F.min("bw").alias("nb"))
-            )
-            lab = (
-                lab.join(hint(contrib.withColumnRenamed("node", "key")), "key", "left")
-                .select(
-                    "key",
-                    F.least(F.col("f"), F.coalesce("nf", F.col("f"))).alias("f"),
-                    F.least(F.col("b"), F.coalesce("nb", F.col("b"))).alias("b"),
+                e2.join(
+                    hint(lab.withColumnRenamed("key", "other")),
+                    "other",
                 )
+                .select(
+                    F.col("node").alias("key"),
+                    F.when(F.col("is_f"), F.col("f")).alias("nf"),
+                    F.when(~F.col("is_f"), F.col("b")).alias("nb"),
+                )
+            )
+            # LEAST(x, COALESCE(MIN(contrib), x)) ≡ MIN over the union of
+            # the self row and the contributions (min skips nulls; every
+            # contribution node is in `lab`'s domain) — one aggregation
+            # replaces the contrib broadcast + merge join of the r07 shape
+            lab = (
+                lab.select("key", F.col("f").alias("nf"), F.col("b").alias("nb"))
+                .unionByName(contrib)
+                .groupBy("key")
+                .agg(F.min("nf").alias("f"), F.min("nb").alias("b"))
                 .localCheckpoint(eager=False)
             )
         certified.append(

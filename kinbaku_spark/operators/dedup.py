@@ -115,15 +115,39 @@ def _jaccard_verify(
         sets = shingles.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
     va = sets.select(F.col(id_col).alias(f"{id_col}_a"), F.col("hs").alias("hs_a"))
     vb = sets.select(F.col(id_col).alias(f"{id_col}_b"), F.col("hs").alias("hs_b"))
-    return (
+    # Size-ratio prune BEFORE the intersection (r08, guide §1.2/§4 — keep
+    # it codegen): inter <= min(na, nb), so jaccard <= nmin/nmax. IEEE
+    # division of exact integers and ROUND are both monotone, and at
+    # inter = nmin the bound is attained by the SAME float expression the
+    # final filter evaluates — so a pair failing
+    # round(nmin/nmax, 6) >= threshold provably fails the final
+    # round(jaccard, 6) >= threshold too. Dropping it here skips the
+    # O(na+nb) array_intersect for every size-skewed candidate (banding
+    # collides plenty of short-vs-long pairs) without changing one result
+    # row.
+    sized = (
         candidates.join(va, f"{id_col}_a")
         .join(vb, f"{id_col}_b")
         .select(
             f"{id_col}_a",
             f"{id_col}_b",
-            F.size(F.array_intersect("hs_a", "hs_b")).alias("inter"),
+            "hs_a",
+            "hs_b",
             F.size("hs_a").alias("na"),
             F.size("hs_b").alias("nb"),
+        )
+        .filter(
+            F.round(F.least("na", "nb") / F.greatest("na", "nb"), 6)
+            >= threshold
+        )
+    )
+    return (
+        sized.select(
+            f"{id_col}_a",
+            f"{id_col}_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("inter"),
+            "na",
+            "nb",
         )
         .withColumn(
             "jaccard",
@@ -429,14 +453,30 @@ def duplicate_clusters(
     exhausting it raises ``CCConvergenceError`` instead of silently
     returning unconverged labels (the round-4 hazard: a plain bounded sweep
     truncated any component whose label distance exceeded the cap).
+
+    Serial tail (r08, the Multistep pattern operators/components.scc
+    already carries, applied per VERDICT r07 next-round #8): components
+    only ever merge through PAIR edges, so when the symmetrized pair set
+    fits the driver (same memory class as the broadcast gate), one
+    in-memory union-find over the pair ENDPOINTS replaces the whole
+    multi-round distributed fixpoint — docs are NEVER collected;
+    non-endpoint docs keep their own id through the coalesce of one
+    broadcast map join. The labeling is identical by construction (the CC
+    partition is unique and the representative is the component min either
+    way; differential-locked in tests/test_property_dedup.py and the
+    streaming split-invariance suite). ``KB_CC_LOCAL_THRESHOLD`` overrides
+    the gate; 0 forces the distributed kernel (tests lock both paths).
     """
+    import os
+
     from kinbaku_spark.operators.cc_kernel import min_label_fixpoint
 
-    # eager checkpoint: every propagation iteration consumes `und` (and the
-    # change probe consumes it transitively) — without pinning it, the FULL
-    # upstream pair pipeline (typically MinHash candidates + verify) would
-    # re-execute once per iteration per consumer (measured 15 s -> 2 s on
-    # curate_corpus at sf0.1)
+    # LAZY checkpoint + count (the merged materialize-and-probe pattern):
+    # the count materializes the pin — without a pin the FULL upstream
+    # pair pipeline (typically MinHash candidates + verify) would
+    # re-execute once per fixpoint iteration per consumer (measured
+    # 15 s -> 2 s on curate_corpus at sf0.1) — and doubles as the serial-
+    # tail gate, so the eager checkpoint job disappears.
     und = (
         pairs.select(
             F.col(f"{id_col}_a").alias("u"), F.col(f"{id_col}_b").alias("v")
@@ -445,8 +485,49 @@ def duplicate_clusters(
             pairs.select(F.col(f"{id_col}_b").alias("u"), F.col(f"{id_col}_a").alias("v"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    n_edges = und.count()
+    threshold = int(os.environ.get("KB_CC_LOCAL_THRESHOLD", "100000"))
+    if threshold and n_edges <= threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in und.collect():
+            parent.setdefault(r.u, r.u)
+            parent.setdefault(r.v, r.v)
+            ru, rv = find(r.u), find(r.v)
+            if ru != rv:
+                parent[rv] = ru
+        comp_min: dict = {}
+        for x in parent:
+            root = find(x)
+            if root not in comp_min or x < comp_min[root]:
+                comp_min[root] = x
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("__cc_k", docs.schema[id_col].dataType),
+                StructField("__cc_m", docs.schema[id_col].dataType),
+            ]
+        )
+        relabel = docs.sparkSession.createDataFrame(
+            [(x, comp_min[find(x)]) for x in parent], schema
+        )
+        return (
+            docs.select(F.col(id_col))
+            .join(F.broadcast(relabel), F.col(id_col) == F.col("__cc_k"), "left")
+            .select(
+                id_col,
+                F.coalesce("__cc_m", F.col(id_col)).alias("cluster_id"),
+            )
+        )
     labels = docs.select(F.col(id_col).alias("u"), F.col(id_col).alias("label"))
     labels = min_label_fixpoint(labels, und, max_rounds=max_iter)
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("cluster_id"))

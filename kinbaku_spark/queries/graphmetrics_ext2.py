@@ -91,7 +91,20 @@ def truss_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra["truss_backbone"] = _truss_proj(spark, sf_dir).localCheckpoint(
             eager=True
         )
+        # measured edge count (one cheap count over the just-materialized
+        # checkpoint blocks, once per sf_dir): the ACTUAL broadcast bound
+        # for the peel joins — the backbone is data-dependent, so a
+        # formula guess would violate the ADVICE r02 no-guessed-bounds rule
+        extra["truss_backbone_n"] = extra["truss_backbone"].count()
     return extra["truss_backbone"]
+
+
+def truss_backbone_n(spark: SparkSession, sf_dir: str) -> int:
+    """Measured row count of :func:`truss_backbone` (built alongside it)."""
+    from kinbaku_spark.queries.graph_queries import _cached
+
+    truss_backbone(spark, sf_dir)
+    return _cached(spark, sf_dir)[2]["truss_backbone_n"]
 
 
 def g_truss_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,6 +113,18 @@ def g_truss_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     round), with their final-round support.
     """
     edges = truss_backbone(spark, sf_dir)
+    # The r07 shuffle regression (VERDICT "What's wrong #3", 2.31 →
+    # 12.75 MB) was NOT the lazy per-round checkpoints — an eager revert
+    # re-measured at the identical 12.75 MB (plans/r08 receipts). Per-job
+    # profiling attributes ~10 MB to ONE job: the round-1 support join
+    # planned as a SHUFFLE join of the wedge stream, because the
+    # checkpointed backbone leaf carries no usable size estimate. Fix:
+    # explicit size-gated broadcast hints on the (bounded, shrinking)
+    # und/neighbor sides, gated on the backbone's MEASURED count — the
+    # wedge stream then never shuffles; only the (s1, s2) support
+    # aggregation exchanges rows. Lazy per-round checkpoints stay (the
+    # whole peel resolves in one action).
+    hint = size_hint(2 * truss_backbone_n(spark, sf_dir))
     last = None
     for _ in range(TRUSS_ROUNDS):
         und = edges.select(F.col("s1").alias("u"), F.col("s2").alias("v")).union(
@@ -107,18 +132,16 @@ def g_truss_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sup = (
             edges.join(
-                und.select(F.col("u").alias("s1"), F.col("v").alias("w")), "s1"
+                hint(und.select(F.col("u").alias("s1"), F.col("v").alias("w"))),
+                "s1",
             )
             .join(
-                und.select(F.col("u").alias("s2"), F.col("v").alias("w")),
+                hint(und.select(F.col("u").alias("s2"), F.col("v").alias("w"))),
                 ["s2", "w"],
             )
             .groupBy("s1", "s2")
             .agg(F.count(F.lit(1)).alias("sup"))
         )
-        # lazy: each round's survivors are only consumed by the next
-        # round's lineage and the final projection — the whole peel now
-        # resolves in ONE action (was one serial checkpoint job per round)
         last = sup.filter(F.col("sup") >= TRUSS_K - 2).localCheckpoint(eager=False)
         edges = last.select("s1", "s2")
     return last.select("s1", "s2", "sup").orderBy("s1", "s2")
@@ -205,9 +228,15 @@ def g_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lm", F.col("v").alias("key"))
             .distinct()
         )
-        # lazy checkpoint + full count: ONE job both materializes the
-        # round's frontier and answers the early-exit probe (the eager
-        # form paid a checkpoint job AND a limit-probe job per round)
+        # fully lazy chain (r08, guide §1.2 — the g_betweenness_bounded
+        # layer shape): no per-round driver probe at all. An exhausted
+        # frontier makes every later round's join empty, so the result is
+        # identical to the early-exit form, while the whole ECC_MAX_DEPTH
+        # BFS resolves inside the ONE final action instead of paying a
+        # serial count job per round (r07: 25 jobs, one probe per depth).
+        # The lazy checkpoints still pin each round's frontier so it
+        # materializes once for its two consumers (depths union + next
+        # round's joins).
         new = (
             neighbors.join(
                 hint(depths.select("lm", "key")), ["lm", "key"], "left_anti"
@@ -215,8 +244,6 @@ def g_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lm", "key", F.lit(d).cast("int").alias("depth"))
             .localCheckpoint(eager=False)
         )
-        if new.count() == 0:
-            break
         depths = depths.unionByName(new)
         frontier = new
     return (

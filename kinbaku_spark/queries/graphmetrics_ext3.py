@@ -145,22 +145,22 @@ def g_boruvka_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c", F.col("c").alias("nc"))
         )
         for _ in range(MERGE_ROUNDS):
-            nb = (
-                comp.join(
-                    hint(clab.select(F.col("c").alias("x2"), "nc")),
-                    comp.x == F.col("x2"),
-                )
-                .groupBy("y")
-                .agg(F.min("nc").alias("mn"))
-            )
+            # one contribution stream per merge round (r08, guide §1.2):
+            # LEAST(nc, COALESCE(MIN over neighbors, nc)) ≡ MIN over the
+            # union of the self row and the neighbor contributions — every
+            # comp endpoint is a label, so the grouped domain is exactly
+            # clab's. This replaces the nb broadcast build + left join
+            # (2 exchanges/round) with 1 join + 1 aggregation, halving the
+            # per-round broadcast jobs while computing the identical
+            # bounded min-label recurrence the oracle replays.
+            contrib = comp.join(
+                hint(clab.select(F.col("c").alias("x2"), "nc")),
+                comp.x == F.col("x2"),
+            ).select(F.col("y").alias("c"), "nc")
             clab = (
-                clab.join(hint(nb), clab.c == nb.y, "left")
-                .select(
-                    "c",
-                    F.least(
-                        F.col("nc"), F.coalesce("mn", F.col("nc"))
-                    ).alias("nc"),
-                )
+                contrib.unionByName(clab)
+                .groupBy("c")
+                .agg(F.min("nc").alias("nc"))
                 .localCheckpoint(eager=False)
             )
         lab = (

@@ -384,12 +384,19 @@ def x_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "pick_round int, vec_id long, d2 long")
     picks: list[tuple[int, int]] = [(0, 0)]  # (vec_id, d2)
     seed_q = [int(x) for x in seed[0]["q"]]
+    # LAZY per-round checkpoints (r08, guide §1.2 — the merged
+    # materialize-and-probe shape): each round's argmax collect is the
+    # round's only driver action, and computing it materializes the lazy
+    # checkpoint as a side effect, so the separate eager checkpoint job
+    # per round disappears (16 → ~9 jobs). The next round's relax reads
+    # the checkpoint blocks the collect just wrote; placement determinism
+    # is irrelevant here (single consumer chain, no range sampling).
     state = (
         qv.filter(F.col("vec_id") != 0)
         .select(
             "vec_id", "q", _l2_lit(F.col("q"), seed_q).cast("long").alias("d2")
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for r in range(1, KC_PICKS):
         row = state.orderBy(F.desc("d2"), "vec_id").limit(1).collect()
@@ -409,7 +416,7 @@ def x_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("d2"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return spark.createDataFrame(
         [(r, v, d) for r, (v, d) in enumerate(picks)],

@@ -174,10 +174,11 @@ def cc_ingest_batch(
     from kinbaku_spark.operators.dedup import duplicate_clusters
 
     spark = batch_df.sparkSession
-    edges = batch_df.select("src", "dst").localCheckpoint(eager=True)
-    # one count on the checkpointed batch serves both the empty-batch
-    # early-out and the broadcast bound (endpoints, the resolved label
-    # map, and the contraction relabel map are all <= 2x batch edges)
+    # LAZY checkpoint + count (r08, the merged materialize-and-probe
+    # pattern): the count both materializes the batch pin and answers the
+    # empty-batch early-out / broadcast bound — one job where the eager
+    # form paid a checkpoint job AND a count job per batch
+    edges = batch_df.select("src", "dst").localCheckpoint(eager=False)
     n_edges = edges.count()
     if n_edges == 0:
         return

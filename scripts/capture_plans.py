@@ -24,7 +24,7 @@ from kinbaku_spark.session import get_spark  # noqa: E402
 from kinbaku_spark.sources.tables import load_tables  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(ROOT, "plans", "r07")
+OUT_DIR = os.path.join(ROOT, "plans", os.environ.get("KB_PLANS_ROUND", "r08"))
 
 
 def main() -> None:

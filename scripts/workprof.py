@@ -110,7 +110,7 @@ def profile_jobs(spark, name: str) -> list[dict]:
         out.append(
             {
                 "job": j["jobId"],
-                "desc": (j.get("description") or j.get("name") or "")[:110],
+                "desc": (j.get("name") or j.get("description") or "")[:110],
                 "stages": len(j["stageIds"]),
                 "tasks": sum(s["numCompleteTasks"] for s in ss),
                 "shuf_mb": round(
